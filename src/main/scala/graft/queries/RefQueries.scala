@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch-form gate queries for the reference's join/agg surface.
+  *
+  * Each entry mirrors one permutation from the reference's test suite
+  * (/root/reference/tests/JoinTest*.py, AggsTest*.py) re-based onto the
+  * driver's TPC-H-ish tables: customer↔customers, orders↔transactions,
+  * lineitem↔orders, part↔products (SURVEY.md §4). Every computed
+  * column is rounded and aliased identically to its DuckDB oracle so
+  * the driver's hash compare is byte-stable.
+  *
+  * Scale notes: dimension sides (customer, part, supplier, nation) are
+  * broadcast-able at any SF where dims ≪ facts; we leave the choice to
+  * Catalyst/AQE rather than forcing hints, except where a dim is known
+  * tiny (nation, region) — those we hint explicitly.
+  */
+object RefQueries {
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  // --- aggregations (AggsTest*.py analogs) -------------------------------
+
+  /** TPC-H Q1-style pricing summary — AggsTestGroupBy.py analog. */
+  def aggSumGroupBy(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r2(sum("l_quantity")).as("sum_qty"),
+        r2(sum("l_extendedprice")).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Multi-aggregate over one group — sum/avg/count (AggsTestGroupBy variants). */
+  def aggMulti(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        r2(sum("o_totalprice")).as("sum_price"),
+        r2(avg("o_totalprice")).as("avg_price"),
+        count(lit(1)).as("cnt"))
+
+  /** min/max aggregates (AggsTestRightGroupByInnerGroupByMax analog). */
+  def aggMinMax(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"),
+        r2(min("l_extendedprice")).as("min_price"),
+        r2(max("l_extendedprice")).as("max_price"))
+
+  /** Custom merge arithmetic — the reference's `.reduce(avg = total/count)`
+    * (AggsTestInnerGroupByLeftLeftGroupBy.py:11) expressed as its batch
+    * fixpoint: avg derived from re-aggregable sum+count. */
+  def aggCustomAvg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        r2(sum("c_acctbal")).as("total_bal"),
+        count(lit(1)).as("cnt"),
+        r2(sum("c_acctbal") / count(lit(1))).as("avg_bal"))
+
+  /** join → groupBy → join → groupBy chain
+    * (AggsTestInnerGroupByLeftLeftGroupBy.py analog). */
+  def aggJoinAggChain(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val perCust = c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_custkey")
+      .agg(sum("o_totalprice").as("total_amount"), count(lit(1)).as("cnt"))
+    // fresh scan of orders for the second stage — the reference
+    // re-reads each staged table too (aggs.py:112-136)
+    val o2 = Tables.orders(s, d)
+    perCust
+      .join(o2, perCust("c_custkey") === o2("o_custkey"), "left")
+      .join(l, o2("o_orderkey") === l("l_orderkey"), "left")
+      .groupBy(l("l_orderkey"))
+      .agg(r2(sum("total_amount")).as("total_amount_per_order"))
+      .select(col("l_orderkey"), col("total_amount_per_order"))
+  }
+
+  // --- 2-way joins (JoinTestInner/Left/Right.py analogs) -----------------
+
+  def joinInner(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "o_totalprice", "c_name", "c_acctbal", "c_mktsegment")
+  }
+
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .select("o_orderkey", "o_totalprice", "c_custkey", "c_name")
+  }
+
+  def joinRight(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+  }
+
+  // --- chained joins (3+ way permutations) -------------------------------
+
+  def joinInnerLeft(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d); val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"), "left")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderdate", "c_name")
+  }
+
+  def joinLeftRight(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d); val p = Tables.part(s, d); val sup = Tables.supplier(s, d)
+    l.join(p, l("l_partkey") === p("p_partkey"), "left")
+      .join(sup, l("l_suppkey") === sup("s_suppkey"), "right")
+      .select("s_suppkey", "s_name", "l_orderkey", "l_linenumber", "p_name")
+  }
+
+  def joinRightRightLeft(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "right")
+      .join(l, o("o_orderkey") === l("l_orderkey"), "right")
+      .join(p, l("l_partkey") === p("p_partkey"), "left")
+      .select("l_orderkey", "l_linenumber", "c_name", "o_orderdate", "p_name")
+  }
+
+  def joinInnerInnerInner(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select("l_orderkey", "l_linenumber", "o_orderdate", "c_name", "n_name")
+  }
+
+  /** Arbitrary `.on(expr)` condition with a literal filter — mirrors
+    * JoinTestComplex1.py:12 `(p.product_name == o.item_name) &
+    * (p.product_name == lit('Small Towels'))`. */
+  def joinOnExpr(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
+    l.join(p, l("l_partkey") === p("p_partkey") && p("p_brand") === lit("Brand#13"), "left")
+      .select("l_orderkey", "l_linenumber", "p_name", "p_brand")
+  }
+
+  /** select/drop projection incl. a transformed column (Selector.select). */
+  def joinSelectDrop(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), upper(col("c_name")).as("name_upper"),
+        col("o_orderstatus"))
+  }
+
+  /** Partition-pruned join — mirrors partitionBy(prune('date')) on a
+    * year×month derived column (JoinTestComplex1.py:8). */
+  def joinPartitioned(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).withColumn("o_yearmonth",
+      year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+    val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .where(col("o_yearmonth") === lit(199506))
+      .select("o_orderkey", "o_yearmonth", "c_name")
+  }
+
+  /** `.to(df => transform)` on a source before joining (streams.py:235). */
+  def joinTransformSource(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumnRenamed("o_totalprice", "price")
+    val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "o_year", "price", "c_name")
+  }
+
+  /** Stream union (joins.py:861-865) in batch form. */
+  def unionAll(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"), lit("customer").as("kind"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"), lit("supplier").as("kind"))
+    c.unionByName(sup)
+  }
+
+  // --- registration ------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_sum_groupby"        -> (aggSumGroupBy _),
+    "agg_multi"              -> (aggMulti _),
+    "agg_min_max"            -> (aggMinMax _),
+    "agg_custom_avg"         -> (aggCustomAvg _),
+    "agg_join_agg_chain"     -> (aggJoinAggChain _),
+    "join_inner"             -> (joinInner _),
+    "join_left"              -> (joinLeft _),
+    "join_right"             -> (joinRight _),
+    "join_inner_left"        -> (joinInnerLeft _),
+    "join_left_right"        -> (joinLeftRight _),
+    "join_right_right_left"  -> (joinRightRightLeft _),
+    "join_inner_inner_inner" -> (joinInnerInnerInner _),
+    "join_on_expr"           -> (joinOnExpr _),
+    "join_select_drop"       -> (joinSelectDrop _),
+    "join_partitioned"       -> (joinPartitioned _),
+    "join_transform_source"  -> (joinTransformSource _),
+    "union_all"              -> (unionAll _))
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_sum_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "agg_multi" ->
+      """SELECT o_orderstatus,
+         round(sum(o_totalprice), 2) AS sum_price,
+         round(avg(o_totalprice), 2) AS avg_price,
+         count(*) AS cnt
+         FROM orders GROUP BY o_orderstatus""",
+    "agg_min_max" ->
+      """SELECT l_returnflag,
+         min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+         round(min(l_extendedprice), 2) AS min_price,
+         round(max(l_extendedprice), 2) AS max_price
+         FROM lineitem GROUP BY l_returnflag""",
+    "agg_custom_avg" ->
+      """SELECT c_mktsegment,
+         round(sum(c_acctbal), 2) AS total_bal,
+         count(*) AS cnt,
+         round(sum(c_acctbal) / count(*), 2) AS avg_bal
+         FROM customer GROUP BY c_mktsegment""",
+    "agg_join_agg_chain" ->
+      """WITH per_cust AS (
+           SELECT c_custkey, sum(o_totalprice) AS total_amount, count(*) AS cnt
+           FROM customer JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         SELECT l_orderkey, round(sum(total_amount), 2) AS total_amount_per_order
+         FROM per_cust
+         LEFT JOIN orders ON per_cust.c_custkey = o_custkey
+         LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY l_orderkey""",
+    "join_inner" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_acctbal, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "join_left" ->
+      """SELECT o_orderkey, o_totalprice, c_custkey, c_name
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+    "join_right" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey""",
+    "join_inner_left" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderdate, c_name
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         LEFT JOIN customer ON o_custkey = c_custkey""",
+    "join_left_right" ->
+      """SELECT s_suppkey, s_name, l_orderkey, l_linenumber, p_name
+         FROM lineitem
+         LEFT JOIN part ON l_partkey = p_partkey
+         RIGHT JOIN supplier ON l_suppkey = s_suppkey""",
+    "join_right_right_left" ->
+      """SELECT l_orderkey, l_linenumber, c_name, o_orderdate, p_name
+         FROM customer
+         RIGHT JOIN orders ON c_custkey = o_custkey
+         RIGHT JOIN lineitem ON o_orderkey = l_orderkey
+         LEFT JOIN part ON l_partkey = p_partkey""",
+    "join_inner_inner_inner" ->
+      """SELECT l_orderkey, l_linenumber, o_orderdate, c_name, n_name
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey""",
+    "join_on_expr" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_brand
+         FROM lineitem
+         LEFT JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'""",
+    "join_select_drop" ->
+      """SELECT o_orderkey, upper(c_name) AS name_upper, o_orderstatus
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "join_partitioned" ->
+      """SELECT o_orderkey,
+         CAST(date_part('year', o_orderdate) * 100 + date_part('month', o_orderdate) AS INT) AS o_yearmonth,
+         c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE date_part('year', o_orderdate) * 100 + date_part('month', o_orderdate) = 199506""",
+    "join_transform_source" ->
+      """SELECT o_orderkey,
+         CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+         o_totalprice AS price, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "union_all" ->
+      """SELECT c_custkey AS id, c_name AS name, 'customer' AS kind FROM customer
+         UNION ALL
+         SELECT s_suppkey AS id, s_name AS name, 'supplier' AS kind FROM supplier""")
+}
