@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.store.{KeyedTable, MergeSpec}
+
+import java.nio.file.Files
+
+/** Gate queries that exercise the CDC store end-to-end in batch form:
+  * build a KeyedTable in a temp dir, apply real merge commits, return
+  * the resulting snapshot. The DuckDB oracle recomputes the expected
+  * fixpoint with CASE expressions over the same source table — so the
+  * whole upsert/sequence/CDF machinery is hash-checked by the driver,
+  * not just spec-tested (SURVEY.md §2 A1, A3).
+  */
+object CdcQueries {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_cdc").toString
+
+  /** A1: two upsert commits (inserts, then mixed update+insert batch);
+    * snapshot must reflect the latest state of every key. */
+  def cdcUpsertSnapshot(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val kt = KeyedTable.create(s, freshDir(), o.schema, keys = Seq("o_orderkey"), numBuckets = 16)
+    kt.upsert(o)
+    val updates = o.where(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    kt.upsert(updates)
+    kt.snapshot()
+  }
+
+  /** A3: sequenceBy semantics — a newer sequence value wins, a stale
+    * one is rejected, both within and across commits. */
+  def cdcSeqLatestWins(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .withColumn("seq", lit(1L))
+    val kt = KeyedTable.create(s, freshDir(), o.schema,
+      keys = Seq("o_orderkey"), seqCols = Seq("seq"), numBuckets = 16)
+    kt.upsert(o)
+    // newer: doubles the price for keys %5==0
+    kt.upsert(o.where(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+      .withColumn("seq", lit(2L)))
+    // stale: must be rejected entirely
+    kt.upsert(o.where(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", lit(-1.0))
+      .withColumn("o_orderstatus", lit("STALE"))
+      .withColumn("seq", lit(0L)))
+    kt.snapshot()
+  }
+
+  /** A13 (store half): incremental aggregation by plus-delta merges —
+    * three disjoint slices of lineitem merged one at a time into a
+    * running (sum, count) agg table must equal the one-shot aggregate. */
+  def cdcAggIncremental(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    def slice(i: Int): DataFrame =
+      l.where(pmod(col("l_orderkey"), lit(3)) === i)
+        .groupBy(col("l_returnflag"))
+        .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("cnt"))
+    val schema = slice(0).schema
+    val kt = KeyedTable.create(s, freshDir(), schema, keys = Seq("l_returnflag"), numBuckets = 4)
+    val spec = MergeSpec(updateExprs = Some(Map(
+      "total_qty" -> (col("u.total_qty") + col("s.total_qty")),
+      "cnt" -> (col("u.cnt") + col("s.cnt")))))
+    (0 until 3).foreach(i => kt.merge(slice(i), spec))
+    kt.snapshot().select(col("l_returnflag"), round(col("total_qty"), 2).as("total_qty"), col("cnt"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_upsert_snapshot" -> (cdcUpsertSnapshot _),
+    "cdc_seq_latest_wins" -> (cdcSeqLatestWins _),
+    "cdc_agg_incremental" -> (cdcAggIncremental _))
+
+  val oracleSql: Map[String, String] = Map(
+    "cdc_upsert_snapshot" ->
+      """SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+         FROM orders""",
+    "cdc_seq_latest_wins" ->
+      """SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS seq
+         FROM orders""",
+    "cdc_agg_incremental" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS total_qty, count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag""")
+}

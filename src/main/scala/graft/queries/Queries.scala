@@ -8,8 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries
+    RefQueries.queries ++ CdcQueries.queries
 
   def oracles: Map[String, String] =
-    RefQueries.oracleSql
+    RefQueries.oracleSql ++ CdcQueries.oracleSql
 }

@@ -1,0 +1,91 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.nio.charset.StandardCharsets
+
+/** Minimal JSON commit log for a [[KeyedTable]].
+  *
+  * Layout under `<table>/_log/`:
+  *   - `_meta.json`                 — table definition (written once)
+  *   - `%020d.json` per commit      — `{"version":N,"buckets":[...]}`
+  *
+  * Replay folds commits in version order into `bucket -> last version
+  * that rewrote it`; a snapshot at version V reads, for every bucket,
+  * the newest rewrite ≤ V. Commit files are written to a temp name and
+  * renamed, so readers never observe a partial commit (same recovery
+  * contract as Delta's `_delta_log`, re-expressed on raw Hadoop FS).
+  *
+  * Uses the Hadoop FileSystem API throughout so the same code runs on
+  * HDFS/S3A on a real cluster, not just local fs.
+  */
+final class CommitLog(rootPath: String, conf: Configuration) {
+  private val logDir = new Path(rootPath, "_log")
+  private def fs: FileSystem = logDir.getFileSystem(conf)
+
+  def exists: Boolean = fs.exists(new Path(logDir, "_meta.json"))
+
+  def writeMeta(json: String): Unit = {
+    fs.mkdirs(logDir)
+    writeAtomic(new Path(logDir, "_meta.json"), json)
+  }
+
+  def readMeta(): String = readFully(new Path(logDir, "_meta.json"))
+
+  /** All committed versions in ascending order. */
+  def versions(): Seq[Long] = {
+    if (!fs.exists(logDir)) return Nil
+    fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("_"))
+      .map(_.stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  def latestVersion(): Long = versions().lastOption.getOrElse(0L)
+
+  /** bucket -> newest version ≤ `upTo` that rewrote it. */
+  def bucketVersions(upTo: Long): Map[Int, Long] = {
+    var acc = Map.empty[Int, Long]
+    versions().iterator.takeWhile(_ <= upTo).foreach { v =>
+      parseBuckets(readFully(commitPath(v))).foreach(b => acc += b -> v)
+    }
+    acc
+  }
+
+  def commit(version: Long, buckets: Seq[Int]): Unit = {
+    val json = s"""{"version":$version,"buckets":[${buckets.mkString(",")}]}"""
+    writeAtomic(commitPath(version), json)
+  }
+
+  private def commitPath(v: Long) = new Path(logDir, f"$v%020d.json")
+
+  private def parseBuckets(json: String): Seq[Int] = {
+    val m = """"buckets":\[([0-9,\s]*)\]""".r.findFirstMatchIn(json)
+    m.map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+      .getOrElse(Nil)
+  }
+
+  private def writeAtomic(target: Path, content: String): Unit = {
+    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      // a concurrent writer won the rename — single-writer tables never hit this
+      if (!fs.exists(target)) sys.error(s"commit rename failed: $target")
+    }
+  }
+
+  private def readFully(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+}

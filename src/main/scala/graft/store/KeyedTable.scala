@@ -1,0 +1,341 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** How a batch merges into a [[KeyedTable]].
+  *
+  * @param updateExprs per-column expressions for matched rows, referencing
+  *                    `u.<col>` (target) and `s.<col>` (staged batch) —
+  *                    the reference's `whenMatchedUpdate(set=...)`
+  *                    (aggs.py:77, joins.py:700-702). None ⇒ replace the
+  *                    whole row with the staged row.
+  * @param insertExprs per-column expressions for unmatched staged rows —
+  *                    `whenNotMatchedInsert(values=...)`. None ⇒ insert
+  *                    the staged row as-is.
+  */
+final case class MergeSpec(
+    updateExprs: Option[Map[String, Column]] = None,
+    insertExprs: Option[Map[String, Column]] = None)
+
+/** Table definition persisted in `_log/_meta.json`.
+  *
+  * @param keys         full logical key (bucket keys ++ nullable keys)
+  * @param nullableKeys keys that may be null in stored rows (the
+  *                     outer-join placeholder columns — the reference's
+  *                     `pks[1]` split, joins.py:663-671); a stored row
+  *                     with nulls here is "unmatched yet" and is upgraded
+  *                     in place when a matching row arrives
+  * @param seqCols      latest-wins ordering (streams.py:222); empty ⇒
+  *                     an arbitrary row wins among same-key duplicates
+  */
+final case class TableMeta(
+    keys: Seq[String],
+    nullableKeys: Seq[String],
+    seqCols: Seq[String],
+    numBuckets: Int,
+    schemaDdl: String) {
+  def bucketKeys: Seq[String] = keys.filterNot(nullableKeys.contains)
+  def schema: StructType = StructType.fromDDL(schemaDdl)
+}
+
+/** A keyed, versioned, hash-bucketed parquet table with a change feed —
+  * the storage primitive that stands in for Delta (+ CDF) in this
+  * environment (SURVEY.md §3).
+  *
+  * Layout:
+  * {{{
+  *   <path>/_log/_meta.json           table definition
+  *   <path>/_log/<version>.json       commit: which buckets were rewritten
+  *   <path>/data/v=<V>/b=<B>/         full parquet contents of bucket B as of V
+  *   <path>/cdf/v=<V>/                parquet change rows of commit V
+  *                                    (_change_type, _commit_version)
+  * }}}
+  *
+  * Scale design: `bucket = pmod(xxhash64(bucketKeys), numBuckets)`, and a
+  * merge rewrites ONLY the buckets its batch touches — the batch side is
+  * broadcast, the target side reads just those buckets' files, and no
+  * full-table shuffle ever happens (the reference gets the same effect
+  * from Delta MERGE file pruning + broadcast microbatches, README.md:105).
+  * At 100 TB: numBuckets sized so a bucket is a few GB; a 1 GB microbatch
+  * touches at most a handful of buckets.
+  */
+final class KeyedTable private (
+    val spark: SparkSession,
+    val path: String,
+    val meta: TableMeta) {
+
+  import KeyedTable._
+
+  private val log = new CommitLog(path, spark.sessionState.newHadoopConf())
+
+  def schema: StructType = meta.schema
+  def dataCols: Seq[String] = schema.fieldNames.toSeq
+  def latestVersion: Long = log.latestVersion()
+
+  def cdfSchema: StructType =
+    StructType(schema.fields ++ Array(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+
+  private def bucketExpr(qual: String => Column): Column =
+    pmod(xxhash64(meta.bucketKeys.map(qual): _*), lit(meta.numBuckets)).cast("int")
+
+  private def emptyDf: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Full table contents as of `version` (default: latest). */
+  def snapshot(version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion else version
+    val bv = log.bucketVersions(v)
+    if (bv.isEmpty) emptyDf
+    else readBuckets(bv.toSeq)
+  }
+
+  private def readBuckets(bv: Seq[(Int, Long)]): DataFrame = {
+    val paths = bv.map { case (b, ver) => s"$path/data/v=$ver/b=$b" }
+    // no explicit schema: leaf-dir reads may surface inferred partition
+    // cols (v, b) depending on common-prefix discovery; select prunes them
+    spark.read.parquet(paths: _*).select(dataCols.map(col): _*)
+  }
+
+  /** Change rows with `_commit_version > sinceVersion`, batch form. */
+  def changesSince(sinceVersion: Long): DataFrame =
+    spark.read.schema(cdfSchema).parquet(s"$path/cdf/*")
+      .where(col("_commit_version") > sinceVersion)
+
+  /** The change feed as a Structured Streaming source. New commits land
+    * as new files under `cdf/` and are discovered by the file source;
+    * `maxFilesPerTrigger` bounds microbatch size (the reference's
+    * `maxBytesPerTrigger=1g`, streams.py:128). */
+  def changeStream(maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(cdfSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"$path/cdf/*")
+
+  /** Plain latest-wins upsert (the bronze-table write path). */
+  def upsert(batch: DataFrame): Long = merge(batch, MergeSpec())
+
+  /** Merge `batch` into the table; returns the new version.
+    *
+    * Single-writer. Mirrors the reference's foreachBatch-MERGE
+    * (joins.py:563-570, 716-746; aggs.py:44-59) on the bucketed layout.
+    */
+  def merge(batch: DataFrame, spec: MergeSpec): Long = synchronized {
+    val staged0 = dedupByKey(batch.select(dataCols.map(col): _*))
+      .withColumn(BucketCol, bucketExpr(col))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = staged0.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+      if (affected.isEmpty) latestVersion
+      else {
+        val newVersion = latestVersion + 1
+        val bv = log.bucketVersions(latestVersion).filter { case (b, _) => affected.contains(b) }
+        val current =
+          (if (bv.isEmpty) emptyDf else readBuckets(bv.toSeq))
+            .withColumn(BucketCol, bucketExpr(col))
+        val (newContent, cdf) =
+          if (meta.nullableKeys.isEmpty) mergeExact(current, staged0, spec)
+          else mergeWithPlaceholders(current, staged0, spec)
+        val persisted = newContent.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          persisted
+            .withColumnRenamed(BucketCol, "b")
+            .repartition(col("b"))
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(s"$path/data/v=$newVersion")
+          cdf.withColumn("_commit_version", lit(newVersion))
+            .write.mode("overwrite")
+            .parquet(s"$path/cdf/v=$newVersion")
+          // commit the buckets that actually produced files (a bucket can
+          // drop out if every staged row lost its sequence race)
+          val written = listWrittenBuckets(newVersion)
+          log.commit(newVersion, if (written.nonEmpty) written else affected)
+          newVersion
+        } finally persisted.unpersist()
+      }
+    } finally staged0.unpersist()
+  }
+
+  /** Latest-wins dedup of a batch by full key (joins.py:556-561). */
+  private def dedupByKey(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(meta.keys.map(col): _*).orderBy(orderBySeqDesc(df))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  private def orderBySeqDesc(df: DataFrame): Column =
+    if (meta.seqCols.nonEmpty) struct(meta.seqCols.map(col): _*).desc
+    else lit(1).asc // arbitrary winner, same as reference's dropDuplicates
+
+  /** Exact-key merge (upsert / agg tables): one full-outer join on the
+    * null-safe key equality, no windows. */
+  private def mergeExact(current: DataFrame, staged: DataFrame, spec: MergeSpec)
+      : (DataFrame, DataFrame) = {
+    val u = current.withColumn(UExists, lit(true)).alias("u")
+    val s = staged.withColumn(SExists, lit(true)).alias("s")
+    val keyEq = meta.keys.map(k => col(s"u.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val pairs = u.join(s, keyEq, "full_outer")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val matched = coalesce(col(s"u.$UExists"), lit(false)) &&
+      coalesce(col(s"s.$SExists"), lit(false))
+    val sOnly = !coalesce(col(s"u.$UExists"), lit(false))
+    val seqOk = seqGuard
+    val mergedCols = dataCols.map { c =>
+      val upd = spec.updateExprs.flatMap(_.get(c)).getOrElse(col(s"s.$c"))
+      val ins = spec.insertExprs.flatMap(_.get(c)).getOrElse(col(s"s.$c"))
+      when(matched && seqOk, upd).when(sOnly, ins).otherwise(col(s"u.$c")).alias(c)
+    }
+    val newContent = pairs.select(
+      mergedCols :+ coalesce(col(s"u.$BucketCol"), col(s"s.$BucketCol")).alias(BucketCol): _*)
+    val inserts = pairs.where(sOnly)
+      .select(dataCols.map(c => spec.insertExprs.flatMap(_.get(c)).getOrElse(col(s"s.$c")).alias(c)): _*)
+      .withColumn("_change_type", lit("insert"))
+    val updatesPre = pairs.where(matched && seqOk)
+      .select(dataCols.map(c => col(s"u.$c").alias(c)): _*)
+      .withColumn("_change_type", lit("update_preimage"))
+    val updatesPost = pairs.where(matched && seqOk)
+      .select(dataCols.map(c =>
+        spec.updateExprs.flatMap(_.get(c)).getOrElse(col(s"s.$c")).alias(c)): _*)
+      .withColumn("_change_type", lit("update_postimage"))
+    (newContent, inserts.unionByName(updatesPre).unionByName(updatesPost))
+  }
+
+  /** `u.seq is null OR u.seq <= s.seq` (joins.py:706) as one struct compare. */
+  private def seqGuard: Column =
+    if (meta.seqCols.isEmpty) lit(true)
+    else {
+      val us = struct(meta.seqCols.map(c => col(s"u.$c")): _*)
+      val ss = struct(meta.seqCols.map(c => col(s"s.$c")): _*)
+      coalesce(us <= ss, lit(true))
+    }
+
+  /** Outer-join-output merge: stored rows may carry null `nullableKeys`
+    * ("no match yet" placeholders). An incoming row prefers, in order:
+    * its exact key match, then a placeholder it can upgrade; rows that
+    * lose the per-target race insert as new rows — the reference builds
+    * the same behavior from `_mergeCondition` OR-combinations + `__rn`
+    * windows + an anti-join (joins.py:584-617, 691-746). */
+  private def mergeWithPlaceholders(current: DataFrame, staged: DataFrame, spec: MergeSpec)
+      : (DataFrame, DataFrame) = {
+    val u = current.withColumn(UExists, lit(true)).alias("u")
+    val s = staged.withColumn(SExists, lit(true)).alias("s")
+    val bucketEq = meta.bucketKeys.map(k => col(s"u.$k") === col(s"s.$k")).reduce(_ && _)
+
+    // candidate pairs share the non-nullable keys; score the nullable part:
+    //   both equal (incl. both-null) → 2, one side null → 1, conflict → -100
+    val score = meta.nullableKeys.map { k =>
+      when(col(s"u.$k") <=> col(s"s.$k"), lit(2))
+        .when(col(s"u.$k").isNull || col(s"s.$k").isNull, lit(1))
+        .otherwise(lit(-100))
+    }.reduce(_ + _)
+    val uNullCount = meta.nullableKeys.map(k =>
+      when(col(s"u.$k").isNull, 1).otherwise(0)).reduce(_ + _)
+
+    val cand = u.join(s, bucketEq, "inner")
+      .withColumn("__score", score)
+      .withColumn("__u_nulls", uNullCount)
+      .where(col("__score") > 0)
+
+    val sKeyCols = meta.keys.map(k => col(s"s.$k"))
+    val uKeyCols = meta.keys.map(k => col(s"u.$k"))
+    val wPerS = Window.partitionBy(sKeyCols: _*)
+      .orderBy(col("__score").desc, col("__u_nulls").asc)
+    val wPerU = Window.partitionBy(uKeyCols: _*)
+      .orderBy((if (meta.seqCols.nonEmpty)
+        struct(meta.seqCols.map(c => col(s"s.$c")): _*).desc else lit(1).asc))
+
+    val ranked = cand
+      .withColumn("__rn_s", row_number().over(wPerS)).where(col("__rn_s") === 1)
+      .withColumn("__rn_u", row_number().over(wPerU))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val winners = ranked.where(col("__rn_u") === 1 && seqGuard)
+    // staged rows that matched a target but lost the sequence race vanish;
+    // losers of the per-target race become fresh inserts (merge-cond miss
+    // → whenNotMatchedInsert in the reference)
+    val losers = ranked.where(col("__rn_u") > 1)
+
+    val sNullSafeEq = meta.keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val sNoCand = s.alias("l").join(
+        cand.select(sKeyCols: _*).distinct().alias("r"), sNullSafeEq, "left_anti")
+      .select(dataCols.map(c => col(s"l.$c").alias(c)) :+ col(s"l.$BucketCol").alias(BucketCol): _*)
+    val uClaimed = winners.select(uKeyCols: _*).distinct()
+    val uUnchanged = u.alias("l").join(uClaimed.alias("r"), sNullSafeEq, "left_anti")
+      .select(dataCols.map(c => col(s"l.$c").alias(c)) :+ col(s"l.$BucketCol").alias(BucketCol): _*)
+
+    def stagedValues(df: DataFrame, exprs: Option[Map[String, Column]]): DataFrame =
+      df.select(dataCols.map(c => exprs.flatMap(_.get(c)).getOrElse(col(s"s.$c")).alias(c)) :+
+        col(s"s.$BucketCol").alias(BucketCol): _*)
+
+    val updatesNew = stagedValues(winners, spec.updateExprs)
+    val inserts = stagedValues(losers, spec.insertExprs)
+      .unionByName(sNoCand.select(dataCols.map(col) :+ col(BucketCol): _*))
+
+    val newContent = uUnchanged.unionByName(updatesNew).unionByName(inserts)
+
+    val cdfInserts = inserts.drop(BucketCol).withColumn("_change_type", lit("insert"))
+    val cdfPre = winners.select(dataCols.map(c => col(s"u.$c").alias(c)): _*)
+      .withColumn("_change_type", lit("update_preimage"))
+    val cdfPost = updatesNew.drop(BucketCol).withColumn("_change_type", lit("update_postimage"))
+    (newContent, cdfInserts.unionByName(cdfPre).unionByName(cdfPost))
+  }
+
+  private def listWrittenBuckets(version: Long): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/data/v=$version")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("b=")).map(_.stripPrefix("b=").toInt)
+  }
+}
+
+object KeyedTable {
+  private[store] val BucketCol = "__bucket"
+  private[store] val UExists = "__u_exists"
+  private[store] val SExists = "__s_exists"
+
+  def create(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      keys: Seq[String],
+      seqCols: Seq[String] = Nil,
+      nullableKeys: Seq[String] = Nil,
+      numBuckets: Int = 32): KeyedTable = {
+    require(keys.nonEmpty, "keys required")
+    val meta = TableMeta(keys, nullableKeys, seqCols, numBuckets, schema.toDDL)
+    val log = new CommitLog(path, spark.sessionState.newHadoopConf())
+    if (!log.exists) log.writeMeta(metaToJson(meta))
+    new KeyedTable(spark, path, meta)
+  }
+
+  def forPath(spark: SparkSession, path: String): KeyedTable = {
+    val log = new CommitLog(path, spark.sessionState.newHadoopConf())
+    require(log.exists, s"no KeyedTable at $path")
+    new KeyedTable(spark, path, metaFromJson(log.readMeta()))
+  }
+
+  private def metaToJson(m: TableMeta): String = {
+    def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
+    s"""{"keys":${arr(m.keys)},"nullableKeys":${arr(m.nullableKeys)},""" +
+      s""""seqCols":${arr(m.seqCols)},"numBuckets":${m.numBuckets},""" +
+      s""""schemaDdl":"${m.schemaDdl.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+  }
+
+  private def metaFromJson(json: String): TableMeta = {
+    def arr(name: String): Seq[String] = {
+      val m = (s""""$name":\\[([^\\]]*)\\]""").r.findFirstMatchIn(json)
+      m.map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    }
+    val numBuckets = """"numBuckets":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
+    val ddl = (""""schemaDdl":"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(json).get.group(1)
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+    TableMeta(arr("keys"), arr("nullableKeys"), arr("seqCols"), numBuckets, ddl)
+  }
+}

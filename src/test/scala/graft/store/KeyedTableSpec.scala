@@ -1,0 +1,110 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import java.nio.file.Files
+
+class KeyedTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("kt").toString
+
+  test("upsert inserts then updates, snapshot reflects latest") {
+    val t = tmp()
+    val df1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+    val kt = KeyedTable.create(spark, t, df1.schema, keys = Seq("id"), numBuckets = 4)
+    kt.upsert(df1)
+    assert(kt.snapshot().count() == 2)
+    val df2 = Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("id", "name", "v")
+    kt.upsert(df2)
+    val snap = kt.snapshot().orderBy("id").collect()
+    assert(snap.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(snap(1).getString(1) == "b2")
+    assert(kt.latestVersion == 2)
+  }
+
+  test("sequence column: stale update loses, newer wins") {
+    val t = tmp()
+    val df1 = Seq((1L, "v1", 100L), (2L, "v1", 100L)).toDF("id", "payload", "seq")
+    val kt = KeyedTable.create(spark, t, df1.schema, keys = Seq("id"), seqCols = Seq("seq"))
+    kt.upsert(df1)
+    kt.upsert(Seq((1L, "stale", 50L), (2L, "fresh", 200L)).toDF("id", "payload", "seq"))
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "v1")   // seq 50 < 100 → rejected
+    assert(m(2L) == "fresh") // seq 200 > 100 → applied
+  }
+
+  test("batch-internal duplicates: highest seq wins") {
+    val t = tmp()
+    val df = Seq((1L, "old", 1L), (1L, "new", 2L)).toDF("id", "p", "seq")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), seqCols = Seq("seq"))
+    kt.upsert(df)
+    assert(kt.snapshot().collect().head.getString(1) == "new")
+  }
+
+  test("cdf records inserts and update pre/post images") {
+    val t = tmp()
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "x")
+    val kt = KeyedTable.create(spark, t, df1.schema, keys = Seq("id"))
+    kt.upsert(df1)
+    kt.upsert(Seq((2L, "b2"), (3L, "c")).toDF("id", "x"))
+    val changes = kt.changesSince(0L)
+      .select("id", "x", "_change_type", "_commit_version").collect()
+    val v1 = changes.filter(_.getLong(3) == 1L)
+    assert(v1.forall(_.getString(2) == "insert") && v1.length == 2)
+    val v2 = changes.filter(_.getLong(3) == 2L)
+    assert(v2.count(_.getString(2) == "insert") == 1)
+    assert(v2.count(_.getString(2) == "update_preimage") == 1)
+    assert(v2.count(_.getString(2) == "update_postimage") == 1)
+    val pre = v2.find(_.getString(2) == "update_preimage").get
+    assert(pre.getLong(0) == 2L && pre.getString(1) == "b")
+  }
+
+  test("agg-style merge with custom update expressions") {
+    val t = tmp()
+    val df1 = Seq(("g1", 10.0, 1L), ("g2", 20.0, 1L)).toDF("k", "total", "cnt")
+    val kt = KeyedTable.create(spark, t, df1.schema, keys = Seq("k"))
+    kt.merge(df1, MergeSpec())
+    val spec = MergeSpec(updateExprs = Some(Map(
+      "total" -> (col("u.total") + col("s.total")),
+      "cnt" -> (col("u.cnt") + col("s.cnt")))))
+    kt.merge(Seq(("g1", 5.0, 1L), ("g3", 7.0, 1L)).toDF("k", "total", "cnt"), spec)
+    val m = kt.snapshot().collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(m("g1") == (15.0, 2L))
+    assert(m("g2") == (20.0, 1L))
+    assert(m("g3") == (7.0, 1L))
+  }
+
+  test("placeholder upgrade: unmatched left-join row claimed by match") {
+    val t = tmp()
+    // join-output table: key = (lid, rid), rid nullable (left join)
+    val df1 = Seq((1L, Option(10L), "joined"), (2L, Option.empty[Long], "unmatched"))
+      .toDF("lid", "rid", "payload")
+    val kt = KeyedTable.create(spark, t, df1.schema,
+      keys = Seq("lid", "rid"), nullableKeys = Seq("rid"), numBuckets = 4)
+    kt.merge(df1, MergeSpec())
+    assert(kt.snapshot().count() == 2)
+    // the match for lid=2 arrives → placeholder row must be UPGRADED, not duplicated
+    kt.merge(Seq((2L, Option(20L), "now-joined")).toDF("lid", "rid", "payload"), MergeSpec())
+    val rows = kt.snapshot().orderBy("lid").collect()
+    assert(rows.length == 2, s"expected upgrade-in-place, got ${rows.mkString(";")}")
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(!r2.isNullAt(1) && r2.getLong(1) == 20L && r2.getString(2) == "now-joined")
+    // a second right-side match for lid=2 → genuine new row
+    kt.merge(Seq((2L, Option(21L), "second")).toDF("lid", "rid", "payload"), MergeSpec())
+    assert(kt.snapshot().where(col("lid") === 2L).count() == 2)
+  }
+
+  test("forPath round-trips metadata") {
+    val t = tmp()
+    val df = Seq((1L, "a", 5L)).toDF("id", "x", "seq")
+    KeyedTable.create(spark, t, df.schema, keys = Seq("id"), seqCols = Seq("seq")).upsert(df)
+    val kt2 = KeyedTable.forPath(spark, t)
+    assert(kt2.meta.keys == Seq("id") && kt2.meta.seqCols == Seq("seq"))
+    assert(kt2.snapshot().count() == 1)
+  }
+}
