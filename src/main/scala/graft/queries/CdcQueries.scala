@@ -71,12 +71,42 @@ object CdcQueries {
     kt.snapshot().select(col("l_returnflag"), round(col("total_qty"), 2).as("total_qty"), col("cnt"))
   }
 
+  /** A6/A19 end-to-end: a REAL streaming pipeline (file-source CDF →
+    * foreachBatch incremental merge) fed in two batches with the right
+    * side arriving late — unmatched placeholders must upgrade in place.
+    * The oracle is the plain batch left join. */
+  def cdcJoinIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Stream
+    val root = freshDir()
+    val oDf = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(s, d).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(s, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 8)
+    val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
+    val q = Stream.fromKeyedTable(oT, maxFilesPerTrigger = 64)
+      .join(Stream.fromKeyedTable(cT, maxFilesPerTrigger = 64), "left")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .writeToPath(s"$root/out")
+      .start()
+    try {
+      oT.upsert(oDf.where(col("o_orderkey") % 2 === 0))
+      q.processAllAvailable()
+      cT.upsert(cDf) // late right side: placeholders upgrade
+      oT.upsert(oDf.where(col("o_orderkey") % 2 === 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    KeyedTable.forPath(s, s"$root/out").snapshot()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_join_incremental" -> (cdcJoinIncremental _),
     "cdc_upsert_snapshot" -> (cdcUpsertSnapshot _),
     "cdc_seq_latest_wins" -> (cdcSeqLatestWins _),
     "cdc_agg_incremental" -> (cdcAggIncremental _))
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_join_incremental" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
     "cdc_upsert_snapshot" ->
       """SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.KeyedTable
+
+/** A column reference tied to one side of a join — the reference's
+  * ColumnSelector (streams.py:11-65). Obtained via `stream("col")`.
+  */
+final case class ColumnSel(owner: Stream, name: String)
+
+/** The user-facing incremental-stream API, mirroring the reference's
+  * `Stream` (streams.py:96-240) on graft's KeyedTable CDF instead of
+  * Delta CDF.
+  *
+  * {{{
+  * val t = Stream.fromPath(spark, txnPath).primaryKeys("id").sequenceBy("ts")
+  * val c = Stream.fromPath(spark, custPath).primaryKeys("cid")
+  * val q = t.join(c, "left").on((l, r) => l("cust_id") === r("cid"))
+  *   .writeToPath(outPath).start()
+  * }}}
+  */
+final class Stream private (
+    val spark: SparkSession,
+    val table: KeyedTable,
+    val pks: Seq[String],
+    val seqCols: Seq[String],
+    transform: DataFrame => DataFrame,
+    private[streaming] val upstream: Seq[StageHandle],
+    val maxFilesPerTrigger: Int) {
+
+  def primaryKeys(keys: String*): Stream = copy(pks2 = keys)
+  def sequenceBy(cols: String*): Stream = copy(seq2 = cols)
+
+  /** Source transform applied to both the change stream and the static
+    * snapshot (streams.py:235-240). */
+  def to(f: DataFrame => DataFrame): Stream =
+    copy(transform2 = df => f(transform(df)))
+
+  def apply(colName: String): ColumnSel = ColumnSel(this, colName)
+
+  /** CDF rows as a streaming DataFrame; deletes are filtered like the
+    * reference's fromPath (streams.py:132). */
+  private[streaming] def changeStream: DataFrame = {
+    val raw = table.changeStream(maxFilesPerTrigger)
+      .where(col("_change_type") =!= "delete")
+    applyTransformKeepingCdf(raw)
+  }
+
+  /** Static snapshot pinned at a version (streams.py:203-208). */
+  private[streaming] def static(version: Long = -1L): DataFrame =
+    transform(table.snapshot(version))
+
+  private def applyTransformKeepingCdf(df: DataFrame): DataFrame = {
+    val t = transform(df.drop("_change_type", "_commit_version"))
+    // re-attach CDF meta: run transform on the full frame if it survives,
+    // else fall back to transforming data cols only. Transforms here are
+    // renames/withColumn (streams.py usage), which preserve extra cols.
+    val full = transform(df)
+    if (full.columns.contains("_change_type") && full.columns.contains("_commit_version")) full
+    else t.withColumn("_change_type", lit("insert")).withColumn("_commit_version", lit(0L))
+  }
+
+  def columns: Seq[String] =
+    static().columns.toSeq
+
+  def join(right: Stream, joinType: String = "inner"): JoinBuilder =
+    new JoinBuilder(this, right, joinType)
+
+  def groupBy(cols: String*): AggBuilder = new AggBuilder(this, cols)
+
+  /** Root for auto-generated staging tables of chained stages. */
+  private[streaming] def stagingRoot: String = {
+    val p = new org.apache.hadoop.fs.Path(table.path)
+    p.getParent.toString
+  }
+
+  private def copy(
+      pks2: Seq[String] = pks,
+      seq2: Seq[String] = seqCols,
+      transform2: DataFrame => DataFrame = transform,
+      upstream2: Seq[StageHandle] = upstream,
+      mft2: Int = maxFilesPerTrigger): Stream =
+    new Stream(spark, table, pks2, seq2, transform2, upstream2, mft2)
+
+  private[streaming] def withUpstream(h: Seq[StageHandle]): Stream = copy(upstream2 = h)
+}
+
+object Stream {
+  def fromPath(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 64): Stream =
+    fromKeyedTable(KeyedTable.forPath(spark, path), maxFilesPerTrigger)
+
+  def fromKeyedTable(kt: KeyedTable, maxFilesPerTrigger: Int = 64): Stream =
+    new Stream(kt.spark, kt, kt.meta.keys, kt.meta.seqCols, identity, Nil, maxFilesPerTrigger)
+}

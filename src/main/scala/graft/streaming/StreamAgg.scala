@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.store.{KeyedTable, MergeSpec}
+
+/** `stream.groupBy(cols)` awaiting `.agg(...)` (aggs.py:144-166). */
+final class AggBuilder(src: Stream, groupCols: Seq[String]) {
+  def agg(first: Column, rest: Column*): StreamAgg =
+    new StreamAgg(src, groupCols, first +: rest, Map.empty)
+}
+
+/** Custom merge arithmetic for one output column — the reference's
+  * `.reduce(column, update, delta_update, insert)` (aggs.py:100-110).
+  * Expressions reference `u.<c>` (target) / `s.<c>` (staged delta) for
+  * update/insert, and `p.<c>` (plus) / `m.<c>` (minus) for the delta.
+  */
+final case class ReduceSpec(
+    update: Option[Column] = None,
+    delta: Option[Column] = None,
+    insert: Option[Column] = None)
+
+/** An incremental groupBy().agg() stage over a CDF stream.
+  *
+  * Algorithm per microbatch (aggs.py:44-59): partial-aggregate the
+  * post-image rows (`p`) and the pre-image rows (`m`) separately, full
+  * outer join them per group, emit delta `coalesce(p,0) - m` per agg
+  * column, and merge `u + delta` into the running agg table. Only the
+  * microbatch is ever shuffled; the agg table merge is bucket-local.
+  */
+final class StreamAgg(
+    src: Stream,
+    groupCols: Seq[String],
+    aggCols: Seq[Column],
+    reduces: Map[String, ReduceSpec]) {
+
+  private def spark = src.spark
+
+  def reduce(column: String, update: Column = null,
+      deltaUpdate: Column = null, insert: Column = null): StreamAgg =
+    new StreamAgg(src, groupCols, aggCols, reduces + (column ->
+      ReduceSpec(Option(update), Option(deltaUpdate), Option(insert))))
+
+  /** Batch fixpoint of this aggregation — schema + equivalence checks
+    * (aggs.py:63-65). */
+  def staticAgged(): DataFrame =
+    src.static().groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+
+  private def aggOutCols: Seq[String] = staticAgged().columns.toSeq.drop(groupCols.size)
+
+  def writeToPath(outPath: String): Pipeline = {
+    val (handle, _) = buildStage(outPath)
+    new Pipeline(src.upstream :+ handle)
+  }
+
+  def join(right: Stream, joinType: String = "inner", stagingPath: String = null): JoinBuilder =
+    stagedStream(stagingPath).join(right, joinType)
+
+  def groupBy(cols: String*): AggBuilder = stagedStream(null).groupBy(cols: _*)
+
+  private def stagedStream(stagingPath: String): Stream = {
+    val path = Option(stagingPath).getOrElse(
+      s"${src.stagingRoot}/_stage_agg_${Integer.toHexString((src.table.path, groupCols, aggOutCols).hashCode())}")
+    val (handle, outTable) = buildStage(path)
+    Stream.fromKeyedTable(outTable, src.maxFilesPerTrigger)
+      .withUpstream(src.upstream :+ handle)
+  }
+
+  private def buildStage(outPath: String): (StageHandle, KeyedTable) = {
+    val schemaDf = staticAgged()
+    val out = KeyedTable.create(spark, outPath, schemaDf.schema,
+      keys = groupCols, numBuckets = src.table.meta.numBuckets)
+    val aggNames = aggOutCols
+
+    // default delta: CASE WHEN m.c IS NOT NULL THEN coalesce(p.c,0)-m.c
+    // ELSE p.c END (aggs.py:76), override via .reduce(delta_update=...)
+    val deltaExprs: Seq[Column] = aggNames.map { c =>
+      reduces.get(c).flatMap(_.delta).getOrElse(
+        when(col(s"m.$c").isNotNull, coalesce(col(s"p.$c"), lit(0)) - col(s"m.$c"))
+          .otherwise(col(s"p.$c"))).alias(c)
+    }
+    val updateExprs: Map[String, Column] = aggNames.map { c =>
+      c -> reduces.get(c).flatMap(_.update).getOrElse(col(s"u.$c") + col(s"s.$c"))
+    }.toMap
+    val insertExprs: Map[String, Column] = aggNames.flatMap { c =>
+      reduces.get(c).flatMap(_.insert).map(c -> _)
+    }.toMap
+    val mergeSpec = MergeSpec(
+      updateExprs = Some(updateExprs),
+      insertExprs = if (insertExprs.isEmpty) None else Some(insertExprs))
+
+    def mergeAgg(batch: DataFrame, batchId: Long): Unit = {
+      val data = batch
+      val plus = data.where(col("_change_type") =!= "update_preimage")
+        .groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      val minus = data.where(col("_change_type") === "update_preimage")
+        .groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      val p = plus.alias("p")
+      val m = minus.alias("m")
+      val keyEq = groupCols.map(k => col(s"p.$k") <=> col(s"m.$k")).reduce(_ && _)
+      val deltas = p.join(m, keyEq, "full_outer")
+        .select(groupCols.map(k => coalesce(col(s"p.$k"), col(s"m.$k")).alias(k)) ++
+          deltaExprs: _*)
+      out.merge(deltas, mergeSpec)
+    }
+
+    val name = s"agg:${new org.apache.hadoop.fs.Path(outPath).getName}"
+    val handle = StageHandle(name, () =>
+      src.changeStream.writeStream
+        .option("checkpointLocation", s"$outPath/_cp")
+        .queryName(name)
+        .foreachBatch(mergeAgg _)
+        .start())
+    (handle, out)
+  }
+}

@@ -1,0 +1,228 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.store.{KeyedTable, MergeSpec}
+
+/** `left.join(right, type)` before a condition is given
+  * (joins.py:145-201).
+  */
+final class JoinBuilder(left: Stream, right: Stream, joinType: String) {
+  require(Seq("inner", "left", "right").contains(joinType),
+    s"$joinType join type is not supported") // joins.py:326
+
+  /** Arbitrary join condition over the two sides (joins.py:172-181). */
+  def on(expr: (DataFrame, DataFrame) => Column): JoinedStream =
+    new JoinedStream(left, right, joinType, expr, Nil)
+
+  /** Equi-join on same-named key columns; the duplicate key column from
+    * the non-driving side is dropped (joins.py:183-201). */
+  def onKeys(keys: String*): JoinedStream = {
+    val expr = (l: DataFrame, r: DataFrame) =>
+      keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val dropSide = if (joinType == "right") "left" else "right"
+    new JoinedStream(left, right, joinType, expr,
+      Seq(ProjOp.DropKeys(keys, dropSide)))
+  }
+}
+
+/** Projection steps applied to each microbatch join result in order —
+  * the reference's transformFunc chain (joins.py:507-525, 929-934).
+  */
+sealed trait ProjOp
+object ProjOp {
+  final case class DropKeys(keys: Seq[String], side: String) extends ProjOp
+  final case class DropSel(sel: ColumnSel) extends ProjOp
+  final case class SelectNames(names: Seq[String]) extends ProjOp
+  final case class MapFn(f: DataFrame => DataFrame) extends ProjOp
+}
+
+/** A fully-specified incremental 2-way join stage. Terminal ops:
+  * `writeToPath` (produces a Pipeline), or chain `join`/`groupBy`
+  * (stages this join into an intermediate KeyedTable first, like
+  * joins.py:812-873).
+  */
+final class JoinedStream(
+    val left: Stream,
+    val right: Stream,
+    val joinType: String,
+    joinExpr: (DataFrame, DataFrame) => Column,
+    projOps: Seq[ProjOp]) {
+
+  private def spark = left.spark
+
+  def select(names: String*): JoinedStream =
+    withOp(ProjOp.SelectNames(names))
+
+  def drop(sel: ColumnSel): JoinedStream =
+    withOp(ProjOp.DropSel(sel))
+
+  def to(f: DataFrame => DataFrame): JoinedStream =
+    withOp(ProjOp.MapFn(f))
+
+  private def withOp(op: ProjOp) =
+    new JoinedStream(left, right, joinType, joinExpr, projOps :+ op)
+
+  /** Applies the projection chain to a just-joined frame, where `l`/`r`
+    * are the two frames that produced it. */
+  private def project(joined: DataFrame, l: DataFrame, r: DataFrame): DataFrame =
+    projOps.foldLeft(joined) { (df, op) =>
+      op match {
+        case ProjOp.DropKeys(keys, side) =>
+          val src = if (side == "left") l else r
+          keys.foldLeft(df)((d, k) => d.drop(src(k)))
+        case ProjOp.DropSel(sel) =>
+          val src = if (sel.owner eq left) l else r
+          df.drop(src(sel.name))
+        case ProjOp.SelectNames(names) => df.select(names.map(col): _*)
+        case ProjOp.MapFn(f) => f(df)
+      }
+    }
+
+  /** Output primary keys split into (non-nullable, nullable) by join
+    * type (joins.py:804-810), restricted to columns that survive the
+    * projection. */
+  private[streaming] def outKeySplit: (Seq[String], Seq[String]) = {
+    val outCols = staticJoined().columns.toSeq
+    val lp = left.pks.filter(outCols.contains)
+    val rp = right.pks.filter(outCols.contains)
+    joinType match {
+      case "left"  => (lp, rp.filterNot(lp.contains))
+      case "right" => (rp, lp.filterNot(rp.contains))
+      case _       => ((lp ++ rp).distinct, Nil)
+    }
+  }
+
+  /** The join applied to full static snapshots — used for output schema
+    * and for batch-equivalence checks (joins.py:640-645). */
+  def staticJoined(): DataFrame = {
+    val ls = left.static()
+    val rs = right.static()
+    project(ls.join(rs, joinExpr(ls, rs), joinType), ls, rs)
+  }
+
+  def writeToPath(outPath: String): Pipeline = {
+    val (stageHandle, _) = buildStage(outPath)
+    new Pipeline(left.upstream ++ right.upstream :+ stageHandle)
+  }
+
+  /** Stages this join into an intermediate table and continues with
+    * another join (joins.py:867-869). */
+  def join(next: Stream, nextType: String = "inner", stagingPath: String = null): JoinBuilder =
+    stagedStream(stagingPath).join(next, nextType)
+
+  /** Stages this join and continues with a groupBy (joins.py:871-873). */
+  def groupBy(cols: String*): AggBuilder = stagedStream(null).groupBy(cols: _*)
+
+  def groupByStaged(stagingPath: String, cols: String*): AggBuilder =
+    stagedStream(stagingPath).groupBy(cols: _*)
+
+  private def stagedStream(stagingPath: String): Stream = {
+    val path = Option(stagingPath).getOrElse(
+      s"${left.stagingRoot}/_stage_join_${Integer.toHexString(stageFingerprint)}")
+    val (handle, outTable) = buildStage(path)
+    Stream.fromKeyedTable(outTable, left.maxFilesPerTrigger)
+      .withUpstream(left.upstream ++ right.upstream :+ handle)
+  }
+
+  private def stageFingerprint: Int =
+    (left.table.path, right.table.path, joinType, projOps.size,
+      left.upstream.size + right.upstream.size).hashCode()
+
+  /** Builds the output KeyedTable + the streaming stage writing it. */
+  private def buildStage(outPath: String): (StageHandle, KeyedTable) = {
+    val schemaDf = staticJoined()
+    val (nonNull, nullable) = outKeySplit
+    require(nonNull.nonEmpty, "join output needs at least one non-nullable primary key")
+    val seqCols = (left.seqCols ++ right.seqCols).distinct
+      .filter(schemaDf.columns.contains)
+    val out = KeyedTable.create(spark, outPath, schemaDf.schema,
+      keys = nonNull ++ nullable, seqCols = seqCols, nullableKeys = nullable,
+      numBuckets = math.max(left.table.meta.numBuckets, right.table.meta.numBuckets))
+
+    // state for consistent static pinning across microbatches (joins.py:399-428)
+    var lastLeftVersion: Long = -1L
+    var lastRightVersion: Long = -1L
+
+    def mergeJoin(batch: DataFrame, batchId: Long): Unit = {
+      val lRows = batch
+        .where(col("l").isNotNull && col("l._change_type") =!= "update_preimage")
+        .select("l.*")
+      val rRows = batch
+        .where(col("r").isNotNull && col("r._change_type") =!= "update_preimage")
+        .select("r.*")
+      val versions = lRows.agg(max("_commit_version")).collect().head ->
+        rRows.agg(max("_commit_version")).collect().head
+      val lMax = if (versions._1.isNullAt(0)) -1L else versions._1.getLong(0)
+      val rMax = if (versions._2.isNullAt(0)) -1L else versions._2.getLong(0)
+      // pin statics at the batch's max commit version for deterministic
+      // reads under lazy evaluation (joins.py:409-428)
+      val lPin = if (lMax >= 0) lMax else lastLeftVersion
+      val rPin = if (rMax >= 0) rMax else lastRightVersion
+      val lStatic = left.static(lPin)
+      val rStatic = right.static(rPin)
+      lastLeftVersion = lPin
+      lastRightVersion = rPin
+
+      def latestPerKey(df: DataFrame, pks: Seq[String], seq: Seq[String]): DataFrame = {
+        // take the newest image of each key within the batch
+        // (joins.py:388-395, 429-433)
+        val ord =
+          if (seq.nonEmpty) struct(seq.map(col): _*).desc
+          else col("_commit_version").desc
+        val w = Window.partitionBy(pks.map(col): _*).orderBy(ord)
+        df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+          .drop("__rn", "_change_type", "_commit_version")
+      }
+      val lBatch = latestPerKey(lRows, left.pks, left.seqCols)
+      val rBatch = latestPerKey(rRows, right.pks, right.seqCols)
+
+      // half 1: left-batch rows joined to pinned right static (joins.py:310)
+      val newLeft = project(
+        broadcast(lBatch).join(rStatic, joinExpr(lBatch, rStatic),
+          if (joinType == "left") "left" else "inner"),
+        lBatch, rStatic)
+      // half 2: right-batch rows joined to pinned left static (joins.py:314)
+      val newRight = project(
+        lStatic.join(broadcast(rBatch), joinExpr(lStatic, rBatch),
+          if (joinType == "right") "right" else "inner"),
+        lStatic, rBatch)
+
+      // unify rows discovered from both sides in the same batch
+      // (joins.py:318-343): full-outer on the output key, coalesce
+      val a = newLeft.alias("ha")
+      val b = newRight.alias("hb")
+      val allKeys = nonNull ++ nullable
+      val keyEq = allKeys.map(k => col(s"ha.$k") <=> col(s"hb.$k")).reduce(_ && _)
+      val outCols = schemaDf.columns.toSeq
+      val combined = a.join(b, keyEq, "full_outer")
+        .select(outCols.map(c => coalesce(col(s"ha.$c"), col(s"hb.$c")).alias(c)): _*)
+        .where(allKeys.map(k => col(k).isNotNull).reduce(_ || _))
+
+      out.merge(combined, MergeSpec())
+    }
+
+    val packed: DataFrame = {
+      val ls = left.changeStream
+      val rs = right.changeStream
+      val lStruct = struct(ls.columns.map(col): _*)
+      val rStruct = struct(rs.columns.map(col): _*)
+      val lPacked = ls.select(lStruct.alias("l"), lit(null).cast(
+        org.apache.spark.sql.types.StructType(rs.schema.fields)).alias("r"))
+      val rPacked = rs.select(lit(null).cast(
+        org.apache.spark.sql.types.StructType(ls.schema.fields)).alias("l"), rStruct.alias("r"))
+      lPacked.unionByName(rPacked)
+    }
+
+    val name = s"join:${new org.apache.hadoop.fs.Path(outPath).getName}"
+    val handle = StageHandle(name, () =>
+      packed.writeStream
+        .option("checkpointLocation", s"$outPath/_cp")
+        .queryName(name)
+        .foreachBatch(mergeJoin _)
+        .start())
+    (handle, out)
+  }
+}
