@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §2 B1-B5).
+  *
+  * Scale design: every near-dup variant is a one-shuffle pipeline —
+  * signatures are computed in a single projection pass over the scan
+  * (pure codegen'd `sql.functions`, no UDFs), candidates come from a
+  * bucket join on LSH keys (bounded fan-out), and only candidates pay
+  * the exact-verify cost. Nothing ever does an unbucketed all-pairs
+  * join except the small-table reference paths marked `allPairs*`.
+  */
+object Dedup {
+
+  /** B1: exact dedup by content hash. Adds the canonical (minimum) id
+    * and group size per identical-content group; `is_canonical` marks
+    * the row to keep. One hash-shuffle on the 128-bit digest. */
+  def exact(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(md5(col(text)))
+    df.withColumn("canonical_id", min(col(id)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(id) === col("canonical_id"))
+  }
+
+  /** MinHash signature of the distinct word-`n`-gram shingle set:
+    * `numHashes` permutations approximated by seeded xxhash64, each
+    * signature element the min hash over shingles. */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = Shingles.wordShingles(text, n)
+    array((0 until numHashes).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+  }
+
+  /** B2: MinHash+LSH near-dup pairs. Bands the `numHashes`-element
+    * signature into `bands` groups, buckets docs by banded hash, and
+    * exact-verifies candidate pairs by shingle Jaccard ≥ `threshold`.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Shuffles: one on (band, hash) for bucketing; one for the verify
+    * join. Candidate count is bounded by band collisions, so the
+    * quadratic blow-up of naive all-pairs never materializes.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      text: String = "text",
+      id: String = "doc_id",
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigd = df.select(col(id), col(text))
+      .withColumn("__sig", minhashSignature(col(text), n, numHashes))
+    val banded = sigd.select(col(id), explode(array((0 until bands).map { b =>
+      struct(lit(b).alias("band"),
+        xxhash64((0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1)) :+ lit(b): _*)
+          .alias("bhash"))
+    }: _*)).alias("bk")).select(col(id), col("bk.band"), col("bk.bhash"))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").alias("id_a"), col(s"y.$id").alias("id_b"))
+      .distinct()
+    verifyJaccard(cand, df, text, id, n, threshold)
+  }
+
+  /** Exact shingle-Jaccard verification of candidate pairs. */
+  private def verifyJaccard(pairs: DataFrame, docs: DataFrame,
+      text: String, id: String, n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(id), Shingles.wordShingles(col(text), n).alias("__sh"))
+    pairs
+      .join(sh.select(col(id).alias("id_a"), col("__sh").alias("__sa")), "id_a")
+      .join(sh.select(col(id).alias("id_b"), col("__sh").alias("__sb")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** B4: exact n-gram Jaccard over ALL pairs — the small-table oracle
+    * path (the scale path is [[minhashLsh]], which verifies with the
+    * same formula on LSH candidates only). */
+  def allPairsJaccard(df: DataFrame, text: String = "text", id: String = "doc_id",
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(id), Shingles.wordShingles(col(text), n).alias("__sh"))
+    sh.alias("a").join(sh.alias("b"), col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").alias("id_a"), col(s"b.$id").alias("id_b"),
+        round(size(array_intersect(col("a.__sh"), col("b.__sh"))).cast("double") /
+          size(array_union(col("a.__sh"), col("b.__sh"))), 4).alias("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over the word multiset: per bit, the sign of the
+    * sum of ±1 votes from each word's xxhash64. Computed with one
+    * explode + one 64-aggregate groupBy (single shuffle on `id`). */
+  def simhash(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
+    val exploded = df.select(col(id), explode(TextAnalysis.words(col(text))).alias("__w"))
+      .withColumn("__h", xxhash64(col("__w")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .alias(s"__b$b"))
+    val agged = exploded.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    agged.withColumn("simhash", sig).select(col(id), col("simhash"))
+  }
+
+  /** B3: SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
+    * Small-table path pairs all signatures (64-bit compares are cheap);
+    * the scale path buckets by 4 16-bit signature chunks first — any
+    * pair within Hamming ≤ 12 of a 64-bit hash shares at least one
+    * exact 16-bit chunk only probabilistically, so chunking trades
+    * recall for a bounded candidate set (standard practice). */
+  def simhashPairs(df: DataFrame, text: String = "text", id: String = "doc_id",
+      maxHamming: Int = 12, bucketed: Boolean = false): DataFrame = {
+    val sigs = simhash(df, text, id)
+    val pairs =
+      if (!bucketed)
+        sigs.alias("a").join(sigs.alias("b"), col(s"a.$id") < col(s"b.$id"))
+          .select(col(s"a.$id").alias("id_a"), col("a.simhash").alias("__sha"),
+            col(s"b.$id").alias("id_b"), col("b.simhash").alias("__shb"))
+      else {
+        val chunked = sigs.select(col(id), col("simhash"), explode(array(
+          (0 until 4).map(c => struct(lit(c).alias("chunk"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).alias("ck"))): _*)).alias("e"))
+          .select(col(id), col("simhash"), col("e.chunk"), col("e.ck"))
+        chunked.alias("a").join(chunked.alias("b"),
+            col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+              col(s"a.$id") < col(s"b.$id"))
+          .select(col(s"a.$id").alias("id_a"), col("a.simhash").alias("__sha"),
+            col(s"b.$id").alias("id_b"), col("b.simhash").alias("__shb"))
+          .distinct()
+      }
+    pairs.select(col("id_a"), col("id_b"),
+        bit_count(col("__sha").bitwiseXOR(col("__shb"))).alias("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** B5: embedding near-dup — pairs with cosine ≥ `threshold`, bucketed
+    * by random-hyperplane LSH (see [[Similarity.hyperplaneBucket]]) so
+    * the candidate set stays linear-ish at corpus scale. */
+  def embeddingNearDup(df: DataFrame, vec: String = "embedding", id: String = "vec_id",
+      threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+    val withB = df.select(col(id), col(vec))
+      .withColumn("__bucket", Similarity.hyperplaneBucket(col(vec), planes))
+    val pairs = withB.alias("a").join(withB.alias("b"),
+      col("a.__bucket") === col("b.__bucket") && col(s"a.$id") < col(s"b.$id"))
+    pairs.select(
+        col(s"a.$id").alias("id_a"), col(s"b.$id").alias("id_b"),
+        round(Similarity.cosine(col(s"a.$vec"), col(s"b.$vec")), 4).alias("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2 B6-B7). */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * precision with deterministic left-to-right accumulation (matches
+    * DuckDB's list_cosine_similarity evaluation order for the oracle). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** B6: brute-force cosine top-k — the exact baseline. The (small)
+    * query set is broadcast against the corpus scan; ranking shuffles
+    * once on query id. At 1000 executors this is a map-side join over
+    * the full corpus: correct, predictable, bandwidth-bound. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vec: String = "embedding",
+      id: String = "vec_id",
+      k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(col(id).alias("query_id"), col(vec).alias("__qv")))
+    val scored = corpus.select(col(id).alias("neighbor_id"), col(vec).alias("__cv"))
+      .crossJoin(q)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane `p`,
+    * dimension `d`: xxhash64 folded to [-0.5, 0.5). */
+  private def planeComponent(p: Int, d: Column): Column =
+    (pmod(xxhash64(lit(p), d), lit(1000)).cast("double") / 1000.0) - 0.5
+
+  /** Sign-bucket of `vec` under `planes` deterministic hyperplanes —
+    * an integer LSH key; cosine-close vectors land in the same bucket
+    * with high probability. Pure projection, no shuffle. */
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** B7: LSH-bucketed approximate top-k — queries join only their own
+    * hyperplane bucket, so per-query work is corpus/2^planes instead of
+    * the full corpus. Recall is tunable by lowering `planes` (bigger
+    * buckets) or multi-probing; the exact [[bruteForceTopK]] is the
+    * small-scale reference. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vec: String = "embedding",
+      id: String = "vec_id",
+      k: Int = 5,
+      planes: Int = 4): DataFrame = {
+    val cb = corpus.select(col(id).alias("neighbor_id"), col(vec).alias("__cv"))
+      .withColumn("__bucket", hyperplaneBucket(col("__cv"), planes))
+    val qb = broadcast(queries.select(col(id).alias("query_id"), col(vec).alias("__qv"))
+      .withColumn("__bucket", hyperplaneBucket(col("__qv"), planes)))
+    val scored = cb.join(qb, "__bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2 B8-B11). All are single-pass projections built from
+  * codegen'd `sql.functions` — no UDFs, no shuffles; at 100 TB each is
+  * a map-only stage over the document scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace words of `text` (the corpus is single-space separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** B10: token counting — whitespace tokens and a BPE-ish lowercase
+    * word-run count (regexp matches of `[a-z]+`). */
+  def tokenCounts(df: DataFrame, text: String = "text"): DataFrame =
+    df.withColumn("ws_tokens", size(words(col(text))))
+      .withColumn("word_tokens", regexp_count(col(text), lit("[a-z]+")))
+      .withColumn("byte_len", length(col(text).cast("binary")))
+
+  private val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** B9: quality scoring — stopword ratio, mean word length, repetition
+    * ratio (distinct/total words). Score is a bounded combination,
+    * rounded for oracle stability. */
+  def qualityScore(df: DataFrame, text: String = "text"): DataFrame = {
+    val w = words(col(text))
+    val nWords = size(w)
+    val stopCnt = size(filter(w, c => c.isin(Stopwords.map(lit): _*)))
+    val distinctRatio = size(array_distinct(w)).cast("double") / nWords
+    val stopRatio = stopCnt.cast("double") / nWords
+    val meanWordLen = (length(col(text)) - nWords + 1).cast("double") / nWords
+    df.withColumn("n_words", nWords)
+      .withColumn("stop_ratio", round(stopRatio, 4))
+      .withColumn("distinct_ratio", round(distinctRatio, 4))
+      .withColumn("mean_word_len", round(meanWordLen, 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0),
+          stopRatio * 2.0 + distinctRatio * 0.5 +
+            when(meanWordLen.between(3.0, 8.0), 0.25).otherwise(0.0)), 4))
+  }
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast-free, pure codegen. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es"))
+
+  /** B8: language-ID — count marker words per language, argmax with
+    * deterministic tie-break on language order; 'und' when no marker
+    * hits. */
+  def languageId(df: DataFrame, text: String = "text"): DataFrame = {
+    val w = words(col(text))
+    val counts = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(w, c => c.isin(markers.map(lit): _*)))
+    }
+    val withCounts = counts.foldLeft(df) { case (d, (lang, cnt)) =>
+      d.withColumn(s"__cnt_$lang", cnt)
+    }
+    // argmax via greatest + first-match CASE (ties: earlier language wins)
+    val best = greatest(counts.map { case (l, _) => col(s"__cnt_$l") }: _*)
+    val picked = counts.foldRight(lit("und")) { case ((lang, _), els) =>
+      when(col(s"__cnt_$lang") === best && best > 0, lit(lang)).otherwise(els)
+    }
+    withCounts.withColumn("lang_pred", picked)
+      .drop(LangMarkers.map(m => s"__cnt_${m._1}"): _*)
+  }
+
+  /** B11: document fingerprints — an exact md5 content fingerprint plus
+    * a winnowing-style rolling fingerprint: min/max over 3-gram shingle
+    * hashes (a 2-hash sketch of the shingle set; same shingles ⇒ same
+    * sketch, near-same shingles ⇒ usually same min). */
+  def fingerprint(df: DataFrame, text: String = "text"): DataFrame = {
+    val sh = Shingles.wordShingles(col(text), 3)
+    df.withColumn("fp_md5", md5(col(text)))
+      .withColumn("fp_shingle_min", array_min(transform(sh, s => xxhash64(s))))
+      .withColumn("fp_shingle_max", array_max(transform(sh, s => xxhash64(s))))
+  }
+}
+
+/** Shared shingling helpers. */
+object Shingles {
+  /** Distinct word n-gram shingles of `text` (space-joined). Documents
+    * shorter than n words contribute a single whole-text shingle. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = TextAnalysis.words(text)
+    val ngrams = transform(
+      sequence(lit(0), size(w) - n),
+      i => array_join(slice(w, i + 1, lit(n)), " "))
+    array_distinct(when(size(w) >= n, ngrams).otherwise(array(text)))
+  }
+}

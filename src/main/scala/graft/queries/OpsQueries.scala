@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventOps
+
+/** Gate queries for the training-data pipeline ops (§2B) and streaming
+  * analytics (§2C). Column types are cast to match DuckDB's output
+  * types (len/count → BIGINT etc.) because the driver hash-compares
+  * schemas too.
+  */
+object OpsQueries {
+
+  // --- §2B text analysis --------------------------------------------------
+
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, d))
+      .select(col("doc_id"),
+        col("ws_tokens").cast("long").alias("ws_tokens"),
+        col("word_tokens").cast("long").alias("word_tokens"),
+        col("byte_len").cast("long").alias("byte_len"))
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_words").cast("long").alias("n_words"),
+        col("stop_ratio"), col("distinct_ratio"), col("mean_word_len"),
+        col("quality_score"))
+
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.languageId(Tables.documents(s, d))
+      .select("doc_id", "lang", "lang_pred")
+
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, d))
+      .select("doc_id", "fp_md5")
+
+  // --- §2B dedup ----------------------------------------------------------
+
+  /** Documents plus planted exact duplicates (the corpus itself has
+    * near-dups but no byte-identical ones). */
+  private def docsWithExactDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(docs.where(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docsWithExactDups(s, d))
+      .select(col("doc_id"), col("canonical_id"),
+        col("group_size").cast("long").alias("group_size"), col("is_canonical"))
+
+  def dedupJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.allPairsJaccard(Tables.documents(s, d), threshold = 0.5)
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.5)
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 12)
+
+  /** The corpus has no natural embedding near-dups (max pairwise cosine
+    * ≈ 0.51), so plant slightly-perturbed copies of the first 50 vectors
+    * (cosine ≈ 0.998 to their originals) and require the LSH-bucketed
+    * pass to recover them. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val planted = e.where(col("vec_id") < 50).select(
+      (col("vec_id") + 1000000L).alias("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") + pmod(xxhash64(i), lit(100)).cast("double") / 5000.0 - 0.01)
+        .cast("array<float>").alias("embedding"))
+    Dedup.embeddingNearDup(e.unionByName(planted), threshold = 0.99, planes = 4)
+  }
+
+  // --- §2B similarity search ---------------------------------------------
+
+  def annBruteforce(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, planes = 4)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  // --- §2B multimodal -----------------------------------------------------
+
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeMeta(Multimodal.withBinaryColumn(Tables.documents(s, d))).toDF()
+
+  // --- §2C streaming analytics over events --------------------------------
+
+  def streamWindowAgg(s: SparkSession, d: String): DataFrame =
+    EventOps.runToMemory(s, s"$d/events.parquet", s"win_agg_${System.nanoTime()}")(
+      EventOps.windowedAgg)
+
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    // feed the events twice; streaming dropDuplicates must collapse them
+    val st = EventOps.eventStream(s, s"$d/events.parquet")
+    val doubled = st.unionByName(st)
+    val name = s"dedup_${System.nanoTime()}"
+    val q = EventOps.dedup(doubled)
+      .select("event_id", "event_type", "value")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  def streamSessionize(s: SparkSession, d: String): DataFrame =
+    EventOps.sessionizeBatch(Tables.events(s, d))
+      .select(col("user_id"), col("session_id"),
+        col("n_events").cast("long").alias("n_events"),
+        date_trunc("second", col("session_start")).alias("session_start"),
+        date_trunc("second", col("session_end")).alias("session_end"))
+
+  // --- registration -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens"       -> (textTokens _),
+    "text_quality"      -> (textQuality _),
+    "text_langid"       -> (textLangid _),
+    "text_fingerprint"  -> (textFingerprint _),
+    "dedup_exact"       -> (dedupExact _),
+    "dedup_jaccard"     -> (dedupJaccard _),
+    "dedup_minhash"     -> (dedupMinhash _),
+    "dedup_simhash"     -> (dedupSimhash _),
+    "dedup_embedding"   -> (dedupEmbedding _),
+    "ann_bruteforce"    -> (annBruteforce _),
+    "ann_lsh"           -> (annLsh _),
+    "multimodal_meta"   -> (multimodalMeta _),
+    "stream_window_agg" -> (streamWindowAgg _),
+    "stream_dedup"      -> (streamDedup _),
+    "stream_sessionize" -> (streamSessionize _))
+
+  private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS ws_tokens,
+         len(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
+         strlen(text) AS byte_len
+         FROM documents""",
+    "text_quality" -> s"""
+         WITH t AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
+         c AS (SELECT doc_id, len(w) AS n_words,
+           CAST(len(list_filter(w, x -> list_contains($stop10, x))) AS DOUBLE) / len(w) AS sr,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dr,
+           CAST(strlen(text) - len(w) + 1 AS DOUBLE) / len(w) AS mwl
+           FROM t)
+         SELECT doc_id, n_words, round(sr, 4) AS stop_ratio,
+           round(dr, 4) AS distinct_ratio, round(mwl, 4) AS mean_word_len,
+           round(least(1.0, sr * 2.0 + dr * 0.5 +
+             CASE WHEN mwl BETWEEN 3.0 AND 8.0 THEN 0.25 ELSE 0.0 END), 4) AS quality_score
+         FROM c""",
+    "text_langid" -> """
+         WITH t AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+         c AS (SELECT doc_id, lang,
+           len(list_filter(w, x -> list_contains(['the','and','of','is'], x))) AS c_en,
+           len(list_filter(w, x -> list_contains(['der','die','und','ist'], x))) AS c_de,
+           len(list_filter(w, x -> list_contains(['le','la','et','est'], x))) AS c_fr,
+           len(list_filter(w, x -> list_contains(['el','los','y','es'], x))) AS c_es
+           FROM t),
+         g AS (SELECT *, greatest(c_en, c_de, c_fr, c_es) AS best FROM c)
+         SELECT doc_id, lang,
+           CASE WHEN c_en = best AND best > 0 THEN 'en'
+                WHEN c_de = best AND best > 0 THEN 'de'
+                WHEN c_fr = best AND best > 0 THEN 'fr'
+                WHEN c_es = best AND best > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+         FROM g""",
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "dedup_exact" -> """
+         WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
+         SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           count(*) OVER (PARTITION BY md5(text)) AS group_size,
+           doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+         FROM all_docs""",
+    "dedup_jaccard" -> """
+         WITH sh AS (SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    "ann_bruteforce" -> """
+         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 6) AS sim
+               FROM q, embeddings c WHERE c.vec_id != query_id),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""",
+    "multimodal_meta" -> """
+         SELECT doc_id, CAST(strlen(text) AS INT) AS byte_len,
+           CASE WHEN strlen(text) % 3 = 0 THEN 'image'
+                WHEN strlen(text) % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(strlen(text) % 640 AS INT) AS width,
+           CAST(strlen(text) % 480 AS INT) AS height,
+           CAST(strlen(text) // 1000 + 1 AS INT) AS frames
+         FROM documents""",
+    "stream_window_agg" -> """
+         SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2""",
+    "stream_dedup" ->
+      "SELECT event_id, event_type, value FROM events",
+    "stream_sessionize" -> """
+         WITH l AS (SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         f AS (SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+               THEN 1 ELSE 0 END AS flag
+           FROM l),
+         s AS (SELECT user_id, ts,
+             CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM f)
+         SELECT user_id, session_id, count(*) AS n_events,
+           date_trunc('second', min(ts)) AS session_start,
+           date_trunc('second', max(ts)) AS session_end
+         FROM s GROUP BY user_id, session_id""")
+}

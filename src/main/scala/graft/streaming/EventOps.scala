@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming analytics over the events stream (SURVEY.md §2
+  * C1-C3). Each op has a genuine streaming form; the batch fixpoint of
+  * the same computation backs the DuckDB oracle.
+  */
+object EventOps {
+
+  /** Streams a parquet events source through the given transform into
+    * an in-memory sink and returns the drained result — the local test
+    * harness for streaming ops (availableNow semantics). */
+  def runToMemory(spark: SparkSession, sourcePath: String, name: String,
+      outputMode: OutputMode = OutputMode.Complete())(
+      f: DataFrame => DataFrame): DataFrame = {
+    val q = f(eventStream(spark, sourcePath)).writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming read of an events parquet source, converting the INT64
+    * nano timestamps Spark can't read natively (see Tables.eventsDf). */
+  def eventStream(spark: SparkSession, sourcePath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(sourcePath).schema
+    // the file stream source needs a directory; single-file sources get
+    // linked into a temp dir (cluster deployments stream real dirs)
+    val dirPath = {
+      val conf = spark.sessionState.newHadoopConf()
+      val src = new org.apache.hadoop.fs.Path(sourcePath)
+      val fs = src.getFileSystem(conf)
+      if (fs.getFileStatus(src).isDirectory) sourcePath
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+        val dst = new org.apache.hadoop.fs.Path(tmp.toString, src.getName)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+        tmp.toString
+      }
+    }
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 8).parquet(dirPath)
+    // watermarks require TIMESTAMP (LTZ); session tz is UTC so values
+    // align with the NTZ batch reads — outputs cast back to NTZ
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else raw
+  }
+
+  /** C1: tumbling-window aggregation with a watermark. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").alias("w"), col("event_type"))
+      .agg(count(lit(1)).alias("cnt"), round(sum("value"), 2).alias("total"))
+      .select(col("w.start").cast(org.apache.spark.sql.types.TimestampNTZType)
+          .alias("window_start"),
+        col("event_type"), col("cnt"), col("total"))
+
+  /** C2: streaming dedup by event id within the watermark. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, end: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Int, duration_secs: Long)
+
+  /** C3 (streaming form): sessionization with a gap timeout via
+    * flatMapGroupsWithState — sessions close when no event arrives
+    * within `gapSecs` of processing progress. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame, gapSecs: Long = 1800)
+      : DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .as[SessionEvent]
+    def fn(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(st) if t - st.end <= gapSecs * 1000 =>
+            cur = Some(st.copy(end = t, n = st.n + 1))
+          case Some(st) =>
+            out ::= SessionOut(userId, new java.sql.Timestamp(st.start), st.n,
+              (st.end - st.start) / 1000)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach(state.update)
+      out.reverseIterator
+    }
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
+  /** C3 (batch fixpoint): the same sessions via gaps-and-islands window
+    * SQL — this is what the DuckDB oracle mirrors. */
+  def sessionizeBatch(events: DataFrame, gapSecs: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val flagged = events
+      .select(col("user_id"), col("ts"))
+      .withColumn("__prev", lag("ts", 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > gapSecs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("__new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).alias("n_events"),
+        min("ts").alias("session_start"),
+        max("ts").alias("session_end"))
+  }
+}
