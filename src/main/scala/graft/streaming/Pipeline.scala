@@ -1,18 +1,50 @@
 package graft.streaming
 
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Writer configuration threaded into a stage at start time — the
+  * reference's DataStreamWriter option/trigger/queryName surface
+  * (streams.py:316-347).
+  */
+final case class WriterConf(
+    options: Map[String, String] = Map.empty,
+    trigger: Option[Trigger] = None,
+    queryName: Option[String] = None)
 
 /** One stage of a chained incremental pipeline: a named streaming query
   * writing a staged KeyedTable (the reference's dependent-query chain,
   * streams.py:316-359).
   */
-final case class StageHandle(name: String, startFn: () => StreamingQuery)
+final case class StageHandle(name: String, startFn: WriterConf => StreamingQuery)
 
 /** An unstarted chain of streaming stages, upstream first. */
 final class Pipeline(val handles: Seq[StageHandle]) {
+  private var conf = WriterConf()
+
+  /** Options apply to the terminal stage (e.g. checkpointLocation). */
+  def option(key: String, value: String): Pipeline = {
+    conf = conf.copy(options = conf.options + (key -> value))
+    this
+  }
+
+  /** Trigger applies to every stage of the chain (streams.py:339-343). */
+  def trigger(t: Trigger): Pipeline = {
+    conf = conf.copy(trigger = Some(t))
+    this
+  }
+
+  def queryName(name: String): Pipeline = {
+    conf = conf.copy(queryName = Some(name))
+    this
+  }
+
   /** Starts every stage upstream-first (streams.py:353-359). */
-  def start(): PipelineQuery =
-    new PipelineQuery(handles.map(h => h.name -> h.startFn()))
+  def start(): PipelineQuery = {
+    val staged = handles.init.map(h =>
+      h.name -> h.startFn(WriterConf(trigger = conf.trigger)))
+    val terminal = handles.last
+    new PipelineQuery(staged :+ (terminal.name -> terminal.startFn(conf)))
+  }
 }
 
 /** Running pipeline — the reference's chained StreamingQuery wrapper
@@ -21,6 +53,9 @@ final class Pipeline(val handles: Seq[StageHandle]) {
 final class PipelineQuery(val queries: Seq[(String, StreamingQuery)]) {
 
   def isActive: Boolean = queries.exists(_._2.isActive)
+
+  def lastProgress: Map[String, org.apache.spark.sql.streaming.StreamingQueryProgress] =
+    queries.map { case (n, q) => n -> q.lastProgress }.toMap
 
   /** Drains the whole chain: one upstream-to-downstream pass moves each
     * stage's pending change files into the next stage's table; `rounds`
@@ -34,6 +69,9 @@ final class PipelineQuery(val queries: Seq[(String, StreamingQuery)]) {
       queries.foreach { case (_, q) => q.processAllAvailable() }
     }
   }
+
+  def awaitTermination(timeoutMs: Long): Boolean =
+    queries.map { case (_, q) => q.awaitTermination(timeoutMs) }.forall(identity)
 
   def stop(): Unit = queries.reverse.foreach(_._2.stop())
 

@@ -106,12 +106,15 @@ final class StreamAgg(
     }
 
     val name = s"agg:${new org.apache.hadoop.fs.Path(outPath).getName}"
-    val handle = StageHandle(name, () =>
-      src.changeStream.writeStream
+    val handle = StageHandle(name, wc => {
+      var w = src.changeStream.writeStream
         .option("checkpointLocation", s"$outPath/_cp")
-        .queryName(name)
+        .queryName(wc.queryName.getOrElse(name))
         .foreachBatch(mergeAgg _)
-        .start())
+      wc.options.foreach { case (k, v) => w = w.option(k, v) }
+      wc.trigger.foreach(t => w = w.trigger(t))
+      w.start()
+    })
     (handle, out)
   }
 }

@@ -217,12 +217,15 @@ final class JoinedStream(
     }
 
     val name = s"join:${new org.apache.hadoop.fs.Path(outPath).getName}"
-    val handle = StageHandle(name, () =>
-      packed.writeStream
+    val handle = StageHandle(name, wc => {
+      var w = packed.writeStream
         .option("checkpointLocation", s"$outPath/_cp")
-        .queryName(name)
+        .queryName(wc.queryName.getOrElse(name))
         .foreachBatch(mergeJoin _)
-        .start())
+      wc.options.foreach { case (k, v) => w = w.option(k, v) }
+      wc.trigger.foreach(t => w = w.trigger(t))
+      w.start()
+    })
     (handle, out)
   }
 }
