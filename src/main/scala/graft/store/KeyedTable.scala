@@ -37,7 +37,9 @@ final case class TableMeta(
     nullableKeys: Seq[String],
     seqCols: Seq[String],
     numBuckets: Int,
-    schemaDdl: String) {
+    schemaDdl: String,
+    partitionCols: Seq[String] = Nil,
+    prunedCols: Seq[String] = Nil) {
   def bucketKeys: Seq[String] = keys.filterNot(nullableKeys.contains)
   def schema: StructType = StructType.fromDDL(schemaDdl)
 }
@@ -135,12 +137,30 @@ final class KeyedTable private (
       else {
         val newVersion = latestVersion + 1
         val bv = log.bucketVersions(latestVersion).filter { case (b, _) => affected.contains(b) }
-        val current =
+        // static partition pruning (the reference's `prune(col)`,
+        // joins.py:619-632): restrict the target-side scan to the
+        // pruned columns' values present in this batch — at scale this
+        // skips whole partitions/row-groups of the target
+        val pruneFilter: Option[Column] = meta.prunedCols.headOption.map { _ =>
+          meta.prunedCols.map { pc =>
+            val vals = staged0.select(col(pc)).distinct().collect()
+              .map(_.get(0)).filter(_ != null).toSeq
+            col(pc).isNull || col(pc).isin(vals: _*)
+          }.reduce(_ && _)
+        }
+        val currentRaw =
           (if (bv.isEmpty) emptyDf else readBuckets(bv.toSeq))
+        val current = pruneFilter.fold(currentRaw)(currentRaw.where)
             .withColumn(BucketCol, bucketExpr(col))
-        val (newContent, cdf) =
+        val (merged, cdf) =
           if (meta.nullableKeys.isEmpty) mergeExact(current, staged0, spec)
           else mergeWithPlaceholders(current, staged0, spec)
+        // bucket rewrite must carry pruned-out rows through unchanged —
+        // pruning narrows the MATCHING scan, not the bucket contents
+        val newContent = pruneFilter.fold(merged) { f =>
+          merged.unionByName(
+            currentRaw.where(!f).withColumn(BucketCol, bucketExpr(col)))
+        }
         val persisted = newContent.persist(StorageLevel.MEMORY_AND_DISK)
         try {
           persisted
@@ -178,7 +198,11 @@ final class KeyedTable private (
       : (DataFrame, DataFrame) = {
     val u = current.withColumn(UExists, lit(true)).alias("u")
     val s = staged.withColumn(SExists, lit(true)).alias("s")
-    val keyEq = meta.keys.map(k => col(s"u.$k") <=> col(s"s.$k")).reduce(_ && _)
+    // partition columns participate in the match (joins.py:679): a row
+    // whose partition value changed merges as delete+insert, like the
+    // reference's partitioned Delta merge
+    val eqCols = meta.keys ++ meta.partitionCols.filterNot(meta.keys.contains)
+    val keyEq = eqCols.map(k => col(s"u.$k") <=> col(s"s.$k")).reduce(_ && _)
     val pairs = u.join(s, keyEq, "full_outer")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val matched = coalesce(col(s"u.$UExists"), lit(false)) &&
@@ -224,7 +248,10 @@ final class KeyedTable private (
       : (DataFrame, DataFrame) = {
     val u = current.withColumn(UExists, lit(true)).alias("u")
     val s = staged.withColumn(SExists, lit(true)).alias("s")
-    val bucketEq = meta.bucketKeys.map(k => col(s"u.$k") === col(s"s.$k")).reduce(_ && _)
+    val bucketEq = (meta.bucketKeys.map(k => col(s"u.$k") === col(s"s.$k")) ++
+      meta.partitionCols.filterNot(meta.keys.contains).map(pc =>
+        col(s"u.$pc") <=> col(s"s.$pc") || col(s"u.$pc").isNull))
+      .reduce(_ && _)
 
     // candidate pairs share the non-nullable keys; score the nullable part:
     //   both equal (incl. both-null) → 2, one side null → 1, conflict → -100
@@ -306,9 +333,13 @@ object KeyedTable {
       keys: Seq[String],
       seqCols: Seq[String] = Nil,
       nullableKeys: Seq[String] = Nil,
-      numBuckets: Int = 32): KeyedTable = {
+      numBuckets: Int = 32,
+      partitionCols: Seq[String] = Nil,
+      prunedCols: Seq[String] = Nil): KeyedTable = {
     require(keys.nonEmpty, "keys required")
-    val meta = TableMeta(keys, nullableKeys, seqCols, numBuckets, schema.toDDL)
+    require(prunedCols.forall(partitionCols.contains), "prunedCols ⊆ partitionCols")
+    val meta = TableMeta(keys, nullableKeys, seqCols, numBuckets, schema.toDDL,
+      partitionCols, prunedCols)
     val log = new CommitLog(path, spark.sessionState.newHadoopConf())
     if (!log.exists) log.writeMeta(metaToJson(meta))
     new KeyedTable(spark, path, meta)
@@ -324,6 +355,7 @@ object KeyedTable {
     def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
     s"""{"keys":${arr(m.keys)},"nullableKeys":${arr(m.nullableKeys)},""" +
       s""""seqCols":${arr(m.seqCols)},"numBuckets":${m.numBuckets},""" +
+      s""""partitionCols":${arr(m.partitionCols)},"prunedCols":${arr(m.prunedCols)},""" +
       s""""schemaDdl":"${m.schemaDdl.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
   }
 
@@ -336,6 +368,7 @@ object KeyedTable {
     val numBuckets = """"numBuckets":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
     val ddl = (""""schemaDdl":"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(json).get.group(1)
       .replace("\\\"", "\"").replace("\\\\", "\\")
-    TableMeta(arr("keys"), arr("nullableKeys"), arr("seqCols"), numBuckets, ddl)
+    TableMeta(arr("keys"), arr("nullableKeys"), arr("seqCols"), numBuckets, ddl,
+      arr("partitionCols"), arr("prunedCols"))
   }
 }

@@ -28,7 +28,8 @@ final class Stream private (
     val seqCols: Seq[String],
     transform: DataFrame => DataFrame,
     private[streaming] val upstream: Seq[StageHandle],
-    val maxFilesPerTrigger: Int) {
+    val maxFilesPerTrigger: Int,
+    private val others: Seq[Stream] = Nil) {
 
   def primaryKeys(keys: String*): Stream = copy(pks2 = keys)
   def sequenceBy(cols: String*): Stream = copy(seq2 = cols)
@@ -40,17 +41,29 @@ final class Stream private (
 
   def apply(colName: String): ColumnSel = ColumnSel(this, colName)
 
+  /** Union of two streams over same-schema keyed tables: the change
+    * feed is the union of both feeds and every snapshot is the union
+    * of both snapshots (joins.py:861-865 re-expressed at the stream
+    * level). Primary keys must be disjoint-or-identical across inputs
+    * for downstream merges to stay well-defined. */
+  def union(other: Stream): Stream = copy(others2 = others :+ other)
+
   /** CDF rows as a streaming DataFrame; deletes are filtered like the
     * reference's fromPath (streams.py:132). */
   private[streaming] def changeStream: DataFrame = {
     val raw = table.changeStream(maxFilesPerTrigger)
       .where(col("_change_type") =!= "delete")
-    applyTransformKeepingCdf(raw)
+    val own = applyTransformKeepingCdf(raw)
+    others.foldLeft(own)((acc, o) => acc.unionByName(o.changeStream))
   }
 
-  /** Static snapshot pinned at a version (streams.py:203-208). */
-  private[streaming] def static(version: Long = -1L): DataFrame =
-    transform(table.snapshot(version))
+  /** Static snapshot pinned at a version (streams.py:203-208). For a
+    * unioned stream the pin applies to the primary table; union members
+    * snapshot at their own latest. */
+  private[streaming] def static(version: Long = -1L): DataFrame = {
+    val own = transform(table.snapshot(version))
+    others.foldLeft(own)((acc, o) => acc.unionByName(o.static()))
+  }
 
   private def applyTransformKeepingCdf(df: DataFrame): DataFrame = {
     val t = transform(df.drop("_change_type", "_commit_version"))
@@ -81,8 +94,9 @@ final class Stream private (
       seq2: Seq[String] = seqCols,
       transform2: DataFrame => DataFrame = transform,
       upstream2: Seq[StageHandle] = upstream,
-      mft2: Int = maxFilesPerTrigger): Stream =
-    new Stream(spark, table, pks2, seq2, transform2, upstream2, mft2)
+      mft2: Int = maxFilesPerTrigger,
+      others2: Seq[Stream] = others): Stream =
+    new Stream(spark, table, pks2, seq2, transform2, upstream2, mft2, others2)
 
   private[streaming] def withUpstream(h: Seq[StageHandle]): Stream = copy(upstream2 = h)
 }

@@ -28,6 +28,16 @@ final class JoinBuilder(left: Stream, right: Stream, joinType: String) {
   }
 }
 
+/** A partition column for a join-output table; wrap with [[prune]] for
+  * static merge-time pruning (streams.py:67-94).
+  */
+final case class PartitionCol(name: String, pruned: Boolean = false)
+
+object prune {
+  /** `partitionBy(prune("date"))` — the reference's `prune(col)`. */
+  def apply(name: String): PartitionCol = PartitionCol(name, pruned = true)
+}
+
 /** Projection steps applied to each microbatch join result in order —
   * the reference's transformFunc chain (joins.py:507-525, 929-934).
   */
@@ -49,7 +59,8 @@ final class JoinedStream(
     val right: Stream,
     val joinType: String,
     joinExpr: (DataFrame, DataFrame) => Column,
-    projOps: Seq[ProjOp]) {
+    projOps: Seq[ProjOp],
+    partitionCols: Seq[PartitionCol] = Nil) {
 
   private def spark = left.spark
 
@@ -62,8 +73,13 @@ final class JoinedStream(
   def to(f: DataFrame => DataFrame): JoinedStream =
     withOp(ProjOp.MapFn(f))
 
+  /** Output-table partition columns; `prune("c")` additionally narrows
+    * each merge's target scan to the batch's values (joins.py:619-632). */
+  def partitionBy(cols: PartitionCol*): JoinedStream =
+    new JoinedStream(left, right, joinType, joinExpr, projOps, cols)
+
   private def withOp(op: ProjOp) =
-    new JoinedStream(left, right, joinType, joinExpr, projOps :+ op)
+    new JoinedStream(left, right, joinType, joinExpr, projOps :+ op, partitionCols)
 
   /** Applies the projection chain to a just-joined frame, where `l`/`r`
     * are the two frames that produced it. */
@@ -108,6 +124,15 @@ final class JoinedStream(
     new Pipeline(left.upstream ++ right.upstream :+ stageHandle)
   }
 
+  /** User-supplied microbatch sink: receives the combined, deduplicated
+    * join delta of every microbatch instead of merging into a managed
+    * output table — the reference's `.foreachBatch(mergeFunc)`
+    * (joins.py:536-554). Checkpoint goes under `checkpointPath`. */
+  def foreachBatch(checkpointPath: String)(fn: (DataFrame, Long) => Unit): Pipeline = {
+    val (stageHandle, _) = buildStage(checkpointPath, Some(fn))
+    new Pipeline(left.upstream ++ right.upstream :+ stageHandle)
+  }
+
   /** Stages this join into an intermediate table and continues with
     * another join (joins.py:867-869). */
   def join(next: Stream, nextType: String = "inner", stagingPath: String = null): JoinBuilder =
@@ -123,7 +148,7 @@ final class JoinedStream(
     val path = Option(stagingPath).getOrElse(
       s"${left.stagingRoot}/_stage_join_${Integer.toHexString(stageFingerprint)}")
     val (handle, outTable) = buildStage(path)
-    Stream.fromKeyedTable(outTable, left.maxFilesPerTrigger)
+    Stream.fromKeyedTable(outTable(), left.maxFilesPerTrigger)
       .withUpstream(left.upstream ++ right.upstream :+ handle)
   }
 
@@ -131,16 +156,21 @@ final class JoinedStream(
     (left.table.path, right.table.path, joinType, projOps.size,
       left.upstream.size + right.upstream.size).hashCode()
 
-  /** Builds the output KeyedTable + the streaming stage writing it. */
-  private def buildStage(outPath: String): (StageHandle, KeyedTable) = {
+  /** Builds the output KeyedTable + the streaming stage writing it; a
+    * `userSink` replaces the managed-table merge with a user fn. */
+  private def buildStage(outPath: String,
+      userSink: Option[(DataFrame, Long) => Unit] = None): (StageHandle, () => KeyedTable) = {
     val schemaDf = staticJoined()
     val (nonNull, nullable) = outKeySplit
     require(nonNull.nonEmpty, "join output needs at least one non-nullable primary key")
     val seqCols = (left.seqCols ++ right.seqCols).distinct
       .filter(schemaDf.columns.contains)
-    val out = KeyedTable.create(spark, outPath, schemaDf.schema,
+    lazy val out = KeyedTable.create(spark, outPath, schemaDf.schema,
       keys = nonNull ++ nullable, seqCols = seqCols, nullableKeys = nullable,
-      numBuckets = math.max(left.table.meta.numBuckets, right.table.meta.numBuckets))
+      numBuckets = math.max(left.table.meta.numBuckets, right.table.meta.numBuckets),
+      partitionCols = partitionCols.map(_.name),
+      prunedCols = partitionCols.filter(_.pruned).map(_.name))
+    if (userSink.isEmpty) out // force managed-table creation eagerly
 
     // state for consistent static pinning across microbatches (joins.py:399-428)
     var lastLeftVersion: Long = -1L
@@ -201,7 +231,10 @@ final class JoinedStream(
         .select(outCols.map(c => coalesce(col(s"ha.$c"), col(s"hb.$c")).alias(c)): _*)
         .where(allKeys.map(k => col(k).isNotNull).reduce(_ || _))
 
-      out.merge(combined, MergeSpec())
+      userSink match {
+        case Some(fn) => fn(combined, batchId)
+        case None     => out.merge(combined, MergeSpec())
+      }
     }
 
     val packed: DataFrame = {
@@ -226,6 +259,6 @@ final class JoinedStream(
       wc.trigger.foreach(t => w = w.trigger(t))
       w.start()
     })
-    (handle, out)
+    (handle, () => out)
   }
 }
