@@ -97,8 +97,46 @@ object CdcQueries {
     KeyedTable.forPath(s, s"$root/out").snapshot()
   }
 
+  /** A13/A14 end-to-end: a REAL streaming agg pipeline with a custom
+    * `.reduce` maintaining a running average — fed in slices plus an
+    * update batch whose pre/post images must cancel correctly. */
+  def cdcAggReduceIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Stream
+    import org.apache.spark.sql.expressions.Window
+    val root = freshDir()
+    // (l_orderkey, l_linenumber) is NOT unique in the test data; a keyed
+    // table keeps one row per key, so pre-dedup deterministically and
+    // mirror the same window in the oracle
+    val w = Window.partitionBy("l_orderkey", "l_linenumber")
+      .orderBy(col("l_quantity").desc, col("l_returnflag").desc)
+    val lDf = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    val lT = KeyedTable.create(s, s"$root/lineitem", lDf.schema,
+      Seq("l_orderkey", "l_linenumber"), numBuckets = 8)
+    val q = Stream.fromKeyedTable(lT, maxFilesPerTrigger = 64)
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("cnt"),
+        avg("l_quantity").as("avg_qty"))
+      .reduce("avg_qty", update =
+        (col("u.total_qty") + col("s.total_qty")) / (col("u.cnt") + col("s.cnt")))
+      .writeToPath(s"$root/agg")
+      .start()
+    try {
+      lT.upsert(lDf.where(col("l_orderkey") % 2 === 0)); q.processAllAvailable()
+      lT.upsert(lDf.where(col("l_orderkey") % 2 === 1)); q.processAllAvailable()
+      lT.upsert(lDf.where(col("l_orderkey") % 7 === 0)
+        .withColumn("l_quantity", col("l_quantity") * 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    KeyedTable.forPath(s, s"$root/agg").snapshot()
+      .select(col("l_returnflag"), round(col("total_qty"), 2).as("total_qty"),
+        col("cnt"), round(col("avg_qty"), 2).as("avg_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_join_incremental" -> (cdcJoinIncremental _),
+    "cdc_agg_reduce_incremental" -> (cdcAggReduceIncremental _),
     "cdc_upsert_snapshot" -> (cdcUpsertSnapshot _),
     "cdc_seq_latest_wins" -> (cdcSeqLatestWins _),
     "cdc_agg_incremental" -> (cdcAggIncremental _))
@@ -107,6 +145,18 @@ object CdcQueries {
     "cdc_join_incremental" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+    "cdc_agg_reduce_incremental" ->
+      """WITH u AS (
+           SELECT l_orderkey, l_returnflag, l_quantity, row_number() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_quantity DESC, l_returnflag DESC) AS rn
+           FROM lineitem),
+         l AS (SELECT l_returnflag,
+           CASE WHEN l_orderkey % 7 = 0 THEN l_quantity * 3 ELSE l_quantity END AS q
+           FROM u WHERE rn = 1)
+         SELECT l_returnflag, round(sum(q), 2) AS total_qty, count(*) AS cnt,
+           round(sum(q) / count(*), 2) AS avg_qty
+         FROM l GROUP BY l_returnflag""",
     "cdc_upsert_snapshot" ->
       """SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,

@@ -8,8 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries ++ CdcQueries.queries ++ OpsQueries.queries
+    RefQueries.queries ++ ChainQueries.queries ++ CdcQueries.queries ++ OpsQueries.queries
 
   def oracles: Map[String, String] =
-    RefQueries.oracleSql ++ CdcQueries.oracleSql ++ OpsQueries.oracleSql
+    RefQueries.oracleSql ++ ChainQueries.oracleSql ++ CdcQueries.oracleSql ++ OpsQueries.oracleSql
 }
