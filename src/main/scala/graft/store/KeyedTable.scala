@@ -74,6 +74,21 @@ final class KeyedTable private (
 
   private val log = new CommitLog(path, spark.sessionState.newHadoopConf())
 
+  // single-writer replay cache: avoids re-reading the whole commit log
+  // on every merge/snapshot of a long-lived table handle (external
+  // writers invalidate it implicitly because latestVersion is re-listed)
+  @volatile private var bvCache: (Long, Map[Int, Long]) = (-1L, Map.empty)
+
+  private def bucketVersionsAt(v: Long): Map[Int, Long] = {
+    val cached = bvCache
+    if (cached._1 == v) cached._2
+    else {
+      val bv = log.bucketVersions(v)
+      bvCache = (v, bv)
+      bv
+    }
+  }
+
   def schema: StructType = meta.schema
   def dataCols: Seq[String] = schema.fieldNames.toSeq
   def latestVersion: Long = log.latestVersion()
@@ -92,7 +107,7 @@ final class KeyedTable private (
   /** Full table contents as of `version` (default: latest). */
   def snapshot(version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion else version
-    val bv = log.bucketVersions(v)
+    val bv = bucketVersionsAt(v)
     if (bv.isEmpty) emptyDf
     else readBuckets(bv.toSeq)
   }
@@ -136,7 +151,7 @@ final class KeyedTable private (
       if (affected.isEmpty) latestVersion
       else {
         val newVersion = latestVersion + 1
-        val bv = log.bucketVersions(latestVersion).filter { case (b, _) => affected.contains(b) }
+        val bv = bucketVersionsAt(latestVersion).filter { case (b, _) => affected.contains(b) }
         // static partition pruning (the reference's `prune(col)`,
         // joins.py:619-632): restrict the target-side scan to the
         // pruned columns' values present in this batch — at scale this
@@ -175,7 +190,11 @@ final class KeyedTable private (
           // commit the buckets that actually produced files (a bucket can
           // drop out if every staged row lost its sequence race)
           val written = listWrittenBuckets(newVersion)
-          log.commit(newVersion, if (written.nonEmpty) written else affected)
+          val committed = if (written.nonEmpty) written else affected
+          log.commit(newVersion, committed)
+          // advance the replay cache incrementally (single-writer)
+          bvCache = (newVersion,
+            bucketVersionsAt(newVersion - 1) ++ committed.map(_ -> newVersion))
           newVersion
         } finally persisted.unpersist()
       }

@@ -29,7 +29,8 @@ final class Stream private (
     transform: DataFrame => DataFrame,
     private[streaming] val upstream: Seq[StageHandle],
     val maxFilesPerTrigger: Int,
-    private val others: Seq[Stream] = Nil) {
+    private val others: Seq[Stream] = Nil,
+    private val startV: Long = -1L) {
 
   def primaryKeys(keys: String*): Stream = copy(pks2 = keys)
   def sequenceBy(cols: String*): Stream = copy(seq2 = cols)
@@ -48,12 +49,17 @@ final class Stream private (
     * for downstream merges to stay well-defined. */
   def union(other: Stream): Stream = copy(others2 = others :+ other)
 
+  /** Change feed starts after this version (streams.py:127
+    * `startingVersion`); -1 = from the beginning. */
+  def startingVersion(v: Long): Stream = copy(startV2 = v)
+
   /** CDF rows as a streaming DataFrame; deletes are filtered like the
     * reference's fromPath (streams.py:132). */
   private[streaming] def changeStream: DataFrame = {
     val raw = table.changeStream(maxFilesPerTrigger)
       .where(col("_change_type") =!= "delete")
-    val own = applyTransformKeepingCdf(raw)
+    val cut = if (startV < 0) raw else raw.where(col("_commit_version") > startV)
+    val own = applyTransformKeepingCdf(cut)
     others.foldLeft(own)((acc, o) => acc.unionByName(o.changeStream))
   }
 
@@ -95,8 +101,9 @@ final class Stream private (
       transform2: DataFrame => DataFrame = transform,
       upstream2: Seq[StageHandle] = upstream,
       mft2: Int = maxFilesPerTrigger,
-      others2: Seq[Stream] = others): Stream =
-    new Stream(spark, table, pks2, seq2, transform2, upstream2, mft2, others2)
+      others2: Seq[Stream] = others,
+      startV2: Long = startV): Stream =
+    new Stream(spark, table, pks2, seq2, transform2, upstream2, mft2, others2, startV2)
 
   private[streaming] def withUpstream(h: Seq[StageHandle]): Stream = copy(upstream2 = h)
 }
