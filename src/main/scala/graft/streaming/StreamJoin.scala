@@ -183,10 +183,13 @@ final class JoinedStream(
       val rRows = batch
         .where(col("r").isNotNull && col("r._change_type") =!= "update_preimage")
         .select("r.*")
-      val versions = lRows.agg(max("_commit_version")).collect().head ->
-        rRows.agg(max("_commit_version")).collect().head
-      val lMax = if (versions._1.isNullAt(0)) -1L else versions._1.getLong(0)
-      val rMax = if (versions._2.isNullAt(0)) -1L else versions._2.getLong(0)
+      // ONE action for both version pins (the reference unions two aggs
+      // for the same reason, joins.py:403-408)
+      val vRow = batch.agg(
+        max(col("l._commit_version")).alias("lv"),
+        max(col("r._commit_version")).alias("rv")).collect().head
+      val lMax = if (vRow.isNullAt(0)) -1L else vRow.getLong(0)
+      val rMax = if (vRow.isNullAt(1)) -1L else vRow.getLong(1)
       // pin statics at the batch's max commit version for deterministic
       // reads under lazy evaluation (joins.py:409-428)
       val lPin = if (lMax >= 0) lMax else lastLeftVersion
