@@ -113,6 +113,35 @@ object OpsQueries {
     s.table(name)
   }
 
+  /** C1 (sliding variant): 2-hour windows sliding by 1 hour — every
+    * event lands in two windows. */
+  def streamSlidingWindow(s: SparkSession, d: String): DataFrame =
+    EventOps.runToMemory(s, s"$d/events.parquet", s"slide_${System.nanoTime()}")(ev =>
+      ev.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").alias("w"), col("event_type"))
+        .agg(count(lit(1)).alias("cnt"), round(sum("value"), 2).alias("total"))
+        .select(col("w.start").cast(org.apache.spark.sql.types.TimestampNTZType)
+            .alias("window_start"),
+          col("event_type"), col("cnt"), col("total")))
+
+  /** Stream-static join: the event stream enriched against a broadcast
+    * dimension — the classic streaming lookup pattern. */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "conversion"), ("signup", "conversion"),
+      ("error", "problem")).toDF("event_type", "category")
+    val name = s"ssj_${System.nanoTime()}"
+    val q = EventOps.eventStream(s, s"$d/events.parquet")
+      .join(broadcast(dim), "event_type")
+      .select("event_id", "event_type", "category", "value")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   def streamSessionize(s: SparkSession, d: String): DataFrame =
     EventOps.sessionizeBatch(Tables.events(s, d))
       .select(col("user_id"), col("session_id"),
@@ -135,9 +164,11 @@ object OpsQueries {
     "ann_bruteforce"    -> (annBruteforce _),
     "ann_lsh"           -> (annLsh _),
     "multimodal_meta"   -> (multimodalMeta _),
-    "stream_window_agg" -> (streamWindowAgg _),
-    "stream_dedup"      -> (streamDedup _),
-    "stream_sessionize" -> (streamSessionize _))
+    "stream_window_agg"     -> (streamWindowAgg _),
+    "stream_sliding_window" -> (streamSlidingWindow _),
+    "stream_static_join"    -> (streamStaticJoin _),
+    "stream_dedup"          -> (streamDedup _),
+    "stream_sessionize"     -> (streamSessionize _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -223,6 +254,23 @@ object OpsQueries {
          FROM events GROUP BY 1, 2""",
     "stream_dedup" ->
       "SELECT event_id, event_type, value FROM events",
+    "stream_sliding_window" -> """
+         WITH ws AS (
+           SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
+           UNION ALL
+           SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+         SELECT window_start, event_type, count(*) AS cnt,
+           round(sum(value), 2) AS total
+         FROM ws GROUP BY window_start, event_type""",
+    "stream_static_join" -> """
+         SELECT event_id, event_type,
+           CASE event_type WHEN 'click' THEN 'engagement'
+                           WHEN 'view' THEN 'engagement'
+                           WHEN 'purchase' THEN 'conversion'
+                           WHEN 'signup' THEN 'conversion'
+                           ELSE 'problem' END AS category,
+           value
+         FROM events""",
     "stream_sessionize" -> """
          WITH l AS (SELECT user_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev

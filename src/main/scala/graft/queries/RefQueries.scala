@@ -186,9 +186,45 @@ object RefQueries {
     c.unionByName(sup)
   }
 
+  // --- TPC-H-style headline analytics ------------------------------------
+
+  /** Q3-like: segment revenue per order with date predicates — filters
+    * must push to the scans, dims broadcast. */
+  def tpchQ3Like(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).where(col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
+    val l = Tables.lineitem(s, d).where(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      // decimal arithmetic: float sums can land exactly on a .xx5
+      // rounding boundary and disagree with the oracle in the last
+      // cent; decimal is exact in both engines
+      .agg(r2(sum(col("l_extendedprice").cast("decimal(18,6)") * (lit(1.0).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))).cast("double").as("revenue"))
+      .select("o_orderkey", "o_orderdate", "revenue")
+  }
+
+  /** Q5-like: per-nation revenue inside one region — a 5-way join whose
+    * three dimension sides should all broadcast. */
+  def tpchQ5Like(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    broadcast(r).join(n, r("r_regionkey") === n("n_regionkey"))
+      .join(c, n("n_nationkey") === c("c_nationkey"))
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(r2(sum(col("l_extendedprice").cast("decimal(18,6)") * (lit(1.0).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))).cast("double").as("revenue"))
+  }
+
   // --- registration ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q3_like"           -> (tpchQ3Like _),
+    "tpch_q5_like"           -> (tpchQ5Like _),
     "agg_sum_groupby"        -> (aggSumGroupBy _),
     "agg_multi"              -> (aggMulti _),
     "agg_min_max"            -> (aggMinMax _),
@@ -208,6 +244,26 @@ object RefQueries {
     "union_all"              -> (unionAll _))
 
   val oracleSql: Map[String, String] = Map(
+    "tpch_q3_like" ->
+      """SELECT o_orderkey, o_orderdate,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)::DOUBLE AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1996-01-01'
+           AND l_shipdate > TIMESTAMP '1996-01-01'
+         GROUP BY o_orderkey, o_orderdate""",
+    "tpch_q5_like" ->
+      """SELECT n_name,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)::DOUBLE AS revenue
+         FROM region
+         JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
     "agg_sum_groupby" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

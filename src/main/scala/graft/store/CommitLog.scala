@@ -45,24 +45,28 @@ final class CommitLog(rootPath: String, conf: Configuration) {
 
   def latestVersion(): Long = versions().lastOption.getOrElse(0L)
 
-  /** bucket -> newest version ≤ `upTo` that rewrote it. */
+  /** bucket -> newest version ≤ `upTo` that rewrote it; buckets whose
+    * latest action emptied them are absent. */
   def bucketVersions(upTo: Long): Map[Int, Long] = {
     var acc = Map.empty[Int, Long]
     versions().iterator.takeWhile(_ <= upTo).foreach { v =>
-      parseBuckets(readFully(commitPath(v))).foreach(b => acc += b -> v)
+      val json = readFully(commitPath(v))
+      parseIntArray(json, "buckets").foreach(b => acc += b -> v)
+      parseIntArray(json, "emptied").foreach(b => acc -= b)
     }
     acc
   }
 
-  def commit(version: Long, buckets: Seq[Int]): Unit = {
-    val json = s"""{"version":$version,"buckets":[${buckets.mkString(",")}]}"""
+  def commit(version: Long, buckets: Seq[Int], emptied: Seq[Int] = Nil): Unit = {
+    val json = s"""{"version":$version,"buckets":[${buckets.mkString(",")}],""" +
+      s""""emptied":[${emptied.mkString(",")}]}"""
     writeAtomic(commitPath(version), json)
   }
 
   private def commitPath(v: Long) = new Path(logDir, f"$v%020d.json")
 
-  private def parseBuckets(json: String): Seq[Int] = {
-    val m = """"buckets":\[([0-9,\s]*)\]""".r.findFirstMatchIn(json)
+  private def parseIntArray(json: String, field: String): Seq[Int] = {
+    val m = (s""""$field":\\[([0-9,\\s]*)\\]""").r.findFirstMatchIn(json)
     m.map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
       .getOrElse(Nil)
   }

@@ -137,6 +137,81 @@ final class KeyedTable private (
   /** Plain latest-wins upsert (the bronze-table write path). */
   def upsert(batch: DataFrame): Long = merge(batch, MergeSpec())
 
+  /** Deletes rows matching the given keys; emits `delete` CDF rows.
+    * (The reference's streams filter deletes out of the change feed,
+    * streams.py:132 — graft does the same in Stream.changeStream, so
+    * deletes affect snapshots but not downstream incremental stages.) */
+  def delete(keys: DataFrame): Long = synchronized {
+    val keyCols = meta.keys
+    val staged = keys.select(keyCols.map(col): _*).distinct()
+      .withColumn(BucketCol, bucketExpr(col))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = staged.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+      if (affected.isEmpty) return latestVersion
+      val newVersion = latestVersion + 1
+      val bv = bucketVersionsAt(latestVersion).filter { case (b, _) => affected.contains(b) }
+      if (bv.isEmpty) return latestVersion
+      val current = readBuckets(bv.toSeq).withColumn(BucketCol, bucketExpr(col))
+      val eq = keyCols.map(k => col(s"u.$k") <=> col(s"d.$k")).reduce(_ && _)
+      val u = current.alias("u")
+      val d = staged.alias("d")
+      val remaining = u.join(d, eq, "left_anti")
+        .select(dataCols.map(c => col(s"u.$c").alias(c)) :+
+          col(s"u.$BucketCol").alias(BucketCol): _*)
+      val removed = u.join(d, eq, "left_semi")
+        .select(dataCols.map(c => col(s"u.$c").alias(c)): _*)
+        .withColumn("_change_type", lit("delete"))
+      remaining.withColumnRenamed(BucketCol, "b").repartition(col("b"))
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(s"$path/data/v=$newVersion")
+      removed.withColumn("_commit_version", lit(newVersion))
+        .write.mode("overwrite").parquet(s"$path/cdf/v=$newVersion")
+      // buckets the delete emptied entirely get tombstoned; the rest
+      // point at their rewritten files
+      val written = listWrittenBuckets(newVersion)
+      val emptied = affected.filterNot(written.contains)
+      log.commit(newVersion, written, emptied)
+      bvCache = (newVersion,
+        bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
+          -- emptied)
+      newVersion
+    } finally staged.unpersist()
+  }
+
+  /** Removes data/cdf files no longer reachable from the latest
+    * `retainVersions` snapshots — bounded storage growth for long-lived
+    * tables (Delta's VACUUM analog). Time travel before the cutoff
+    * stops working. */
+  def vacuum(retainVersions: Int = 1): Unit = synchronized {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = log.versions()
+    if (versions.isEmpty) return
+    val cutoff = versions.takeRight(retainVersions).head
+    // data dirs still referenced by the bucket map of ANY retained version
+    val reachable: Set[Long] = versions.filter(_ >= cutoff)
+      .flatMap(v => bucketVersionsAt(v).values).toSet
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v=")) {
+          val v = n.stripPrefix("v=").toLong
+          if (v < cutoff && !reachable.contains(v)) fs.delete(st.getPath, true)
+        }
+      }
+    }
+    val cdfRoot = new org.apache.hadoop.fs.Path(s"$path/cdf")
+    if (fs.exists(cdfRoot)) {
+      fs.listStatus(cdfRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v=") && n.stripPrefix("v=").toLong < cutoff)
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Merge `batch` into the table; returns the new version.
     *
     * Single-writer. Mirrors the reference's foreachBatch-MERGE
@@ -189,12 +264,17 @@ final class KeyedTable private (
             .parquet(s"$path/cdf/v=$newVersion")
           // commit the buckets that actually produced files (a bucket can
           // drop out if every staged row lost its sequence race)
+          // affected buckets with no output file were empty before AND
+          // after (e.g. every staged row lost its sequence race against
+          // an empty bucket) — tombstone them so the map never points
+          // at a missing dir
           val written = listWrittenBuckets(newVersion)
-          val committed = if (written.nonEmpty) written else affected
-          log.commit(newVersion, committed)
+          val emptied = affected.filterNot(written.contains)
+          log.commit(newVersion, written, emptied)
           // advance the replay cache incrementally (single-writer)
           bvCache = (newVersion,
-            bucketVersionsAt(newVersion - 1) ++ committed.map(_ -> newVersion))
+            bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
+              -- emptied)
           newVersion
         } finally persisted.unpersist()
       }

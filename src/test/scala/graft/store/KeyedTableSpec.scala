@@ -99,6 +99,41 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(kt.snapshot().where(col("lid") === 2L).count() == 2)
   }
 
+  test("delete removes rows, emits delete CDF, tombstones emptied buckets") {
+    val t = tmp()
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "x")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 4)
+    kt.upsert(df)
+    kt.delete(Seq(Tuple1(3L), Tuple1(7L)).toDF("id"))
+    val snap = kt.snapshot()
+    assert(snap.count() == 18)
+    assert(snap.where(col("id").isin(3L, 7L)).count() == 0)
+    val dels = kt.changesSince(1L).where(col("_change_type") === "delete").collect()
+    assert(dels.map(_.getLong(0)).sorted.toSeq == Seq(3L, 7L))
+    // delete EVERYTHING: all buckets tombstoned, snapshot empty, reads fine
+    kt.delete(df.select("id"))
+    assert(kt.snapshot().count() == 0)
+    // and the table still accepts new rows afterwards
+    kt.upsert(Seq((100L, "z")).toDF("id", "x"))
+    assert(kt.snapshot().count() == 1)
+  }
+
+  test("vacuum removes unreachable versions but keeps the latest snapshot readable") {
+    val t = tmp()
+    val df = (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 2)
+    kt.upsert(df)
+    kt.upsert(df.withColumn("v", col("v") * 2))
+    kt.upsert(df.withColumn("v", col("v") * 3))
+    kt.vacuum(retainVersions = 1)
+    val snap = kt.snapshot().orderBy("id").collect()
+    assert(snap.length == 10 && snap.head.getDouble(1) == 3.0)
+    // old version dirs gone
+    val dataDir = new java.io.File(s"$t/data")
+    val vdirs = dataDir.listFiles().map(_.getName).filter(_.startsWith("v=")).sorted
+    assert(vdirs.length == 1, s"expected only latest version dir, got ${vdirs.mkString(",")}")
+  }
+
   test("forPath round-trips metadata") {
     val t = tmp()
     val df = Seq((1L, "a", 5L)).toDF("id", "x", "seq")
