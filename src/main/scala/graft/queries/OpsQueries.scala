@@ -89,6 +89,34 @@ object OpsQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Deterministic hash-free train/val/test split — reproducible across
+    * engines and runs, the first step of every training-data pipeline. */
+  def splitTrainTest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 100 < 80, "train")
+        .when(col("doc_id") % 100 < 90, "val")
+        .otherwise("test").alias("split"))
+
+  /** Text normalization: lowercase, collapse whitespace, strip digits —
+    * the canonicalization pass before dedup/fingerprinting. */
+  def textNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      regexp_replace(regexp_replace(lower(col("text")), "[0-9]+", ""),
+        "\\s+", " ").alias("norm_text"))
+
+  /** Sketch aggregates: HyperLogLog distinct + approximate quantiles per
+    * language — the approximate-analytics path for 100 TB profiling.
+    * Oracle-checked against EXACT values where the sketch is exact at
+    * this cardinality (HLL counts ≤ a few hundred distinct), plus a
+    * rows-only sanity on the quantiles. */
+  def sketchProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).groupBy("lang")
+      .agg(
+        approx_count_distinct(col("source")).alias("approx_sources"),
+        count(lit(1)).alias("n_docs"),
+        round(element_at(percentile_approx(col("n_chars"),
+          array(lit(0.5)), lit(10000)), 1).cast("double"), 2).alias("p50_chars"))
+
   // --- §2B multimodal -----------------------------------------------------
 
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -164,6 +192,9 @@ object OpsQueries {
     "ann_bruteforce"    -> (annBruteforce _),
     "ann_lsh"           -> (annLsh _),
     "multimodal_meta"   -> (multimodalMeta _),
+    "split_train_test"  -> (splitTrainTest _),
+    "text_normalize"    -> (textNormalize _),
+    "sketch_profile"    -> (sketchProfile _),
     "stream_window_agg"     -> (streamWindowAgg _),
     "stream_sliding_window" -> (streamSlidingWindow _),
     "stream_static_join"    -> (streamStaticJoin _),
@@ -209,6 +240,17 @@ object OpsQueries {
          FROM g""",
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "split_train_test" -> """
+         SELECT doc_id, lang,
+           CASE WHEN doc_id % 100 < 80 THEN 'train'
+                WHEN doc_id % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
+    "text_normalize" -> """
+         SELECT doc_id,
+           regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),
+             '\s+', ' ', 'g') AS norm_text
+         FROM documents""",
     "dedup_exact" -> """
          WITH all_docs AS (
            SELECT doc_id, text FROM documents
