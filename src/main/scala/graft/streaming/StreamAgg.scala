@@ -33,14 +33,23 @@ final class StreamAgg(
     src: Stream,
     groupCols: Seq[String],
     aggCols: Seq[Column],
-    reduces: Map[String, ReduceSpec]) {
+    reduces: Map[String, ReduceSpec],
+    partitionCols: Seq[PartitionCol] = Nil) {
 
   private def spark = src.spark
 
   def reduce(column: String, update: Column = null,
       deltaUpdate: Column = null, insert: Column = null): StreamAgg =
     new StreamAgg(src, groupCols, aggCols, reduces + (column ->
-      ReduceSpec(Option(update), Option(deltaUpdate), Option(insert))))
+      ReduceSpec(Option(update), Option(deltaUpdate), Option(insert))), partitionCols)
+
+  /** Output-table partitioning for the agg table (aggs.py:96-98);
+    * columns must be group keys. `prune(...)` narrows merge scans. */
+  def partitionBy(cols: PartitionCol*): StreamAgg = {
+    require(cols.forall(c => groupCols.contains(c.name)),
+      "agg partition columns must be group columns")
+    new StreamAgg(src, groupCols, aggCols, reduces, cols)
+  }
 
   /** Batch fixpoint of this aggregation — schema + equivalence checks
     * (aggs.py:63-65). */
@@ -70,7 +79,9 @@ final class StreamAgg(
   private def buildStage(outPath: String): (StageHandle, KeyedTable) = {
     val schemaDf = staticAgged()
     val out = KeyedTable.create(spark, outPath, schemaDf.schema,
-      keys = groupCols, numBuckets = src.table.meta.numBuckets)
+      keys = groupCols, numBuckets = src.table.meta.numBuckets,
+      partitionCols = partitionCols.map(_.name),
+      prunedCols = partitionCols.filter(_.pruned).map(_.name))
     val aggNames = aggOutCols
 
     // default delta: CASE WHEN m.c IS NOT NULL THEN coalesce(p.c,0)-m.c

@@ -108,4 +108,26 @@ class StreamSurfaceSpec extends AnyFunSuite {
       assert(KeyedTable.forPath(spark, s"$root/out").snapshot().count() == oDf.count())
     } finally q.stop()
   }
+
+  test("agg stage partitionBy(prune) converges and records pruned cols") {
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val oT = KeyedTable.create(spark, s"$root/o", oDf.schema, Seq("o_orderkey"), numBuckets = 4)
+    val q = Stream.fromKeyedTable(oT)
+      .groupBy("o_orderstatus")
+      .agg(sum("o_totalprice").as("total"), count(lit(1)).as("cnt"))
+      .partitionBy(prune("o_orderstatus"))
+      .writeToPath(s"$root/agg").start()
+    try {
+      oT.upsert(oDf.where(col("o_orderkey") % 2 === 0)); q.processAllAvailable()
+      oT.upsert(oDf.where(col("o_orderkey") % 2 === 1)); q.processAllAvailable()
+      val outT = KeyedTable.forPath(spark, s"$root/agg")
+      assert(outT.meta.prunedCols == Seq("o_orderstatus"))
+      val got = outT.snapshot().select(col("o_orderstatus"),
+        round(col("total"), 2).as("total"), col("cnt"))
+      val want = oT.snapshot().groupBy("o_orderstatus")
+        .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("cnt"))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
 }
