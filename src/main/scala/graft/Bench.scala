@@ -20,6 +20,10 @@ object Bench {
     // warm-up: JIT + parquet footer caches, outside the timed region
     SparkEntry.queries.get("agg_sum_groupby").foreach(_(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // ops cache intermediate tables (signatures, shingles); drop them
+      // between queries so one query's cache pressure can't evict
+      // another's mid-flight
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
