@@ -25,11 +25,11 @@ object CdcQueries {
   def cdcUpsertSnapshot(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     val kt = KeyedTable.create(s, freshDir(), o.schema, keys = Seq("o_orderkey"), numBuckets = 16)
-    kt.upsert(o)
+    kt.upsert(o, uniqueKeys = true)
     val updates = o.where(col("o_orderkey") % 3 === 0)
       .withColumn("o_orderstatus", lit("U"))
       .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-    kt.upsert(updates)
+    kt.upsert(updates, uniqueKeys = true)
     kt.snapshot()
   }
 
@@ -40,11 +40,11 @@ object CdcQueries {
       .withColumn("seq", lit(1L))
     val kt = KeyedTable.create(s, freshDir(), o.schema,
       keys = Seq("o_orderkey"), seqCols = Seq("seq"), numBuckets = 16)
-    kt.upsert(o)
+    kt.upsert(o, uniqueKeys = true)
     // newer: doubles the price for keys %5==0
     kt.upsert(o.where(col("o_orderkey") % 5 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * 2.0)
-      .withColumn("seq", lit(2L)))
+      .withColumn("seq", lit(2L)), uniqueKeys = true)
     // stale: must be rejected entirely
     kt.upsert(o.where(col("o_orderkey") % 5 === 0)
       .withColumn("o_totalprice", lit(-1.0))
@@ -67,7 +67,7 @@ object CdcQueries {
     val spec = MergeSpec(updateExprs = Some(Map(
       "total_qty" -> (col("u.total_qty") + col("s.total_qty")),
       "cnt" -> (col("u.cnt") + col("s.cnt")))))
-    (0 until 3).foreach(i => kt.merge(slice(i), spec))
+    (0 until 3).foreach(i => kt.merge(slice(i), spec, uniqueKeys = true))
     kt.snapshot().select(col("l_returnflag"), round(col("total_qty"), 2).as("total_qty"), col("cnt"))
   }
 
@@ -88,10 +88,10 @@ object CdcQueries {
       .writeToPath(s"$root/out")
       .start()
     try {
-      oT.upsert(oDf.where(col("o_orderkey") % 2 === 0))
+      oT.upsert(oDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true)
       q.processAllAvailable()
-      cT.upsert(cDf) // late right side: placeholders upgrade
-      oT.upsert(oDf.where(col("o_orderkey") % 2 === 1))
+      cT.upsert(cDf, uniqueKeys = true) // late right side: placeholders upgrade
+      oT.upsert(oDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true)
       q.processAllAvailable()
     } finally q.stop()
     KeyedTable.forPath(s, s"$root/out").snapshot()
@@ -123,10 +123,10 @@ object CdcQueries {
       .writeToPath(s"$root/agg")
       .start()
     try {
-      lT.upsert(lDf.where(col("l_orderkey") % 2 === 0)); q.processAllAvailable()
-      lT.upsert(lDf.where(col("l_orderkey") % 2 === 1)); q.processAllAvailable()
+      lT.upsert(lDf.where(col("l_orderkey") % 2 === 0), uniqueKeys = true); q.processAllAvailable()
+      lT.upsert(lDf.where(col("l_orderkey") % 2 === 1), uniqueKeys = true); q.processAllAvailable()
       lT.upsert(lDf.where(col("l_orderkey") % 7 === 0)
-        .withColumn("l_quantity", col("l_quantity") * 3))
+        .withColumn("l_quantity", col("l_quantity") * 3), uniqueKeys = true)
       q.processAllAvailable()
     } finally q.stop()
     KeyedTable.forPath(s, s"$root/agg").snapshot()

@@ -114,9 +114,11 @@ final class KeyedTable private (
 
   private def readBuckets(bv: Seq[(Int, Long)]): DataFrame = {
     val paths = bv.map { case (b, ver) => s"$path/data/v=$ver/b=$b" }
-    // no explicit schema: leaf-dir reads may surface inferred partition
-    // cols (v, b) depending on common-prefix discovery; select prunes them
-    spark.read.parquet(paths: _*).select(dataCols.map(col): _*)
+    // explicit schema: skips the footer-sampling schema-inference job
+    // that would otherwise run on EVERY snapshot/merge read (data files
+    // may carry extra all-null cdf columns from the fused write; the
+    // projection below ignores them)
+    spark.read.schema(schema).parquet(paths: _*).select(dataCols.map(col): _*)
   }
 
   /** Change rows with `_commit_version > sinceVersion`, batch form. */
@@ -134,8 +136,11 @@ final class KeyedTable private (
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(s"$path/cdf/*")
 
-  /** Plain latest-wins upsert (the bronze-table write path). */
-  def upsert(batch: DataFrame): Long = merge(batch, MergeSpec())
+  /** Plain latest-wins upsert (the bronze-table write path).
+    * `uniqueKeys = true` asserts the batch has at most one row per key,
+    * skipping the within-batch latest-wins window (one shuffle less). */
+  def upsert(batch: DataFrame, uniqueKeys: Boolean = false): Long =
+    merge(batch, MergeSpec(), uniqueKeys)
 
   /** Deletes rows matching the given keys; emits `delete` CDF rows.
     * (The reference's streams filter deletes out of the change feed,
@@ -217,12 +222,24 @@ final class KeyedTable private (
     * Single-writer. Mirrors the reference's foreachBatch-MERGE
     * (joins.py:563-570, 716-746; aggs.py:44-59) on the bucketed layout.
     */
-  def merge(batch: DataFrame, spec: MergeSpec): Long = synchronized {
-    val staged0 = dedupByKey(batch.select(dataCols.map(col): _*))
+  def merge(batch: DataFrame, spec: MergeSpec, uniqueKeys: Boolean = false): Long
+      = synchronized { withMergeConf {
+    val dataOnly = batch.select(dataCols.map(col): _*)
+    // incremental stages produce key-unique batches by construction
+    // (join deltas are outer-merged per key, agg deltas are groupBy
+    // output) — the within-batch dedup window would be a no-op shuffle
+    val staged0 = (if (uniqueKeys) dataOnly else dedupByKey(dataOnly))
       .withColumn(BucketCol, bucketExpr(col))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val affected = staged0.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+      // ONE action materializes the staged batch AND collects everything
+      // the planner needs from it: the affected bucket set plus the
+      // distinct values of each pruned column
+      val planCols = collect_set(col(BucketCol)).alias("__b") +:
+        meta.prunedCols.map(pc => collect_set(col(pc)).alias(s"__p_$pc"))
+      spark.sparkContext.setJobDescription("graft:merge:plan")
+      val planRow = staged0.agg(planCols.head, planCols.tail: _*).collect().head
+      val affected = planRow.getSeq[Int](0)
       if (affected.isEmpty) latestVersion
       else {
         val newVersion = latestVersion + 1
@@ -232,9 +249,8 @@ final class KeyedTable private (
         // pruned columns' values present in this batch — at scale this
         // skips whole partitions/row-groups of the target
         val pruneFilter: Option[Column] = meta.prunedCols.headOption.map { _ =>
-          meta.prunedCols.map { pc =>
-            val vals = staged0.select(col(pc)).distinct().collect()
-              .map(_.get(0)).filter(_ != null).toSeq
+          meta.prunedCols.zipWithIndex.map { case (pc, i) =>
+            val vals = planRow.getSeq[Any](i + 1).filter(_ != null)
             col(pc).isNull || col(pc).isin(vals: _*)
           }.reduce(_ && _)
         }
@@ -242,7 +258,7 @@ final class KeyedTable private (
           (if (bv.isEmpty) emptyDf else readBuckets(bv.toSeq))
         val current = pruneFilter.fold(currentRaw)(currentRaw.where)
             .withColumn(BucketCol, bucketExpr(col))
-        val (merged, cdf) =
+        val (merged, cdf, cleanup) =
           if (meta.nullableKeys.isEmpty) mergeExact(current, staged0, spec)
           else mergeWithPlaceholders(current, staged0, spec)
         // bucket rewrite must carry pruned-out rows through unchanged —
@@ -251,23 +267,15 @@ final class KeyedTable private (
           merged.unionByName(
             currentRaw.where(!f).withColumn(BucketCol, bucketExpr(col)))
         }
-        val persisted = newContent.persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          persisted
-            .withColumnRenamed(BucketCol, "b")
-            .repartition(col("b"))
-            .write.mode("overwrite")
-            .partitionBy("b")
-            .parquet(s"$path/data/v=$newVersion")
-          cdf.withColumn("_commit_version", lit(newVersion))
-            .write.mode("overwrite")
-            .parquet(s"$path/cdf/v=$newVersion")
-          // commit the buckets that actually produced files (a bucket can
-          // drop out if every staged row lost its sequence race)
-          // affected buckets with no output file were empty before AND
-          // after (e.g. every staged row lost its sequence race against
-          // an empty bucket) — tombstone them so the map never points
-          // at a missing dir
+          spark.sparkContext.setJobDescription("graft:merge:write")
+          writeFused(newVersion, newContent, cdf)
+          spark.sparkContext.setJobDescription(null)
+          // commit the buckets that actually produced files; affected
+          // buckets with no output file were empty before AND after
+          // (e.g. every staged row lost its sequence race against an
+          // empty bucket) — tombstone them so the map never points at
+          // a missing dir
           val written = listWrittenBuckets(newVersion)
           val emptied = affected.filterNot(written.contains)
           log.commit(newVersion, written, emptied)
@@ -276,9 +284,86 @@ final class KeyedTable private (
             bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
               -- emptied)
           newVersion
-        } finally persisted.unpersist()
+        } finally cleanup()
       }
     } finally staged0.unpersist()
+  } }
+
+  /** Merge plans are bounded-size by construction (one microbatch vs a
+    * handful of pruned buckets), so AQE's per-stage re-planning adds a
+    * job round-trip per exchange without ever changing the plan — at
+    * 100 TB the microbatch is still ~1 GB (`maxFilesPerTrigger`), and
+    * skew/coalesce decisions belong to the big table-wide queries, not
+    * the merge hot loop. Collapsing a merge to classic one-job planning
+    * roughly halves per-commit latency.
+    */
+  private def withMergeConf[T](f: => T): T = {
+    val conf = spark.conf
+    def swap(key: String, value: Option[String]): Option[String] = {
+      val prev = conf.getOption(key)
+      value match {
+        case Some(v) => conf.set(key, v)
+        case None    => if (prev.isDefined) conf.unset(key)
+      }
+      prev
+    }
+    val prevAqe = swap("spark.sql.adaptive.enabled", Some("false"))
+    // merge shuffles are microbatch-sized; let deployments shrink them
+    // below the session default (sized for table-wide queries) via
+    // spark.graft.merge.shufflePartitions
+    val prevSp = conf.getOption("spark.graft.merge.shufflePartitions")
+      .map(v => swap("spark.sql.shuffle.partitions", Some(v)))
+    try f
+    finally {
+      swap("spark.sql.adaptive.enabled", prevAqe)
+      prevSp.foreach(p => swap("spark.sql.shuffle.partitions", p))
+    }
+  }
+
+  /** Writes a commit's data buckets AND its cdf rows in ONE Spark job:
+    * both halves are unioned, tagged by a side column, written to a tmp
+    * dir partitioned by (side, bucket), and moved into place with
+    * filesystem renames. Halving the write jobs halves the dominant
+    * per-commit cost of incremental pipelines; the join both halves
+    * derive from is persisted by the caller so it is computed once.
+    */
+  private def writeFused(newVersion: Long, newContent: DataFrame, cdf: DataFrame): Unit = {
+    val dataSide = newContent
+      .withColumn("_change_type", lit(null).cast(StringType))
+      .withColumn("_commit_version", lit(null).cast(LongType))
+      .withColumn(SideCol, lit("d"))
+    val cdfSide = cdf
+      .withColumn("_commit_version", lit(newVersion))
+      .withColumn(BucketCol, bucketExpr(col))
+      .withColumn(SideCol, lit("c"))
+    val tmp = s"$path/_tmp_v$newVersion"
+    dataSide.unionByName(cdfSide)
+      .withColumnRenamed(BucketCol, "b")
+      .repartition(col(SideCol), col("b"))
+      .write.mode("overwrite")
+      .partitionBy(SideCol, "b")
+      .parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    val dataTmp = P(s"$tmp/$SideCol=d")
+    if (fs.exists(dataTmp)) {
+      fs.mkdirs(P(s"$path/data"))
+      fs.rename(dataTmp, P(s"$path/data/v=$newVersion"))
+    }
+    val cdfTmp = P(s"$tmp/$SideCol=c")
+    if (fs.exists(cdfTmp)) {
+      val dest = P(s"$path/cdf/v=$newVersion")
+      fs.mkdirs(dest)
+      // flatten b=* so the cdf stream's glob sees plain files
+      fs.listStatus(cdfTmp).filter(_.getPath.getName.startsWith("b=")).foreach { bDir =>
+        val b = bDir.getPath.getName.stripPrefix("b=")
+        fs.listStatus(bDir.getPath).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dest, s"b$b-${f.getPath.getName}"))
+        }
+      }
+    }
+    fs.delete(P(tmp), true)
   }
 
   /** Latest-wins dedup of a batch by full key (joins.py:556-561). */
@@ -294,7 +379,7 @@ final class KeyedTable private (
   /** Exact-key merge (upsert / agg tables): one full-outer join on the
     * null-safe key equality, no windows. */
   private def mergeExact(current: DataFrame, staged: DataFrame, spec: MergeSpec)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, () => Unit) = {
     val u = current.withColumn(UExists, lit(true)).alias("u")
     val s = staged.withColumn(SExists, lit(true)).alias("s")
     // partition columns participate in the match (joins.py:679): a row
@@ -325,7 +410,8 @@ final class KeyedTable private (
       .select(dataCols.map(c =>
         spec.updateExprs.flatMap(_.get(c)).getOrElse(col(s"s.$c")).alias(c)): _*)
       .withColumn("_change_type", lit("update_postimage"))
-    (newContent, inserts.unionByName(updatesPre).unionByName(updatesPost))
+    (newContent, inserts.unionByName(updatesPre).unionByName(updatesPost),
+      () => { pairs.unpersist(); () })
   }
 
   /** `u.seq is null OR u.seq <= s.seq` (joins.py:706) as one struct compare. */
@@ -344,7 +430,7 @@ final class KeyedTable private (
     * the same behavior from `_mergeCondition` OR-combinations + `__rn`
     * windows + an anti-join (joins.py:584-617, 691-746). */
   private def mergeWithPlaceholders(current: DataFrame, staged: DataFrame, spec: MergeSpec)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, () => Unit) = {
     val u = current.withColumn(UExists, lit(true)).alias("u")
     val s = staged.withColumn(SExists, lit(true)).alias("s")
     val bucketEq = (meta.bucketKeys.map(k => col(s"u.$k") === col(s"s.$k")) ++
@@ -408,7 +494,8 @@ final class KeyedTable private (
     val cdfPre = winners.select(dataCols.map(c => col(s"u.$c").alias(c)): _*)
       .withColumn("_change_type", lit("update_preimage"))
     val cdfPost = updatesNew.drop(BucketCol).withColumn("_change_type", lit("update_postimage"))
-    (newContent, cdfInserts.unionByName(cdfPre).unionByName(cdfPost))
+    (newContent, cdfInserts.unionByName(cdfPre).unionByName(cdfPost),
+      () => { ranked.unpersist(); () })
   }
 
   private def listWrittenBuckets(version: Long): Seq[Int] = {
@@ -422,6 +509,7 @@ final class KeyedTable private (
 
 object KeyedTable {
   private[store] val BucketCol = "__bucket"
+  private[store] val SideCol = "__side"
   private[store] val UExists = "__u_exists"
   private[store] val SExists = "__s_exists"
 

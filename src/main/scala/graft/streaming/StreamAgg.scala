@@ -102,6 +102,7 @@ final class StreamAgg(
       insertExprs = if (insertExprs.isEmpty) None else Some(insertExprs))
 
     def mergeAgg(batch: DataFrame, batchId: Long): Unit = {
+      if (batch.isEmpty) return // empty microbatch: skip the agg+merge plan
       val data = batch
       val plus = data.where(col("_change_type") =!= "update_preimage")
         .groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
@@ -113,7 +114,8 @@ final class StreamAgg(
       val deltas = p.join(m, keyEq, "full_outer")
         .select(groupCols.map(k => coalesce(col(s"p.$k"), col(s"m.$k")).alias(k)) ++
           deltaExprs: _*)
-      out.merge(deltas, mergeSpec)
+      // deltas is groupBy output → key-unique
+      out.merge(deltas, mergeSpec, uniqueKeys = true)
     }
 
     val name = s"agg:${new org.apache.hadoop.fs.Path(outPath).getName}"

@@ -185,9 +185,13 @@ final class JoinedStream(
         .select("r.*")
       // ONE action for both version pins (the reference unions two aggs
       // for the same reason, joins.py:403-408)
+      batch.sparkSession.sparkContext.setJobDescription("graft:join:pin")
       val vRow = batch.agg(
         max(col("l._commit_version")).alias("lv"),
-        max(col("r._commit_version")).alias("rv")).collect().head
+        max(col("r._commit_version")).alias("rv"),
+        count(lit(1)).alias("n")).collect().head
+      batch.sparkSession.sparkContext.setJobDescription(null)
+      if (vRow.getLong(2) == 0L) return // empty microbatch: nothing to do
       val lMax = if (vRow.isNullAt(0)) -1L else vRow.getLong(0)
       val rMax = if (vRow.isNullAt(1)) -1L else vRow.getLong(1)
       // pin statics at the batch's max commit version for deterministic
@@ -236,7 +240,8 @@ final class JoinedStream(
 
       userSink match {
         case Some(fn) => fn(combined, batchId)
-        case None     => out.merge(combined, MergeSpec())
+        // combined is outer-merged per output key above → key-unique
+        case None     => out.merge(combined, MergeSpec(), uniqueKeys = true)
       }
     }
 
