@@ -86,12 +86,11 @@ object TextAnalysis {
 /** Shared shingling helpers. */
 object Shingles {
   /** Distinct word n-gram shingles of `text` (space-joined). Documents
-    * shorter than n words contribute a single whole-text shingle. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = TextAnalysis.words(text)
-    val ngrams = transform(
-      sequence(lit(0), size(w) - n),
-      i => array_join(slice(w, i + 1, lit(n)), " "))
-    array_distinct(when(size(w) >= n, ngrams).otherwise(array(text)))
-  }
+    * shorter than n words contribute a single whole-text shingle.
+    * Backed by the native one-pass [[graft.functions.WordShingles]]
+    * expression (identical output to the composed
+    * split→sequence→slice→array_join→array_distinct HOF chain, without
+    * its four interpreted traversals per row). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.HashExpressions.wordShingles(text, n)
 }

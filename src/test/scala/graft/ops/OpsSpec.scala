@@ -82,4 +82,40 @@ class OpsSpec extends AnyFunSuite {
     assert(meta.count() == docs.count())
     assert(meta.filter(m => m.byte_len <= 0).count() == 0)
   }
+
+  test("native shingle/minhash expressions are bit-equal to composed HOF forms") {
+    import graft.functions.HashExpressions
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // composed reference forms (the pre-native implementations)
+    val w = split(col("text"), " ")
+    val hofShingles = array_distinct(
+      when(size(w) >= 3,
+        transform(sequence(lit(0), size(w) - 3),
+          i => array_join(slice(w, i + 1, lit(3)), " ")))
+        .otherwise(array(col("text"))))
+    val shinglesDiff = docs
+      .withColumn("a", hofShingles)
+      .withColumn("b", HashExpressions.wordShingles(col("text"), 3))
+      .where(not(col("a") <=> col("b")))
+    assert(shinglesDiff.count() == 0, "wordShingles mismatch vs HOF form")
+
+    val hofHashes = transform(HashExpressions.wordShingles(col("text"), 3),
+      s => xxhash64(s))
+    val hashDiff = docs
+      .withColumn("a", hofHashes)
+      .withColumn("b", HashExpressions.hashArray(
+        HashExpressions.wordShingles(col("text"), 3)))
+      .where(not(col("a") <=> col("b")))
+    assert(hashDiff.count() == 0, "hashArray mismatch vs HOF form")
+
+    // minhashSignature's contract takes the shingle-string array and
+    // hashes each shingle once; the native form fuses that same pass
+    val sigDiff = docs
+      .withColumn("a", Dedup.minhashSignature(
+        HashExpressions.wordShingles(col("text"), 3), 16))
+      .withColumn("b", HashExpressions.minhashShingles(
+        HashExpressions.wordShingles(col("text"), 3), 16))
+      .where(not(col("a") <=> col("b")))
+    assert(sigDiff.count() == 0, "minhash signature mismatch vs HOF form")
+  }
 }
