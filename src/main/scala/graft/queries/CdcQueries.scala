@@ -134,7 +134,61 @@ object CdcQueries {
         col("cnt"), round(col("avg_qty"), 2).as("avg_qty"))
   }
 
+  /** Delete propagation through an incremental INNER join: orders are
+    * inserted in two batches, then a slice is deleted from the source —
+    * the retraction must remove every joined output row (the reference
+    * drops deletes entirely; graft's `handleDeletes` opts in). Oracle
+    * is the batch join of the surviving rows. */
+  def cdcDeletePropagation(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Stream
+    val root = freshDir()
+    val oDf = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(s, d).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(s, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 8)
+    val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
+    cT.upsert(cDf, uniqueKeys = true)
+    val q = Stream.fromKeyedTable(oT, maxFilesPerTrigger = 64).handleDeletes()
+      .join(Stream.fromKeyedTable(cT, maxFilesPerTrigger = 64), "inner")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .writeToPath(s"$root/out")
+      .start()
+    try {
+      oT.upsert(oDf, uniqueKeys = true)
+      q.processAllAvailable()
+      oT.delete(oDf.where(col("o_orderkey") % 4 === 0).select("o_orderkey"))
+      q.processAllAvailable()
+    } finally q.stop()
+    KeyedTable.forPath(s, s"$root/out").snapshot()
+  }
+
+  /** Delete retraction through an incremental aggregation: after the
+    * delete commit the running (sum, count) must equal the aggregate
+    * of the surviving rows only. */
+  def cdcAggDeleteRetract(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Stream
+    val root = freshDir()
+    val oDf = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val oT = KeyedTable.create(s, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 8)
+    val q = Stream.fromKeyedTable(oT, maxFilesPerTrigger = 64).handleDeletes()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("total"))
+      .writeToPath(s"$root/agg")
+      .start()
+    try {
+      oT.upsert(oDf, uniqueKeys = true)
+      q.processAllAvailable()
+      oT.delete(oDf.where(col("o_orderkey") % 4 === 0).select("o_orderkey"))
+      q.processAllAvailable()
+    } finally q.stop()
+    KeyedTable.forPath(s, s"$root/agg").snapshot()
+      .select(col("o_orderstatus"), col("cnt"),
+        col("total").cast("decimal(18,2)").as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_delete_propagation" -> (cdcDeletePropagation _),
+    "cdc_agg_delete_retract" -> (cdcAggDeleteRetract _),
     "cdc_join_incremental" -> (cdcJoinIncremental _),
     "cdc_agg_reduce_incremental" -> (cdcAggReduceIncremental _),
     "cdc_upsert_snapshot" -> (cdcUpsertSnapshot _),
@@ -142,6 +196,15 @@ object CdcQueries {
     "cdc_agg_incremental" -> (cdcAggIncremental _))
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_delete_propagation" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey % 4 <> 0""",
+    "cdc_agg_delete_retract" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS total
+         FROM orders WHERE o_orderkey % 4 <> 0
+         GROUP BY o_orderstatus""",
     "cdc_join_incremental" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",

@@ -46,16 +46,48 @@ final class CommitLog(rootPath: String, conf: Configuration) {
   def latestVersion(): Long = versions().lastOption.getOrElse(0L)
 
   /** bucket -> newest version ≤ `upTo` that rewrote it; buckets whose
-    * latest action emptied them are absent. */
+    * latest action emptied them are absent. Replays from the newest
+    * checkpoint ≤ `upTo` (if any) plus the commit tail after it, so
+    * open/replay cost on a long-lived table is O(checkpoint interval),
+    * not O(total commits) — the same role as Delta's log checkpoints. */
   def bucketVersions(upTo: Long): Map[Int, Long] = {
-    var acc = Map.empty[Int, Long]
-    versions().iterator.takeWhile(_ <= upTo).foreach { v =>
+    val ck = latestCheckpointAt(upTo)
+    var acc = ck.map(_._2).getOrElse(Map.empty[Int, Long])
+    val from = ck.map(_._1).getOrElse(-1L)
+    versions().iterator.filter(v => v > from && v <= upTo).foreach { v =>
       val json = readFully(commitPath(v))
       parseIntArray(json, "buckets").foreach(b => acc += b -> v)
       parseIntArray(json, "emptied").foreach(b => acc -= b)
     }
     acc
   }
+
+  /** Writes a full bucket-map checkpoint as of `version`. */
+  def checkpoint(version: Long, map: Map[Int, Long]): Unit = {
+    val entries = map.toSeq.sortBy(_._1)
+      .map { case (b, v) => s"[$b,$v]" }.mkString(",")
+    writeAtomic(ckptPath(version),
+      s"""{"version":$version,"entries":[$entries]}""")
+  }
+
+  /** Newest checkpoint at or below `upTo`, as (version, bucket map). */
+  def latestCheckpointAt(upTo: Long): Option[(Long, Map[Int, Long])] = {
+    if (!fs.exists(logDir)) return None
+    val cks = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_ckpt_") && n.endsWith(".json"))
+      .map(_.stripPrefix("_ckpt_").stripSuffix(".json").toLong)
+      .filter(_ <= upTo)
+    if (cks.isEmpty) None
+    else {
+      val v = cks.max
+      val json = readFully(ckptPath(v))
+      val pairs = """\[(\d+),(\d+)\]""".r.findAllMatchIn(
+        json.dropWhile(_ != '[')).map(m => m.group(1).toInt -> m.group(2).toLong)
+      Some(v -> pairs.toMap)
+    }
+  }
+
+  private def ckptPath(v: Long) = new Path(logDir, f"_ckpt_$v%020d.json")
 
   def commit(version: Long, buckets: Seq[Int], emptied: Seq[Int] = Nil): Unit = {
     val json = s"""{"version":$version,"buckets":[${buckets.mkString(",")}],""" +

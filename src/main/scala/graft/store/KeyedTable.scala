@@ -143,19 +143,33 @@ final class KeyedTable private (
     merge(batch, MergeSpec(), uniqueKeys)
 
   /** Deletes rows matching the given keys; emits `delete` CDF rows.
-    * (The reference's streams filter deletes out of the change feed,
-    * streams.py:132 — graft does the same in Stream.changeStream, so
-    * deletes affect snapshots but not downstream incremental stages.) */
-  def delete(keys: DataFrame): Long = synchronized {
-    val keyCols = meta.keys
-    val staged = keys.select(keyCols.map(col): _*).distinct()
-      .withColumn(BucketCol, bucketExpr(col))
+    * `keys` may carry the FULL key (bucket-pruned scan) or any subset
+    * of key columns (partial-key delete — e.g. retract every join
+    * output of one deleted source row; scans all current buckets).
+    * By default the reference's streams filter deletes out of the
+    * change feed (streams.py:132) and graft's Stream does the same —
+    * `Stream.handleDeletes(true)` opts downstream stages into
+    * retraction instead. */
+  def delete(keys: DataFrame): Long = synchronized { withMergeConf {
+    val keyCols = meta.keys.filter(keys.columns.contains)
+    require(keyCols.nonEmpty,
+      s"delete keys must include at least one of ${meta.keys.mkString(",")}")
+    val fullKey = meta.bucketKeys.forall(keyCols.contains)
+    val staged0 = keys.select(keyCols.map(col): _*).distinct()
+    val staged = (if (fullKey) staged0.withColumn(BucketCol, bucketExpr(col))
+                  else staged0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val affected = staged.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+      val bvAll = bucketVersionsAt(latestVersion)
+      val affected: Seq[Int] =
+        if (fullKey) {
+          spark.sparkContext.setJobDescription("graft:merge:plan")
+          staged.agg(collect_set(col(BucketCol))).collect().head.getSeq[Int](0)
+        } else if (staged.isEmpty) Nil
+        else bvAll.keys.toSeq
       if (affected.isEmpty) return latestVersion
       val newVersion = latestVersion + 1
-      val bv = bucketVersionsAt(latestVersion).filter { case (b, _) => affected.contains(b) }
+      val bv = bvAll.filter { case (b, _) => affected.contains(b) }
       if (bv.isEmpty) return latestVersion
       val current = readBuckets(bv.toSeq).withColumn(BucketCol, bucketExpr(col))
       val eq = keyCols.map(k => col(s"u.$k") <=> col(s"d.$k")).reduce(_ && _)
@@ -167,11 +181,9 @@ final class KeyedTable private (
       val removed = u.join(d, eq, "left_semi")
         .select(dataCols.map(c => col(s"u.$c").alias(c)): _*)
         .withColumn("_change_type", lit("delete"))
-      remaining.withColumnRenamed(BucketCol, "b").repartition(col("b"))
-        .write.mode("overwrite").partitionBy("b")
-        .parquet(s"$path/data/v=$newVersion")
-      removed.withColumn("_commit_version", lit(newVersion))
-        .write.mode("overwrite").parquet(s"$path/cdf/v=$newVersion")
+      spark.sparkContext.setJobDescription("graft:merge:write")
+      writeFused(newVersion, remaining, removed)
+      spark.sparkContext.setJobDescription(null)
       // buckets the delete emptied entirely get tombstoned; the rest
       // point at their rewritten files
       val written = listWrittenBuckets(newVersion)
@@ -180,9 +192,17 @@ final class KeyedTable private (
       bvCache = (newVersion,
         bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
           -- emptied)
+      maybeCheckpoint(newVersion)
       newVersion
     } finally staged.unpersist()
-  }
+  } }
+
+  /** Every [[KeyedTable.CheckpointInterval]] commits, persist the full
+    * bucket map so future readers replay O(interval) commit files, not
+    * the whole history (Delta's checkpoint analog; SURVEY §6c-5). */
+  private def maybeCheckpoint(version: Long): Unit =
+    if (version % KeyedTable.CheckpointInterval == 0 && bvCache._1 == version)
+      log.checkpoint(version, bvCache._2)
 
   /** Removes data/cdf files no longer reachable from the latest
     * `retainVersions` snapshots — bounded storage growth for long-lived
@@ -283,6 +303,7 @@ final class KeyedTable private (
           bvCache = (newVersion,
             bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
               -- emptied)
+          maybeCheckpoint(newVersion)
           newVersion
         } finally cleanup()
       }
@@ -328,11 +349,17 @@ final class KeyedTable private (
     * derive from is persisted by the caller so it is computed once.
     */
   private def writeFused(newVersion: Long, newContent: DataFrame, cdf: DataFrame): Unit = {
-    val dataSide = newContent
+    // normalize to the declared schema: merge arithmetic can widen
+    // types (e.g. decimal(28,6)+decimal(28,6) → decimal(29,6)), and a
+    // widened file would break the explicit-schema bucket reads
+    def normalized(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).alias(f.name)) ++
+        extra: _*)
+    val dataSide = normalized(newContent, Seq(col(BucketCol)))
       .withColumn("_change_type", lit(null).cast(StringType))
       .withColumn("_commit_version", lit(null).cast(LongType))
       .withColumn(SideCol, lit("d"))
-    val cdfSide = cdf
+    val cdfSide = normalized(cdf, Seq(col("_change_type")))
       .withColumn("_commit_version", lit(newVersion))
       .withColumn(BucketCol, bucketExpr(col))
       .withColumn(SideCol, lit("c"))
@@ -510,6 +537,7 @@ final class KeyedTable private (
 object KeyedTable {
   private[store] val BucketCol = "__bucket"
   private[store] val SideCol = "__side"
+  private[store] val CheckpointInterval = 10L
   private[store] val UExists = "__u_exists"
   private[store] val SExists = "__s_exists"
 

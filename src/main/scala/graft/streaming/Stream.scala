@@ -30,10 +30,18 @@ final class Stream private (
     private[streaming] val upstream: Seq[StageHandle],
     val maxFilesPerTrigger: Int,
     private val others: Seq[Stream] = Nil,
-    private val startV: Long = -1L) {
+    private val startV: Long = -1L,
+    private[streaming] val deletesOn: Boolean = false) {
 
   def primaryKeys(keys: String*): Stream = copy(pks2 = keys)
   def sequenceBy(cols: String*): Stream = copy(seq2 = cols)
+
+  /** Opt into delete propagation: `delete` change rows stay in the
+    * feed and downstream stages retract — inner-join stages remove the
+    * affected output rows, agg stages subtract the deleted rows'
+    * contributions. The reference silently drops deletes
+    * (streams.py:132); that remains the default here. */
+  def handleDeletes(on: Boolean = true): Stream = copy(deletes2 = on)
 
   /** Source transform applied to both the change stream and the static
     * snapshot (streams.py:235-240). */
@@ -56,8 +64,8 @@ final class Stream private (
   /** CDF rows as a streaming DataFrame; deletes are filtered like the
     * reference's fromPath (streams.py:132). */
   private[streaming] def changeStream: DataFrame = {
-    val raw = table.changeStream(maxFilesPerTrigger)
-      .where(col("_change_type") =!= "delete")
+    val raw0 = table.changeStream(maxFilesPerTrigger)
+    val raw = if (deletesOn) raw0 else raw0.where(col("_change_type") =!= "delete")
     val cut = if (startV < 0) raw else raw.where(col("_commit_version") > startV)
     val own = applyTransformKeepingCdf(cut)
     others.foldLeft(own)((acc, o) => acc.unionByName(o.changeStream))
@@ -102,8 +110,10 @@ final class Stream private (
       upstream2: Seq[StageHandle] = upstream,
       mft2: Int = maxFilesPerTrigger,
       others2: Seq[Stream] = others,
-      startV2: Long = startV): Stream =
-    new Stream(spark, table, pks2, seq2, transform2, upstream2, mft2, others2, startV2)
+      startV2: Long = startV,
+      deletes2: Boolean = deletesOn): Stream =
+    new Stream(spark, table, pks2, seq2, transform2, upstream2, mft2, others2,
+      startV2, deletes2)
 
   private[streaming] def withUpstream(h: Seq[StageHandle]): Stream = copy(upstream2 = h)
 }

@@ -104,9 +104,14 @@ final class StreamAgg(
     def mergeAgg(batch: DataFrame, batchId: Long): Unit = {
       if (batch.isEmpty) return // empty microbatch: skip the agg+merge plan
       val data = batch
-      val plus = data.where(col("_change_type") =!= "update_preimage")
+      // deletes (present only when the source opted into handleDeletes)
+      // retract exactly like update pre-images: their contribution is
+      // subtracted from the running aggregate
+      val plus = data.where(col("_change_type") =!= "update_preimage" &&
+          col("_change_type") =!= "delete")
         .groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-      val minus = data.where(col("_change_type") === "update_preimage")
+      val minus = data.where(col("_change_type") === "update_preimage" ||
+          col("_change_type") === "delete")
         .groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       val p = plus.alias("p")
       val m = minus.alias("m")

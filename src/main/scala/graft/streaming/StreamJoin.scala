@@ -149,6 +149,8 @@ final class JoinedStream(
       s"${left.stagingRoot}/_stage_join_${Integer.toHexString(stageFingerprint)}")
     val (handle, outTable) = buildStage(path)
     Stream.fromKeyedTable(outTable(), left.maxFilesPerTrigger)
+      // retractions emitted by this stage must keep retracting downstream
+      .handleDeletes(left.deletesOn || right.deletesOn)
       .withUpstream(left.upstream ++ right.upstream :+ handle)
   }
 
@@ -163,6 +165,15 @@ final class JoinedStream(
     val schemaDf = staticJoined()
     val (nonNull, nullable) = outKeySplit
     require(nonNull.nonEmpty, "join output needs at least one non-nullable primary key")
+    val anyDeletes = left.deletesOn || right.deletesOn
+    require(!anyDeletes || joinType == "inner",
+      "handleDeletes is supported for inner joins (an outer join would " +
+        "need placeholder downgrades, which the output table cannot express yet)")
+    if (anyDeletes) {
+      val outCols = schemaDf.columns.toSeq
+      require((left.pks ++ right.pks).forall(outCols.contains),
+        "handleDeletes needs both sides' primary keys in the join output")
+    }
     val seqCols = (left.seqCols ++ right.seqCols).distinct
       .filter(schemaDf.columns.contains)
     lazy val out = KeyedTable.create(spark, outPath, schemaDf.schema,
@@ -178,10 +189,12 @@ final class JoinedStream(
 
     def mergeJoin(batch: DataFrame, batchId: Long): Unit = {
       val lRows = batch
-        .where(col("l").isNotNull && col("l._change_type") =!= "update_preimage")
+        .where(col("l").isNotNull && col("l._change_type") =!= "update_preimage" &&
+          col("l._change_type") =!= "delete")
         .select("l.*")
       val rRows = batch
-        .where(col("r").isNotNull && col("r._change_type") =!= "update_preimage")
+        .where(col("r").isNotNull && col("r._change_type") =!= "update_preimage" &&
+          col("r._change_type") =!= "delete")
         .select("r.*")
       // ONE action for both version pins (the reference unions two aggs
       // for the same reason, joins.py:403-408)
@@ -242,6 +255,29 @@ final class JoinedStream(
         case Some(fn) => fn(combined, batchId)
         // combined is outer-merged per output key above → key-unique
         case None     => out.merge(combined, MergeSpec(), uniqueKeys = true)
+      }
+
+      // delete propagation (inner joins): a source key whose LATEST
+      // action in this batch is a delete retracts every output row it
+      // contributed — a partial-key delete on the out table. Commit
+      // versions strictly order delete vs re-insert within the batch.
+      if (anyDeletes && userSink.isEmpty) {
+        def latestDeleteKeys(side: String, pks: Seq[String]): DataFrame = {
+          val all = batch.where(col(side).isNotNull).select(s"$side.*")
+          val w = Window.partitionBy(pks.map(col): _*)
+            .orderBy(col("_commit_version").desc)
+          all.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1 && col("_change_type") === "delete")
+            .select(pks.map(col): _*)
+        }
+        if (left.deletesOn) {
+          val dk = latestDeleteKeys("l", left.pks)
+          if (!dk.isEmpty) out.delete(dk)
+        }
+        if (right.deletesOn) {
+          val dk = latestDeleteKeys("r", right.pks)
+          if (!dk.isEmpty) out.delete(dk)
+        }
       }
     }
 

@@ -142,4 +142,24 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(kt2.meta.keys == Seq("id") && kt2.meta.seqCols == Seq("seq"))
     assert(kt2.snapshot().count() == 1)
   }
+
+  test("log checkpoint: replay from checkpoint matches full replay") {
+    val t = tmp()
+    val df = Seq.tabulate(20)(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 4)
+    // 12 commits crosses the checkpoint interval (10)
+    (1 to 12).foreach(i => kt.upsert(df.withColumn("v", col("v") + i)))
+    val ckpts = new java.io.File(s"$t/_log").listFiles()
+      .map(_.getName).filter(_.startsWith("_ckpt_"))
+    assert(ckpts.length == 1, s"expected one checkpoint, got ${ckpts.mkString(",")}")
+    // a fresh reader (fresh replay cache) must see the same state
+    val kt2 = KeyedTable.forPath(spark, t)
+    val snap = kt2.snapshot().orderBy("id").collect()
+    assert(snap.length == 20 && snap.head.getDouble(1) == 12.0)
+    assert(kt2.latestVersion == 12L)
+    // checkpoint content agrees with a replay that ignores it
+    val log = new CommitLog(t, spark.sessionState.newHadoopConf())
+    val full = log.bucketVersions(9L) // before the checkpoint
+    assert(full.values.max == 9L)
+  }
 }
