@@ -186,7 +186,34 @@ object CdcQueries {
         col("total").cast("decimal(18,2)").as("total"))
   }
 
+  /** A16/A17 named-table surface: sources and sink live in a
+    * TableCatalog, the pipeline is wired by name (`fromTable` →
+    * `writeToTable`), and the result is read back through plain
+    * `spark.sql` on the registered view. */
+  def tableCatalogSql(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Stream
+    import graft.store.TableCatalog
+    val cat = new TableCatalog(s, s"${freshDir()}/warehouse")
+    val oDf = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(s, d).select("c_custkey", "c_name")
+    val oT = cat.create("orders_src", oDf.schema, Seq("o_orderkey"), numBuckets = 8)
+    val cT = cat.create("customer_src", cDf.schema, Seq("c_custkey"), numBuckets = 8)
+    val q = Stream.fromTable(cat, "orders_src")
+      .join(Stream.fromTable(cat, "customer_src"), "inner")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .writeToTable(cat, "enriched")
+      .start()
+    try {
+      cT.upsert(cDf, uniqueKeys = true)
+      oT.upsert(oDf, uniqueKeys = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    cat.registerView("enriched")
+    s.sql("SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name FROM enriched")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_catalog_sql" -> (tableCatalogSql _),
     "cdc_delete_propagation" -> (cdcDeletePropagation _),
     "cdc_agg_delete_retract" -> (cdcAggDeleteRetract _),
     "cdc_join_incremental" -> (cdcJoinIncremental _),
@@ -196,6 +223,9 @@ object CdcQueries {
     "cdc_agg_incremental" -> (cdcAggIncremental _))
 
   val oracleSql: Map[String, String] = Map(
+    "table_catalog_sql" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
     "cdc_delete_propagation" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
          FROM orders JOIN customer ON o_custkey = c_custkey

@@ -177,6 +177,45 @@ object OpsQueries {
         date_trunc("second", col("session_start")).alias("session_start"),
         date_trunc("second", col("session_end")).alias("session_end"))
 
+  /** C3, streaming-NATIVE form: the real flatMapGroupsWithState session
+    * operator over the event stream. A per-user sentinel event one gap
+    * past the global max timestamp flushes every real session out of
+    * state (sentinel sessions stay open and are never emitted), so the
+    * appended output equals the batch gaps-and-islands fixpoint. */
+  def streamSessionizeNative(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$d/events.parquet"
+    val raw = s.read.parquet(src)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val conf = s.sessionState.newHadoopConf()
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val fs = srcP.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs,
+      new org.apache.hadoop.fs.Path(tmp, srcP.getName), false, conf)
+    val maxTs = raw.agg(max("ts")).head.getLong(0)
+    val sentinelTs = maxTs + 1801L * 1000000000L // gap (1800s) + 1s, in ns
+    val sentinel = raw.select(col("user_id")).distinct()
+      .select(raw.schema.fields.toSeq.map { f =>
+        f.name match {
+          case "user_id" => col("user_id")
+          case "ts"      => lit(sentinelTs).cast(f.dataType).alias("ts")
+          case other     => lit(null).cast(f.dataType).alias(other)
+        }
+      }: _*)
+    sentinel.coalesce(1).write.mode("append").parquet(tmp)
+    val out = EventOps.runToMemory(s, tmp, s"sessnat_${System.nanoTime()}",
+      org.apache.spark.sql.streaming.OutputMode.Append())(df =>
+      EventOps.sessionizeStream(s, df))
+    out.select(col("user_id"),
+      col("n_events").cast("long").alias("n_events"),
+      date_trunc("second",
+        col("session_start").cast(org.apache.spark.sql.types.TimestampNTZType))
+        .alias("session_start"),
+      date_trunc("second",
+        col("session_end").cast(org.apache.spark.sql.types.TimestampNTZType))
+        .alias("session_end"))
+  }
+
   // --- registration -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -199,7 +238,8 @@ object OpsQueries {
     "stream_sliding_window" -> (streamSlidingWindow _),
     "stream_static_join"    -> (streamStaticJoin _),
     "stream_dedup"          -> (streamDedup _),
-    "stream_sessionize"     -> (streamSessionize _))
+    "stream_sessionize"     -> (streamSessionize _),
+    "stream_sessionize_native" -> (streamSessionizeNative _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -328,5 +368,22 @@ object OpsQueries {
          SELECT user_id, session_id, count(*) AS n_events,
            date_trunc('second', min(ts)) AS session_start,
            date_trunc('second', max(ts)) AS session_end
-         FROM s GROUP BY user_id, session_id""")
+         FROM s GROUP BY user_id, session_id""",
+    "stream_sessionize_native" -> """
+         WITH l AS (SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         f AS (SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+               THEN 1 ELSE 0 END AS flag
+           FROM l),
+         s AS (SELECT user_id, ts,
+             sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM f),
+         g AS (SELECT user_id, session_id, count(*) AS n_events,
+             date_trunc('second', min(ts)) AS session_start,
+             date_trunc('second', max(ts)) AS session_end
+           FROM s GROUP BY user_id, session_id)
+         SELECT user_id, n_events, session_start, session_end FROM g""")
 }

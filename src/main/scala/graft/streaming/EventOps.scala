@@ -70,7 +70,7 @@ object EventOps {
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, end: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
-      n_events: Int, duration_secs: Long)
+      session_end: java.sql.Timestamp, n_events: Int, duration_secs: Long)
 
   /** C3 (streaming form): sessionization with a gap timeout via
     * flatMapGroupsWithState — sessions close when no event arrives
@@ -91,8 +91,8 @@ object EventOps {
           case Some(st) if t - st.end <= gapSecs * 1000 =>
             cur = Some(st.copy(end = t, n = st.n + 1))
           case Some(st) =>
-            out ::= SessionOut(userId, new java.sql.Timestamp(st.start), st.n,
-              (st.end - st.start) / 1000)
+            out ::= SessionOut(userId, new java.sql.Timestamp(st.start),
+              new java.sql.Timestamp(st.end), st.n, (st.end - st.start) / 1000)
             cur = Some(SessionState(t, t, 1))
           case None =>
             cur = Some(SessionState(t, t, 1))

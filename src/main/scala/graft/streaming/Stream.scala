@@ -122,6 +122,12 @@ object Stream {
   def fromPath(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 64): Stream =
     fromKeyedTable(KeyedTable.forPath(spark, path), maxFilesPerTrigger)
 
+  /** The reference's `Stream.fromTable(name)` (streams.py:96-124) on a
+    * [[graft.store.TableCatalog]] name binding. */
+  def fromTable(catalog: graft.store.TableCatalog, name: String,
+      maxFilesPerTrigger: Int = 64): Stream =
+    fromKeyedTable(catalog.table(name), maxFilesPerTrigger)
+
   def fromKeyedTable(kt: KeyedTable, maxFilesPerTrigger: Int = 64): Stream =
     new Stream(kt.spark, kt, kt.meta.keys, kt.meta.seqCols, identity, Nil, maxFilesPerTrigger)
 }

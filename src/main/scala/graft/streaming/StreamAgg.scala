@@ -63,6 +63,10 @@ final class StreamAgg(
     new Pipeline(src.upstream :+ handle)
   }
 
+  /** The reference's `writeToTable(name)` for agg stages (aggs.py:112). */
+  def writeToTable(catalog: graft.store.TableCatalog, name: String): Pipeline =
+    writeToPath(catalog.path(name))
+
   def join(right: Stream, joinType: String = "inner", stagingPath: String = null): JoinBuilder =
     stagedStream(stagingPath).join(right, joinType)
 

@@ -124,6 +124,12 @@ final class JoinedStream(
     new Pipeline(left.upstream ++ right.upstream :+ stageHandle)
   }
 
+  /** The reference's `writeToTable(name)` (joins.py:748-754): the
+    * output table is created under the catalog's warehouse and queryable
+    * by name (and via `spark.sql` after `catalog.registerView`). */
+  def writeToTable(catalog: graft.store.TableCatalog, name: String): Pipeline =
+    writeToPath(catalog.path(name))
+
   /** User-supplied microbatch sink: receives the combined, deduplicated
     * join delta of every microbatch instead of merging into a managed
     * output table — the reference's `.foreachBatch(mergeFunc)`
