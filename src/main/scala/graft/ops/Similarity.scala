@@ -67,6 +67,71 @@ object Similarity {
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Nearest centroid per vector: cross the (tiny, broadcast) centroid
+    * table against the vectors and keep the best by cosine. The window
+    * shuffles (vector, centroid) pairs on vector id; at cluster scale
+    * the same argmin is one native map-side pass over a broadcast
+    * centroid matrix — the shape (corpus × nlist, no corpus×corpus)
+    * is what matters. */
+  private def assignClusters(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("neighbor_id")
+      .orderBy(col("__sim").desc, col("__cid").asc)
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("__sim", cosine(col("__cv"), col("__cent")))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("neighbor_id"), col("__cv"), col("__cid"))
+  }
+
+  /** B7b: IVF (inverted-file) approximate top-k — the scale path when
+    * hyperplane LSH recall is too coarse. Centroids are learned with a
+    * few Lloyd iterations (deterministic seeding: the `nlist` lowest-id
+    * vectors), the corpus is partitioned into centroid lists ONCE (one
+    * shuffle), and each query probes only its `nprobe` closest lists —
+    * per-query work is `nprobe/nlist` of the corpus. Queries and
+    * centroids are broadcast; the corpus is never replicated.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vec: String = "embedding",
+      id: String = "vec_id",
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    val c = corpus.select(col(id).alias("neighbor_id"), col(vec).alias("__cv")).cache()
+    var cents: DataFrame = c.orderBy("neighbor_id").limit(nlist)
+      .withColumn("__cid",
+        row_number().over(Window.orderBy("neighbor_id")).cast("int") - 1)
+      .select(col("__cid"), col("__cv").cast("array<double>").alias("__cent"))
+    (0 until lloydIters).foreach { _ =>
+      // element-wise mean per cluster: posexplode → avg per (cluster,
+      // dim) → reassemble in dimension order
+      cents = assignClusters(c, cents)
+        .select(col("__cid"), posexplode(col("__cv")).as(Seq("__pos", "__v")))
+        .groupBy("__cid", "__pos").agg(avg("__v").alias("__m"))
+        .groupBy("__cid").agg(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+            s => s.getField("__m")).alias("__cent"))
+    }
+    val assigned = assignClusters(c, cents)
+    val qProbe = queries.select(col(id).alias("query_id"), col(vec).alias("__qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__psim", cosine(col("__qv"), col("__cent")))
+      .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("__psim").desc, col("__cid").asc)))
+      .where(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__cid"))
+    val scored = assigned.join(broadcast(qProbe), "__cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** B7: LSH-bucketed approximate top-k — queries join only their own
     * hyperplane bucket, so per-query work is corpus/2^planes instead of
     * the full corpus. Recall is tunable by lowering `planes` (bigger

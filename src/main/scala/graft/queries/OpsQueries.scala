@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, SkewJoin, TextAnalysis}
 import graft.streaming.EventOps
 
 /** Gate queries for the training-data pipeline ops (§2B) and streaming
@@ -87,6 +87,29 @@ object OpsQueries {
     val e = Tables.embeddings(s, d)
     Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, planes = 4)
       .withColumn("rank", col("rank").cast("long"))
+  }
+
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5,
+        nlist = 8, nprobe = 3)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** §6c-6: salted join under heavy key skew — 70% of lineitem rows
+    * collapse onto one hot key; the salted join must return exactly the
+    * unsalted join's aggregate (the oracle computes the plain join). */
+  def joinSaltedSkew(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d).select(
+      when(col("l_orderkey") % 10 < 7, 0)
+        .otherwise(pmod(col("l_orderkey"), lit(25))).cast("int").alias("skew_key"),
+      col("l_quantity"), col("l_extendedprice"))
+    val dim = Tables.nation(s, d).select(
+      col("n_nationkey").cast("int").alias("skew_key"), col("n_name"))
+    SkewJoin.salted(fact, dim, Seq("skew_key"), salts = 8)
+      .groupBy("n_name")
+      .agg(count(lit(1)).alias("cnt"),
+        round(sum(col("l_quantity")), 2).alias("total_qty"))
   }
 
   /** Deterministic hash-free train/val/test split — reproducible across
@@ -238,6 +261,8 @@ object OpsQueries {
     "stream_sliding_window" -> (streamSlidingWindow _),
     "stream_static_join"    -> (streamStaticJoin _),
     "stream_dedup"          -> (streamDedup _),
+    "ann_ivf"           -> (annIvf _),
+    "join_salted_skew"  -> (joinSaltedSkew _),
     "stream_sessionize"     -> (streamSessionize _),
     "stream_sessionize_native" -> (streamSessionizeNative _))
 
@@ -369,6 +394,15 @@ object OpsQueries {
            date_trunc('second', min(ts)) AS session_start,
            date_trunc('second', max(ts)) AS session_end
          FROM s GROUP BY user_id, session_id""",
+    "join_salted_skew" -> """
+         WITH fact AS (SELECT
+             CASE WHEN l_orderkey % 10 < 7 THEN 0
+               ELSE l_orderkey % 25 END AS skew_key,
+             l_quantity FROM lineitem)
+         SELECT n_name, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS total_qty
+         FROM fact JOIN nation ON skew_key = n_nationkey
+         GROUP BY n_name""",
     "stream_sessionize_native" -> """
          WITH l AS (SELECT user_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev

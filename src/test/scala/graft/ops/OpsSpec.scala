@@ -118,4 +118,28 @@ class OpsSpec extends AnyFunSuite {
       .where(not(col("a") <=> col("b")))
     assert(sigDiff.count() == 0, "minhash signature mismatch vs HOF form")
   }
+
+  test("IVF top-k recall against brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, k = 5))
+    val ivf = pairs(Similarity.ivfTopK(e, q, k = 5, nlist = 8, nprobe = 3))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("salted join equals unsalted join exactly") {
+    val fact = Tables.lineitem(spark, sf).select(
+      pmod(col("l_orderkey"), lit(25)).cast("int").alias("k"), col("l_quantity"))
+    val dim = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("int").alias("k"), col("n_name"))
+    val salted = SkewJoin.salted(fact, dim, Seq("k"), salts = 8)
+      .groupBy("n_name").agg(count(lit(1)).alias("c"), sum("l_quantity").alias("s"))
+    val plain = fact.join(dim, "k")
+      .groupBy("n_name").agg(count(lit(1)).alias("c"), sum("l_quantity").alias("s"))
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
 }
