@@ -57,6 +57,9 @@ final class PipelineQuery(val queries: Seq[(String, StreamingQuery)]) {
   def lastProgress: Map[String, org.apache.spark.sql.streaming.StreamingQueryProgress] =
     queries.map { case (n, q) => n -> q.lastProgress }.toMap
 
+  def recentProgress: Map[String, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]] =
+    queries.map { case (n, q) => n -> q.recentProgress.toSeq }.toMap
+
   /** Drains the whole chain: one upstream-to-downstream pass moves each
     * stage's pending change files into the next stage's table; `rounds`
     * passes guarantee quiescence for a chain of ≤ `rounds` stages when

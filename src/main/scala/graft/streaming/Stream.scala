@@ -6,9 +6,18 @@ import org.apache.spark.sql.functions._
 import graft.store.KeyedTable
 
 /** A column reference tied to one side of a join — the reference's
-  * ColumnSelector (streams.py:11-65). Obtained via `stream("col")`.
+  * ColumnSelector (streams.py:11-65). Obtained via `stream("col")`;
+  * `.alias` / `.to` carry a column transform into `select("*", …)`
+  * (streams.py:33-41).
   */
-final case class ColumnSel(owner: Stream, name: String)
+final case class ColumnSel(owner: Stream, name: String,
+    xform: Column => Column = identity) {
+  def alias(newName: String): ColumnSel =
+    copy(xform = c => xform(c).alias(newName))
+  def to(f: Column => Column): ColumnSel =
+    copy(xform = c => f(xform(c)))
+  private[streaming] def apply(c: Column): Column = xform(c)
+}
 
 /** The user-facing incremental-stream API, mirroring the reference's
   * `Stream` (streams.py:96-240) on graft's KeyedTable CDF instead of

@@ -46,6 +46,7 @@ object ProjOp {
   final case class DropKeys(keys: Seq[String], side: String) extends ProjOp
   final case class DropSel(sel: ColumnSel) extends ProjOp
   final case class SelectNames(names: Seq[String]) extends ProjOp
+  final case class SelectStar(sels: Seq[ColumnSel]) extends ProjOp
   final case class MapFn(f: DataFrame => DataFrame) extends ProjOp
 }
 
@@ -66,6 +67,11 @@ final class JoinedStream(
 
   def select(names: String*): JoinedStream =
     withOp(ProjOp.SelectNames(names))
+
+  /** The reference's `select('*', stream['col'].alias(...))` form
+    * (joins.py:572-620): all joined columns plus transformed extras. */
+  def selectStar(sels: ColumnSel*): JoinedStream =
+    withOp(ProjOp.SelectStar(sels))
 
   def drop(sel: ColumnSel): JoinedStream =
     withOp(ProjOp.DropSel(sel))
@@ -93,6 +99,11 @@ final class JoinedStream(
           val src = if (sel.owner eq left) l else r
           df.drop(src(sel.name))
         case ProjOp.SelectNames(names) => df.select(names.map(col): _*)
+        case ProjOp.SelectStar(sels) =>
+          df.select(col("*") +: sels.map { s =>
+            val src = if (s.owner eq left) l else r
+            s(src(s.name))
+          }: _*)
         case ProjOp.MapFn(f) => f(df)
       }
     }

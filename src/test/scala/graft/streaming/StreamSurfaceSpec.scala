@@ -130,4 +130,29 @@ class StreamSurfaceSpec extends AnyFunSuite {
       assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
     } finally q.stop()
   }
+
+  test("selectStar with aliased ColumnSel transform (ref select('*', col.alias))") {
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(spark, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 4)
+    val cT = KeyedTable.create(spark, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 4)
+    val o = Stream.fromKeyedTable(oT)
+    val c = Stream.fromKeyedTable(cT)
+    val q = o.join(c, "inner")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .selectStar(o("o_totalprice").to(x => round(x * 2, 2)).alias("double_price"))
+      .writeToPath(s"$root/out")
+      .start()
+    try {
+      oT.upsert(oDf, uniqueKeys = true)
+      cT.upsert(cDf, uniqueKeys = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = KeyedTable.forPath(spark, s"$root/out").snapshot()
+    val want = oDf.join(cDf, col("o_custkey") === col("c_custkey"))
+      .withColumn("double_price", round(col("o_totalprice") * 2, 2))
+    assert(got.columns.contains("double_price"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }
