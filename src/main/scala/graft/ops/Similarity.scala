@@ -99,20 +99,28 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       lloydIters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
     val c = corpus.select(col(id).alias("neighbor_id"), col(vec).alias("__cv")).cache()
-    var cents: DataFrame = c.orderBy("neighbor_id").limit(nlist)
-      .withColumn("__cid",
-        row_number().over(Window.orderBy("neighbor_id")).cast("int") - 1)
-      .select(col("__cid"), col("__cv").cast("array<double>").alias("__cent"))
+    // centroids live driver-side between Lloyd iterations (nlist × dim
+    // doubles — trivially small); re-literalizing them per iteration
+    // keeps each assignment plan flat instead of stacking the whole
+    // training lineage, and is how a real IVF index trains anyway
+    def literalized(df: DataFrame): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    var cents: DataFrame = literalized(
+      c.orderBy("neighbor_id").limit(nlist)
+        .withColumn("__cid",
+          row_number().over(Window.orderBy("neighbor_id")).cast("int") - 1)
+        .select(col("__cid"), col("__cv").cast("array<double>").alias("__cent")))
     (0 until lloydIters).foreach { _ =>
       // element-wise mean per cluster: posexplode → avg per (cluster,
       // dim) → reassemble in dimension order
-      cents = assignClusters(c, cents)
+      cents = literalized(assignClusters(c, cents)
         .select(col("__cid"), posexplode(col("__cv")).as(Seq("__pos", "__v")))
         .groupBy("__cid", "__pos").agg(avg("__v").alias("__m"))
         .groupBy("__cid").agg(
           transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
-            s => s.getField("__m")).alias("__cent"))
+            s => s.getField("__m")).alias("__cent")))
     }
     val assigned = assignClusters(c, cents)
     val qProbe = queries.select(col(id).alias("query_id"), col(vec).alias("__qv"))
