@@ -207,6 +207,59 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup CLUSTERING: connected components over a dup-pair edge
+    * list, labeling every document with the minimum doc id reachable
+    * through dup edges (its canonical representative). Iterative
+    * min-label propagation — each round is one join + one min-agg
+    * shuffle, converging in O(log(longest chain)) rounds with a
+    * driver-side fixpoint check (the standard large-graph CC shape;
+    * dup clusters are tiny so rounds stay single-digit at any scale).
+    */
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame,
+      id: String = "doc_id", maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").alias("a"), col("id_b").alias("b"))
+      .unionByName(pairs.select(col("id_b").alias("a"), col("id_a").alias("b")))
+      .cache()
+    var labels = docs.select(col(id), col(id).alias("cluster_id")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val viaEdges = edges.join(labels, edges("b") === labels(id))
+        .select(col("a").alias(id), col("cluster_id"))
+      val next = labels.select(col(id), col("cluster_id")).unionByName(viaEdges)
+        .groupBy(id).agg(min("cluster_id").alias("cluster_id"))
+        .cache()
+      next.count()
+      val changed = next.alias("n").join(labels.alias("o"),
+          col(s"n.$id") === col(s"o.$id"))
+        .where(col("n.cluster_id") =!= col("o.cluster_id")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Sequence PACKING: assign documents to fixed-capacity training
+    * bins. Docs are processed in deterministic (stratum, id) order and
+    * bin = exclusive-prefix-token-count ÷ capacity — the streaming
+    * quantized-packing rule (a doc may straddle a boundary; trainers
+    * that cannot split docs instead truncate, which this op mirrors by
+    * also reporting the doc's offset in its bin). One window shuffle
+    * per stratum. */
+  def packSequences(df: DataFrame, tokens: Column, capacity: Int,
+      stratum: String = "lang", id: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(stratum)).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__tok", tokens)
+      .withColumn("__before", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .select(col(id), col(stratum),
+        col("__tok").cast("long").alias("n_tokens"),
+        (col("__before") / capacity).cast("long").alias("bin_id"),
+        pmod(col("__before"), lit(capacity.toLong)).cast("long").alias("bin_offset"))
+  }
+
   /** B5: embedding near-dup — pairs with cosine ≥ `threshold`, bucketed
     * by random-hyperplane LSH (see [[Similarity.hyperplaneBucket]]) so
     * the candidate set stays linear-ish at corpus scale. */

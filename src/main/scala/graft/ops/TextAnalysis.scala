@@ -71,6 +71,41 @@ object TextAnalysis {
       .drop(LangMarkers.map(m => s"__cnt_${m._1}"): _*)
   }
 
+  /** PII scrubbing: redact emails, dashed phone numbers, and IPv4
+    * addresses with typed placeholder tokens — the standard
+    * pre-training privacy pass. Pure codegen'd regexp_replace chain
+    * (patterns restricted to the RE2 ∩ Java-regex common subset so the
+    * DuckDB oracle applies the same patterns verbatim). */
+  def piiScrub(df: DataFrame, text: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    df.withColumn("scrubbed",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(text), email, "<EMAIL>"),
+          phone, "<PHONE>"),
+        ipv4, "<IP>"))
+      .withColumn("pii_found", col("scrubbed") =!= col(text))
+  }
+
+  /** Vocabulary building: global top-`k` words by frequency with a
+    * deterministic tie-break — one explode + one count shuffle + a
+    * single top-k (at 100 TB: map-side partial counts make the shuffle
+    * carry one row per distinct word per task, not per token). */
+  def vocabTopK(df: DataFrame, text: String = "text", k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(words(col(text))).alias("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).alias("freq"))
+    // orderBy+limit plans as a distributed TakeOrdered (per-partition
+    // top-k, then merge) — the rank window then runs over k rows only,
+    // never a global single-reducer sort of the whole vocabulary
+    val top = counts.orderBy(col("freq").desc, col("word").asc).limit(k)
+    val w = Window.orderBy(col("freq").desc, col("word").asc)
+    top.withColumn("rank", row_number().over(w))
+  }
+
   /** B11: document fingerprints — an exact md5 content fingerprint plus
     * a winnowing-style rolling fingerprint: min/max over 3-gram shingle
     * hashes (a 2-hash sketch of the shingle set; same shingles ⇒ same

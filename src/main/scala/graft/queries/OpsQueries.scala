@@ -112,6 +112,45 @@ object OpsQueries {
         round(sum(col("l_quantity")), 2).alias("total_qty"))
   }
 
+  /** PII scrubbing over documents with planted synthetic PII (the
+    * corpus itself is clean, so every row must show redactions). */
+  def textPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val withPii = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-123-4567 at 10.0.0."),
+        col("doc_id") % 256).alias("text"))
+    TextAnalysis.piiScrub(withPii).select("doc_id", "scrubbed", "pii_found")
+  }
+
+  def textVocabTopk(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabTopK(Tables.documents(s, d), k = 100)
+      .select(col("word"), col("freq"), col("rank").cast("long").alias("rank"))
+
+  /** Deterministic stratified sampling: per-language keep-rates over a
+    * stable id-derived bucket (sampleBy's rand() is not reproducible
+    * across engines; pipelines that must re-materialize identical
+    * samples use exactly this shape). */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("__bucket", pmod(col("doc_id"), lit(100)))
+      .where(col("__bucket") <
+        when(col("lang") === "en", 50)
+          .when(col("lang") === "de", 30).otherwise(10))
+      .select("doc_id", "lang")
+
+  /** Sequence packing of documents into 2048-token training bins. */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    Dedup.packSequences(Tables.documents(s, d),
+      tokens = size(split(col("text"), " ")).cast("long"), capacity = 2048)
+
+  /** Near-dup clustering: connected components over the exact-jaccard
+    * dup pairs; every doc labeled with its min reachable doc id. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.allPairsJaccard(docs, threshold = 0.5)
+    Dedup.nearDupClusters(docs.select("doc_id"), pairs)
+  }
+
   /** Deterministic hash-free train/val/test split — reproducible across
     * engines and runs, the first step of every training-data pipeline. */
   def splitTrainTest(s: SparkSession, d: String): DataFrame =
@@ -263,6 +302,11 @@ object OpsQueries {
     "stream_dedup"          -> (streamDedup _),
     "ann_ivf"           -> (annIvf _),
     "join_salted_skew"  -> (joinSaltedSkew _),
+    "text_pii_scrub"    -> (textPiiScrub _),
+    "text_vocab_topk"   -> (textVocabTopk _),
+    "sample_stratified" -> (sampleStratified _),
+    "pack_sequences"    -> (packSequences _),
+    "dedup_clusters"    -> (dedupClusters _),
     "stream_sessionize"     -> (streamSessionize _),
     "stream_sessionize_native" -> (streamSessionizeNative _))
 
@@ -394,6 +438,64 @@ object OpsQueries {
            date_trunc('second', min(ts)) AS session_start,
            date_trunc('second', max(ts)) AS session_end
          FROM s GROUP BY user_id, session_id""",
+    "text_pii_scrub" -> """
+         WITH t AS (SELECT doc_id,
+             text || ' contact user' || doc_id ||
+               '@example.com or 555-123-4567 at 10.0.0.' || (doc_id % 256)
+               AS text FROM documents),
+         r AS (SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+           FROM t)
+         SELECT doc_id, scrubbed, scrubbed <> text AS pii_found FROM r""",
+    "text_vocab_topk" -> """
+         WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         c AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+         r AS (SELECT word, freq,
+             row_number() OVER (ORDER BY freq DESC, word ASC) AS rank FROM c)
+         SELECT word, freq, rank FROM r WHERE rank <= 100""",
+    "sample_stratified" -> """
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 100 < CASE lang WHEN 'en' THEN 50
+           WHEN 'de' THEN 30 ELSE 10 END""",
+    "pack_sequences" -> """
+         WITH t AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (SELECT doc_id, lang, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM t)
+         SELECT doc_id, lang, n_tokens,
+           CAST(floor(before / 2048.0) AS BIGINT) AS bin_id,
+           before % 2048 AS bin_offset
+         FROM b""",
+    "dedup_clusters" -> """
+         WITH RECURSIVE
+         sh AS (SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+           UNION ALL SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+         m AS (SELECT src AS doc_id, min(dst) AS min_reach
+           FROM reach GROUP BY src)
+         SELECT d.doc_id,
+           CASE WHEN m.min_reach IS NULL OR d.doc_id < m.min_reach
+             THEN d.doc_id ELSE m.min_reach END AS cluster_id
+         FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""",
     "join_salted_skew" -> """
          WITH fact AS (SELECT
              CASE WHEN l_orderkey % 10 < 7 THEN 0
