@@ -55,4 +55,43 @@ object Multimodal {
         rows.map(r => decodeOne(r.getLong(0), r.getAs[Array[Byte]](1)))
       }
   }
+
+  /** Frame-sampling schedule for video payloads: every `stride`-th
+    * frame index of each document's decoded frame count — the
+    * (doc, frame) work list a downstream frame decoder fans out over.
+    * Pure projection + generator, no shuffle. */
+  def frameSample(meta: DataFrame, stride: Int = 2): DataFrame =
+    meta.select(col("doc_id"),
+      explode(sequence(lit(0), col("frames") - 1, lit(stride))).alias("frame_idx"))
+
+  final case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Feature extraction over EXPLICIT fixed-size batches inside each
+    * partition (`iterator.grouped`) — the exact execution shape of an
+    * Arrow-batched `mapInPandas` extractor: per-batch model invocation,
+    * per-partition model init, bounded batch memory. The embedding
+    * itself is a deterministic stub (no ML runtime in this container);
+    * a real deployment swaps `embedBatch`'s body for a model call. */
+  def extractFeatures(df: DataFrame, batchSize: Int = 64, dim: Int = 8,
+      id: String = "doc_id", media: String = "media"): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    def embedBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
+      // real impl: one model forward pass over the whole batch
+      batch.map { case (docId, bytes) =>
+        val fs = Array.tabulate(dim) { i =>
+          var h = docId * 0x9E3779B97F4A7C15L + i
+          var j = 0
+          while (j < math.min(bytes.length, 64)) { h = h * 31 + bytes(j); j += 1 }
+          ((h % 1000 + 1000) % 1000) / 1000.0f
+        }
+        MediaFeatures(docId, fs)
+      }
+    df.select(col(id).cast("long"), col(media))
+      .mapPartitions { rows =>
+        // per-partition init (load model weights once per executor task)
+        rows.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+          .grouped(batchSize)
+          .flatMap(b => embedBatch(b.toSeq))
+      }
+  }
 }

@@ -184,6 +184,17 @@ object OpsQueries {
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.withBinaryColumn(Tables.documents(s, d))).toDF()
 
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameSample(
+      Multimodal.decodeMeta(Multimodal.withBinaryColumn(Tables.documents(s, d))).toDF(),
+      stride = 2)
+      .select(col("doc_id"), col("frame_idx").cast("long").alias("frame_idx"))
+
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.withBinaryColumn(Tables.documents(s, d)))
+      .toDF().select(col("doc_id"), round(element_at(col("features"), 1), 4)
+        .alias("f0"), size(col("features")).alias("dim"))
+
   // --- §2C streaming analytics over events --------------------------------
 
   def streamWindowAgg(s: SparkSession, d: String): DataFrame =
@@ -293,6 +304,8 @@ object OpsQueries {
     "ann_bruteforce"    -> (annBruteforce _),
     "ann_lsh"           -> (annLsh _),
     "multimodal_meta"   -> (multimodalMeta _),
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_features" -> (multimodalFeatures _),
     "split_train_test"  -> (splitTrainTest _),
     "text_normalize"    -> (textNormalize _),
     "sketch_profile"    -> (sketchProfile _),
@@ -390,6 +403,9 @@ object OpsQueries {
                  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
                FROM s)
          SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""",
+    "multimodal_frames" -> """
+         SELECT doc_id, unnest(range(0, strlen(text) // 1000 + 1, 2)) AS frame_idx
+         FROM documents""",
     "multimodal_meta" -> """
          SELECT doc_id, CAST(strlen(text) AS INT) AS byte_len,
            CASE WHEN strlen(text) % 3 = 0 THEN 'image'

@@ -142,4 +142,14 @@ class OpsSpec extends AnyFunSuite {
       .groupBy("n_name").agg(count(lit(1)).alias("c"), sum("l_quantity").alias("s"))
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
+
+  test("batched feature extraction is deterministic and batch-size independent") {
+    val docs = Multimodal.withBinaryColumn(Tables.documents(spark, sf))
+    def run(bs: Int) = Multimodal.extractFeatures(docs, batchSize = bs)
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    val a = run(64)
+    val b = run(7)
+    assert(a == b, "features depend on batch size")
+    assert(a.values.forall(_.size == 8))
+  }
 }
