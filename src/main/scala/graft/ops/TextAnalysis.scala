@@ -106,6 +106,24 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w))
   }
 
+  /** Benchmark-contamination check: flags training documents sharing at
+    * least one exact word `n`-gram with any eval document — the
+    * standard decontamination pass before pre-training. The (small)
+    * eval side's n-gram hash set joins the training side's exploded
+    * n-gram hashes; work is one broadcast-ish join on 8-byte hashes,
+    * never a doc×doc comparison. */
+  def contamination(train: DataFrame, eval: DataFrame,
+      text: String = "text", id: String = "doc_id", n: Int = 13): DataFrame = {
+    def grams(df: DataFrame, idAlias: String) = df.select(
+      col(id).alias(idAlias),
+      explode(graft.functions.HashExpressions.hashArray(
+        Shingles.wordShingles(col(text), n))).alias("__g"))
+    grams(train, "train_id").join(grams(eval, "eval_id"), "__g")
+      .groupBy("train_id")
+      .agg(countDistinct(col("eval_id")).alias("n_eval_docs"),
+        count(lit(1)).alias("n_shared_ngrams"))
+  }
+
   /** B11: document fingerprints — an exact md5 content fingerprint plus
     * a winnowing-style rolling fingerprint: min/max over 3-gram shingle
     * hashes (a 2-hash sketch of the shingle set; same shingles ⇒ same

@@ -151,6 +151,17 @@ object OpsQueries {
     Dedup.nearDupClusters(docs.select("doc_id"), pairs)
   }
 
+  /** Contamination check with a planted eval set: verbatim copies of
+    * the first 10 docs (fresh ids) must each flag their source — plus
+    * any true near-dups that share a 13-gram. */
+  def contaminationCheck(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val eval = docs.where(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 9000000L)
+    TextAnalysis.contamination(docs, eval)
+      .select(col("train_id"), col("n_eval_docs"), col("n_shared_ngrams"))
+  }
+
   /** Deterministic hash-free train/val/test split — reproducible across
     * engines and runs, the first step of every training-data pipeline. */
   def splitTrainTest(s: SparkSession, d: String): DataFrame =
@@ -318,6 +329,7 @@ object OpsQueries {
     "text_pii_scrub"    -> (textPiiScrub _),
     "text_vocab_topk"   -> (textVocabTopk _),
     "sample_stratified" -> (sampleStratified _),
+    "contamination_check" -> (contaminationCheck _),
     "pack_sequences"    -> (packSequences _),
     "dedup_clusters"    -> (dedupClusters _),
     "stream_sessionize"     -> (streamSessionize _),
@@ -474,6 +486,18 @@ object OpsQueries {
          r AS (SELECT word, freq,
              row_number() OVER (ORDER BY freq DESC, word ASC) AS rank FROM c)
          SELECT word, freq, rank FROM r WHERE rank <= 100""",
+    "contamination_check" -> """
+         WITH g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 13
+               THEN list_distinct([array_to_string(w[i:i+12], ' ')
+                                   for i in range(1, len(w) - 11)])
+               ELSE [text] END) AS gram
+           FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)),
+         e AS (SELECT doc_id + 9000000 AS eval_id, gram FROM g WHERE doc_id < 10)
+         SELECT g.doc_id AS train_id,
+           count(DISTINCT e.eval_id) AS n_eval_docs,
+           count(*) AS n_shared_ngrams
+         FROM g JOIN e ON g.gram = e.gram
+         GROUP BY g.doc_id""",
     "sample_stratified" -> """
          SELECT doc_id, lang FROM documents
          WHERE doc_id % 100 < CASE lang WHEN 'en' THEN 50
