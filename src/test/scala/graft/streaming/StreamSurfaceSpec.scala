@@ -155,4 +155,29 @@ class StreamSurfaceSpec extends AnyFunSuite {
     assert(got.columns.contains("double_price"))
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("delete then re-insert within one microbatch resolves by commit order") {
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(spark, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 4)
+    val cT = KeyedTable.create(spark, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 4)
+    cT.upsert(cDf, uniqueKeys = true)
+    val q = Stream.fromKeyedTable(oT).handleDeletes()
+      .join(Stream.fromKeyedTable(cT), "inner")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .writeToPath(s"$root/out")
+      .start()
+    try {
+      oT.upsert(oDf, uniqueKeys = true)                                  // commit 1
+      oT.delete(oDf.where(col("o_orderkey") % 2 === 0).select("o_orderkey")) // commit 2
+      oT.upsert(oDf.where(col("o_orderkey") % 4 === 0), uniqueKeys = true)   // commit 3
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = KeyedTable.forPath(spark, s"$root/out").snapshot()
+    val want = oDf.where(col("o_orderkey") % 2 =!= 0 || col("o_orderkey") % 4 === 0)
+      .join(cDf, col("o_custkey") === col("c_custkey"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      s"got ${got.count()} want ${want.count()}")
+  }
 }
