@@ -216,12 +216,17 @@ final class JoinedStream(
       // ONE action for both version pins (the reference unions two aggs
       // for the same reason, joins.py:403-408)
       batch.sparkSession.sparkContext.setJobDescription("graft:join:pin")
+      // ONE action: version pins, row count, and per-side delete counts
+      // (so deleteless batches skip the retraction pass entirely)
       val vRow = batch.agg(
         max(col("l._commit_version")).alias("lv"),
         max(col("r._commit_version")).alias("rv"),
-        count(lit(1)).alias("n")).collect().head
+        count(lit(1)).alias("n"),
+        count(when(col("l._change_type") === "delete", 1)).alias("ld"),
+        count(when(col("r._change_type") === "delete", 1)).alias("rd")).collect().head
       batch.sparkSession.sparkContext.setJobDescription(null)
       if (vRow.getLong(2) == 0L) return // empty microbatch: nothing to do
+      val (lDeletes, rDeletes) = (vRow.getLong(3) > 0, vRow.getLong(4) > 0)
       val lMax = if (vRow.isNullAt(0)) -1L else vRow.getLong(0)
       val rMax = if (vRow.isNullAt(1)) -1L else vRow.getLong(1)
       // pin statics at the batch's max commit version for deterministic
@@ -287,14 +292,9 @@ final class JoinedStream(
             .where(col("__rn") === 1 && col("_change_type") === "delete")
             .select(pks.map(col): _*)
         }
-        if (left.deletesOn) {
-          val dk = latestDeleteKeys("l", left.pks)
-          if (!dk.isEmpty) out.delete(dk)
-        }
-        if (right.deletesOn) {
-          val dk = latestDeleteKeys("r", right.pks)
-          if (!dk.isEmpty) out.delete(dk)
-        }
+        // out.delete handles an all-superseded (empty) key set itself
+        if (left.deletesOn && lDeletes) out.delete(latestDeleteKeys("l", left.pks))
+        if (right.deletesOn && rDeletes) out.delete(latestDeleteKeys("r", right.pks))
       }
     }
 
