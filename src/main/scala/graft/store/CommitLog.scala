@@ -63,15 +63,16 @@ final class CommitLog(rootPath: String, conf: Configuration) {
   }
 
   /** Writes a full bucket-map checkpoint as of `version`. */
-  def checkpoint(version: Long, map: Map[Int, Long]): Unit = {
+  def checkpoint(version: Long, map: Map[Int, Long], maxBatchId: Long = -1L): Unit = {
     val entries = map.toSeq.sortBy(_._1)
       .map { case (b, v) => s"[$b,$v]" }.mkString(",")
     writeAtomic(ckptPath(version),
-      s"""{"version":$version,"entries":[$entries]}""")
+      s"""{"version":$version,"maxBatchId":$maxBatchId,"entries":[$entries]}""")
   }
 
-  /** Newest checkpoint at or below `upTo`, as (version, bucket map). */
-  def latestCheckpointAt(upTo: Long): Option[(Long, Map[Int, Long])] = {
+  /** Newest checkpoint at or below `upTo`:
+    * (version, bucket map, maxBatchId). */
+  def latestCheckpointAt(upTo: Long): Option[(Long, Map[Int, Long], Long)] = {
     if (!fs.exists(logDir)) return None
     val cks = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("_ckpt_") && n.endsWith(".json"))
@@ -81,18 +82,41 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     else {
       val v = cks.max
       val json = readFully(ckptPath(v))
-      val pairs = """\[(\d+),(\d+)\]""".r.findAllMatchIn(
-        json.dropWhile(_ != '[')).map(m => m.group(1).toInt -> m.group(2).toLong)
-      Some(v -> pairs.toMap)
+      val entriesPart = json.substring(json.indexOf("\"entries\""))
+      val pairs = """\[(\d+),(\d+)\]""".r.findAllMatchIn(entriesPart)
+        .map(m => m.group(1).toInt -> m.group(2).toLong)
+      val bid = """"maxBatchId":(-?\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      Some((v, pairs.toMap, bid))
     }
   }
 
   private def ckptPath(v: Long) = new Path(logDir, f"_ckpt_$v%020d.json")
 
-  def commit(version: Long, buckets: Seq[Int], emptied: Seq[Int] = Nil): Unit = {
+  /** `batchId` ≥ 0 marks this commit as the effect of a streaming
+    * microbatch — replayed batches (failure recovery re-runs the last
+    * foreachBatch) are detected via [[maxBatchIdAt]] and skipped, which
+    * is what makes incremental agg merges exactly-once. */
+  def commit(version: Long, buckets: Seq[Int], emptied: Seq[Int] = Nil,
+      batchId: Long = -1L): Unit = {
+    val bid = if (batchId >= 0) s""","batchId":$batchId""" else ""
     val json = s"""{"version":$version,"buckets":[${buckets.mkString(",")}],""" +
-      s""""emptied":[${emptied.mkString(",")}]}"""
+      s""""emptied":[${emptied.mkString(",")}]$bid}"""
     writeAtomic(commitPath(version), json)
+  }
+
+  /** Highest streaming batchId recorded at or below `upTo`; -1 if none.
+    * Replays from the newest checkpoint like [[bucketVersions]]. */
+  def maxBatchIdAt(upTo: Long): Long = {
+    val ck = latestCheckpointAt(upTo)
+    val from = ck.map(_._1).getOrElse(-1L)
+    var acc = ck.map(_._3).getOrElse(-1L)
+    versions().iterator.filter(v => v > from && v <= upTo).foreach { v =>
+      val json = readFully(commitPath(v))
+      """"batchId":(-?\d+)""".r.findFirstMatchIn(json)
+        .foreach(m => acc = math.max(acc, m.group(1).toLong))
+    }
+    acc
   }
 
   private def commitPath(v: Long) = new Path(logDir, f"$v%020d.json")

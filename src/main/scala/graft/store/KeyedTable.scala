@@ -202,7 +202,7 @@ final class KeyedTable private (
     * the whole history (Delta's checkpoint analog; SURVEY §6c-5). */
   private def maybeCheckpoint(version: Long): Unit =
     if (version % KeyedTable.CheckpointInterval == 0 && bvCache._1 == version)
-      log.checkpoint(version, bvCache._2)
+      log.checkpoint(version, bvCache._2, lastAppliedBatchId)
 
   /** Removes data/cdf files no longer reachable from the latest
     * `retainVersions` snapshots — bounded storage growth for long-lived
@@ -242,8 +242,22 @@ final class KeyedTable private (
     * Single-writer. Mirrors the reference's foreachBatch-MERGE
     * (joins.py:563-570, 716-746; aggs.py:44-59) on the bucketed layout.
     */
-  def merge(batch: DataFrame, spec: MergeSpec, uniqueKeys: Boolean = false): Long
-      = synchronized { withMergeConf {
+  // highest streaming batchId ever merged (exactly-once replay guard);
+  // initialized lazily from the log so a recovered stage handle sees
+  // markers written before the crash
+  @volatile private var batchIdCache: Long = Long.MinValue
+
+  private def lastAppliedBatchId: Long = {
+    if (batchIdCache == Long.MinValue)
+      batchIdCache = log.maxBatchIdAt(latestVersion)
+    batchIdCache
+  }
+
+  def merge(batch: DataFrame, spec: MergeSpec, uniqueKeys: Boolean = false,
+      batchId: Long = -1L): Long = synchronized { withMergeConf {
+    // a replayed microbatch (foreachBatch re-run after failure) must not
+    // re-apply its deltas — that would double-count incremental aggs
+    if (batchId >= 0 && batchId <= lastAppliedBatchId) return latestVersion
     val dataOnly = batch.select(dataCols.map(col): _*)
     // incremental stages produce key-unique batches by construction
     // (join deltas are outer-merged per key, agg deltas are groupBy
@@ -298,11 +312,12 @@ final class KeyedTable private (
           // a missing dir
           val written = listWrittenBuckets(newVersion)
           val emptied = affected.filterNot(written.contains)
-          log.commit(newVersion, written, emptied)
+          log.commit(newVersion, written, emptied, batchId)
           // advance the replay cache incrementally (single-writer)
           bvCache = (newVersion,
             bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
               -- emptied)
+          if (batchId >= 0) batchIdCache = math.max(lastAppliedBatchId, batchId)
           maybeCheckpoint(newVersion)
           newVersion
         } finally cleanup()

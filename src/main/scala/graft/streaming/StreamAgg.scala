@@ -123,8 +123,9 @@ final class StreamAgg(
       val deltas = p.join(m, keyEq, "full_outer")
         .select(groupCols.map(k => coalesce(col(s"p.$k"), col(s"m.$k")).alias(k)) ++
           deltaExprs: _*)
-      // deltas is groupBy output → key-unique
-      out.merge(deltas, mergeSpec, uniqueKeys = true)
+      // deltas is groupBy output → key-unique; batchId guards replays
+      // (a double-applied delta would double-count the running agg)
+      out.merge(deltas, mergeSpec, uniqueKeys = true, batchId = batchId)
     }
 
     val name = s"agg:${new org.apache.hadoop.fs.Path(outPath).getName}"

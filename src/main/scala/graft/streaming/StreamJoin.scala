@@ -275,8 +275,10 @@ final class JoinedStream(
 
       userSink match {
         case Some(fn) => fn(combined, batchId)
-        // combined is outer-merged per output key above → key-unique
-        case None     => out.merge(combined, MergeSpec(), uniqueKeys = true)
+        // combined is outer-merged per output key above → key-unique;
+        // batchId makes a replayed microbatch a no-op (exactly-once)
+        case None => out.merge(combined, MergeSpec(), uniqueKeys = true,
+          batchId = batchId)
       }
 
       // delete propagation (inner joins): a source key whose LATEST

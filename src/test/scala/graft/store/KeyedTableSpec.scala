@@ -162,4 +162,21 @@ class KeyedTableSpec extends AnyFunSuite {
     val full = log.bucketVersions(9L) // before the checkpoint
     assert(full.values.max == 9L)
   }
+
+  test("replayed streaming batchId is a no-op (exactly-once merge)") {
+    val t = tmp()
+    val delta = Seq(("A", 10L), ("B", 5L)).toDF("k", "total")
+    val kt = KeyedTable.create(spark, t, delta.schema, keys = Seq("k"), numBuckets = 2)
+    val spec = MergeSpec(updateExprs = Some(Map(
+      "total" -> (col("u.total") + col("s.total")))))
+    kt.merge(delta, spec, uniqueKeys = true, batchId = 0L)
+    kt.merge(delta, spec, uniqueKeys = true, batchId = 0L) // replay: skipped
+    kt.merge(delta, spec, uniqueKeys = true, batchId = 1L) // new batch: applied
+    val got = kt.snapshot().orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq("A" -> 20L, "B" -> 10L), got.mkString(","))
+    // a RECOVERED handle (fresh cache) must still see the marker
+    val kt2 = KeyedTable.forPath(spark, t)
+    kt2.merge(delta, spec, uniqueKeys = true, batchId = 1L) // replay after restart
+    assert(kt2.snapshot().where(col("k") === "A").head.getLong(1) == 20L)
+  }
 }
