@@ -20,6 +20,28 @@ object CdcQueries {
   private def freshDir(): String =
     Files.createTempDirectory("graft_cdc").toString
 
+  /** Time travel: after an update commit, `snapshot(1)` must still
+    * read the ORIGINAL state (bucket-version map replay at v=1). */
+  def cdcTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val kt = KeyedTable.create(s, freshDir(), o.schema, keys = Seq("o_orderkey"), numBuckets = 16)
+    kt.upsert(o, uniqueKeys = true)
+    kt.upsert(o.where(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0), uniqueKeys = true)
+    kt.snapshot(1)
+  }
+
+  /** Batch change-feed read: `changesSince(1)` must contain exactly the
+    * second commit's pre/post images. */
+  def cdcChangesSince(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val kt = KeyedTable.create(s, freshDir(), o.schema, keys = Seq("o_orderkey"), numBuckets = 16)
+    kt.upsert(o, uniqueKeys = true)
+    kt.upsert(o.where(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0), uniqueKeys = true)
+    kt.changesSince(1)
+  }
+
   /** A1: two upsert commits (inserts, then mixed update+insert batch);
     * snapshot must reflect the latest state of every key. */
   def cdcUpsertSnapshot(s: SparkSession, d: String): DataFrame = {
@@ -213,6 +235,8 @@ object CdcQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_time_travel" -> (cdcTimeTravel _),
+    "cdc_changes_since" -> (cdcChangesSince _),
     "table_catalog_sql" -> (tableCatalogSql _),
     "cdc_delete_propagation" -> (cdcDeletePropagation _),
     "cdc_agg_delete_retract" -> (cdcAggDeleteRetract _),
@@ -223,6 +247,16 @@ object CdcQueries {
     "cdc_agg_incremental" -> (cdcAggIncremental _))
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_time_travel" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+    "cdc_changes_since" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'update_preimage' AS _change_type, 2 AS _commit_version
+         FROM orders WHERE o_orderkey % 3 = 0
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0,
+           'update_postimage', 2
+         FROM orders WHERE o_orderkey % 3 = 0""",
     "table_catalog_sql" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
          FROM orders JOIN customer ON o_custkey = c_custkey""",

@@ -571,7 +571,14 @@ object KeyedTable {
     val meta = TableMeta(keys, nullableKeys, seqCols, numBuckets, schema.toDDL,
       partitionCols, prunedCols)
     val log = new CommitLog(path, spark.sessionState.newHadoopConf())
-    if (!log.exists) log.writeMeta(metaToJson(meta))
+    if (!log.exists) {
+      log.writeMeta(metaToJson(meta))
+      // eager cdf/ dir: a changeStream may start on a zero-commit table
+      // and the file source's first glob must not race the first commit
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/cdf"))
+    }
     new KeyedTable(spark, path, meta)
   }
 
