@@ -254,6 +254,11 @@ object OpsQueries {
     s.table(name)
   }
 
+  def streamSeriesSimilarity(s: SparkSession, d: String): DataFrame =
+    EventOps.seriesSimilarity(Tables.events(s, d), targetUser = 1L, k = 10)
+      .select(col("user_id"), col("similarity"),
+        col("overlap_hours"), col("rank").cast("long").alias("rank"))
+
   def streamSessionize(s: SparkSession, d: String): DataFrame =
     EventOps.sessionizeBatch(Tables.events(s, d))
       .select(col("user_id"), col("session_id"),
@@ -333,6 +338,7 @@ object OpsQueries {
     "pack_sequences"    -> (packSequences _),
     "dedup_clusters"    -> (dedupClusters _),
     "stream_sessionize"     -> (streamSessionize _),
+    "stream_series_similarity" -> (streamSeriesSimilarity _),
     "stream_sessionize_native" -> (streamSessionizeNative _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
@@ -450,6 +456,20 @@ object OpsQueries {
                            ELSE 'problem' END AS category,
            value
          FROM events""",
+    "stream_series_similarity" -> """
+         WITH h AS (SELECT user_id, date_trunc('hour', ts) AS h, avg(value) AS v
+             FROM events GROUP BY user_id, date_trunc('hour', ts)),
+         t AS (SELECT h, v AS tv FROM h WHERE user_id = 1),
+         s AS (SELECT user_id, round(corr(v, tv), 4) AS similarity,
+             count(*) AS overlap_hours
+           FROM h JOIN t USING (h) WHERE user_id <> 1 GROUP BY user_id),
+         f AS (SELECT * FROM s
+           WHERE overlap_hours >= 10 AND similarity IS NOT NULL),
+         r AS (SELECT user_id, similarity, overlap_hours,
+             row_number() OVER (ORDER BY similarity DESC, user_id ASC) AS rank
+           FROM f)
+         SELECT user_id, similarity, overlap_hours, rank FROM r
+         WHERE rank <= 10""",
     "stream_sessionize" -> """
          WITH l AS (SELECT user_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev

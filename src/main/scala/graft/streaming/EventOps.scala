@@ -106,6 +106,32 @@ object EventOps {
       .toDF()
   }
 
+  /** Time-series similarity search (cf. "Time Series Similarity Search
+    * for Streaming Data in Distributed Systems", EDBT 2019): per-user
+    * hourly activity series, ranked by Pearson correlation against one
+    * target user's series. The hour-bucketed join carries one row per
+    * (user, overlapping hour) — never a series×series cross product —
+    * and the correlation is a single codegen'd `corr` aggregate per
+    * user. `minOverlap` suppresses spurious matches on tiny overlaps. */
+  def seriesSimilarity(events: DataFrame, targetUser: Long, k: Int = 10,
+      minOverlap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events.groupBy(col("user_id"),
+        date_trunc("hour", col("ts")).alias("h"))
+      .agg(avg("value").alias("v"))
+    val target = hourly.where(col("user_id") === targetUser)
+      .select(col("h"), col("v").alias("tv"))
+    val scored = hourly.where(col("user_id") =!= targetUser)
+      .join(broadcast(target), "h")
+      .groupBy("user_id")
+      .agg(round(corr(col("v"), col("tv")), 4).alias("similarity"),
+        count(lit(1)).alias("overlap_hours"))
+      .where(col("overlap_hours") >= minOverlap && col("similarity").isNotNull)
+    val w = Window.orderBy(col("similarity").desc, col("user_id").asc)
+    scored.orderBy(col("similarity").desc, col("user_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** C3 (batch fixpoint): the same sessions via gaps-and-islands window
     * SQL — this is what the DuckDB oracle mirrors. */
   def sessionizeBatch(events: DataFrame, gapSecs: Long = 1800): DataFrame = {
