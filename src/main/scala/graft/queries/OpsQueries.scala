@@ -255,7 +255,8 @@ object OpsQueries {
   }
 
   def streamSeriesSimilarity(s: SparkSession, d: String): DataFrame =
-    EventOps.seriesSimilarity(Tables.events(s, d), targetUser = 1L, k = 10)
+    EventOps.seriesSimilarity(Tables.events(s, d), targetUser = 1L, k = 10,
+        minOverlap = 3)
       .select(col("user_id"), col("similarity"),
         col("overlap_hours"), col("rank").cast("long").alias("rank"))
 
@@ -464,7 +465,7 @@ object OpsQueries {
              count(*) AS overlap_hours
            FROM h JOIN t USING (h) WHERE user_id <> 1 GROUP BY user_id),
          f AS (SELECT * FROM s
-           WHERE overlap_hours >= 10 AND similarity IS NOT NULL),
+           WHERE overlap_hours >= 3 AND similarity IS NOT NULL),
          r AS (SELECT user_id, similarity, overlap_hours,
              row_number() OVER (ORDER BY similarity DESC, user_id ASC) AS rank
            FROM f)
