@@ -131,9 +131,12 @@ object CdcQueries {
     // mirror the same window in the oracle
     val w = Window.partitionBy("l_orderkey", "l_linenumber")
       .orderBy(col("l_quantity").desc, col("l_returnflag").desc)
+    // cache the prepared feed: three upserts each run a plan+write pass
+    // over it, and the window dedup should price in once, not six times
     val lDf = Tables.lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+      .cache()
     val lT = KeyedTable.create(s, s"$root/lineitem", lDf.schema,
       Seq("l_orderkey", "l_linenumber"), numBuckets = 8)
     val q = Stream.fromKeyedTable(lT, maxFilesPerTrigger = 64)
