@@ -156,6 +156,53 @@ final case class WordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** 64-bit SimHash of a word array in one native pass: per word an
+  * xxhash64 (seed 42), each of the 64 bits votes ±1, the signature bit
+  * is the vote sign. Replaces the explode → 64-sum groupBy formulation
+  * — which shuffles one row PER WORD — with a shuffle-free projection;
+  * bit-equal to that formulation (same hash, same vote rule, ties at 0
+  * → bit 0).
+  */
+final case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < m) {
+      if (!arr.isNullAt(j)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(j), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object HashExpressions {
   private def register(): Unit = {
     val reg = SparkSession.active.sessionState.functionRegistry
@@ -169,6 +216,8 @@ object HashExpressions {
     }, "built-in")
     reg.createOrReplaceTempFunction("graft_hash_array",
       es => XxHashLongArray(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles", es => {
       val k = es(1) match {
         case Literal(n: Int, IntegerType) => n
@@ -195,5 +244,11 @@ object HashExpressions {
   def hashArray(strings: Column): Column = {
     register()
     call_function("graft_hash_array", strings)
+  }
+
+  /** 64-bit SimHash of a word array (shuffle-free). */
+  def simhash64(words: Column): Column = {
+    register()
+    call_function("graft_simhash", words)
   }
 }

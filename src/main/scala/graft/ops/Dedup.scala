@@ -161,9 +161,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the word multiset: per bit, the sign of the
-    * sum of ±1 votes from each word's xxhash64. Computed with one
-    * explode + one 64-aggregate groupBy (single shuffle on `id`). */
-  def simhash(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
+    * sum of ±1 votes from each word's xxhash64. One native projection
+    * pass per row ([[graft.functions.SimHash64]]) — NO shuffle; the
+    * previous explode → 64-sum groupBy shuffled one row per word
+    * (≈1000× the document count). Bit-equal to that form (spec). */
+  def simhash(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame =
+    df.select(col(id),
+      graft.functions.HashExpressions.simhash64(
+        TextAnalysis.words(col(text))).alias("simhash"))
+
+  /** The explode/groupBy formulation of [[simhash]] — kept as the
+    * bit-equality reference for the native expression. */
+  private[ops] def simhashViaShuffle(df: DataFrame, text: String = "text",
+      id: String = "doc_id"): DataFrame = {
     val exploded = df.select(col(id), explode(TextAnalysis.words(col(text))).alias("__w"))
       .withColumn("__h", xxhash64(col("__w")))
     val bitSums = (0 until 64).map(b =>

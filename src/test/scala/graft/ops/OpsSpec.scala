@@ -117,6 +117,13 @@ class OpsSpec extends AnyFunSuite {
         HashExpressions.wordShingles(col("text"), 3), 16))
       .where(not(col("a") <=> col("b")))
     assert(sigDiff.count() == 0, "minhash signature mismatch vs HOF form")
+
+    val docsSub = docs.limit(100)
+    val nativeSh = Dedup.simhash(docsSub).withColumnRenamed("simhash", "a")
+    val shuffleSh = Dedup.simhashViaShuffle(docsSub).withColumnRenamed("simhash", "b")
+    val shDiff = nativeSh.join(shuffleSh, "doc_id")
+      .where(not(col("a") <=> col("b")))
+    assert(shDiff.count() == 0, "native simhash mismatch vs shuffle form")
   }
 
   test("IVF top-k recall against brute force") {
