@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiler: phase timings + Spark job counts for the CDC gate
-  * queries (deleted once the hot path is tuned).
+/** Dev profiler: wall time, Spark job counts, and per-job-description
+  * time for any gate queries (`runMain graft.ProfCdc q1,q2` — defaults
+  * to the CDC set). The merge hot path tags its jobs
+  * (graft:merge:plan / graft:merge:write / graft:join:pin) so regressions
+  * in per-commit job structure show up here first.
   */
 object ProfCdc {
   def main(args: Array[String]): Unit = {
