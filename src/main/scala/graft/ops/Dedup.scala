@@ -187,13 +187,17 @@ object Dedup {
   }
 
   /** B3: SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
-    * Small-table path pairs all signatures (64-bit compares are cheap);
-    * the scale path buckets by 4 16-bit signature chunks first — any
-    * pair within Hamming ≤ 12 of a 64-bit hash shares at least one
-    * exact 16-bit chunk only probabilistically, so chunking trades
-    * recall for a bounded candidate set (standard practice). */
+    * The DEFAULT (scale) path buckets by 4 16-bit signature chunks
+    * first, so candidates are bounded by chunk collisions instead of
+    * the n² all-pairs join. Pigeonhole gives EXACT recall for
+    * `maxHamming < 4` (some chunk must be diff-free — the Manku/WWW'07
+    * block trick); beyond that, recall degrades gracefully (a pair
+    * must still share one clean chunk) in exchange for never paying a
+    * cartesian — the standard web-scale trade. `bucketed = false` is
+    * the small-table reference path (all-pairs, exact at any hamming)
+    * kept for the recall spec. */
   def simhashPairs(df: DataFrame, text: String = "text", id: String = "doc_id",
-      maxHamming: Int = 12, bucketed: Boolean = false): DataFrame = {
+      maxHamming: Int = 12, bucketed: Boolean = true): DataFrame = {
     val sigs = simhash(df, text, id)
     val pairs =
       if (!bucketed)
@@ -274,11 +278,21 @@ object Dedup {
     * by random-hyperplane LSH (see [[Similarity.hyperplaneBucket]]) so
     * the candidate set stays linear-ish at corpus scale. */
   def embeddingNearDup(df: DataFrame, vec: String = "embedding", id: String = "vec_id",
-      threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+      threshold: Double = 0.95, planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
     val withB = df.select(col(id), col(vec))
       .withColumn("__bucket", Similarity.hyperplaneBucket(col(vec), planes))
-    val pairs = withB.alias("a").join(withB.alias("b"),
-      col("a.__bucket") === col("b.__bucket") && col(s"a.$id") < col(s"b.$id"))
+    // multi-probe: one side also probes every bucket one plane-flip away,
+    // so a near-identical pair split by a single hyperplane is still
+    // paired (miss now needs ≥2 separating planes). Fan-out is planes+1
+    // on ONE side only; each qualifying pair matches exactly one probe,
+    // so no dedup pass is needed.
+    val probes =
+      if (!multiProbe) array(col("__bucket"))
+      else array(col("__bucket") +:
+        (0 until planes).map(p => col("__bucket").bitwiseXOR(lit(1L << p))): _*)
+    val lhs = withB.withColumn("__probe", explode(probes))
+    val pairs = lhs.alias("a").join(withB.alias("b"),
+      col("a.__probe") === col("b.__bucket") && col(s"a.$id") < col(s"b.$id"))
     pairs.select(
         col(s"a.$id").alias("id_a"), col(s"b.$id").alias("id_b"),
         round(Similarity.cosine(col(s"a.$vec"), col(s"b.$vec")), 4).alias("cosine"))

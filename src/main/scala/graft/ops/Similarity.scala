@@ -67,28 +67,21 @@ object Similarity {
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Nearest centroid per vector: cross the (tiny, broadcast) centroid
-    * table against the vectors and keep the best by cosine. The window
-    * shuffles (vector, centroid) pairs on vector id; at cluster scale
-    * the same argmin is one native map-side pass over a broadcast
-    * centroid matrix — the shape (corpus × nlist, no corpus×corpus)
-    * is what matters. */
-  private def assignClusters(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("neighbor_id")
-      .orderBy(col("__sim").desc, col("__cid").asc)
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("__sim", cosine(col("__cv"), col("__cent")))
-      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .select(col("neighbor_id"), col("__cv"), col("__cid"))
-  }
-
   /** B7b: IVF (inverted-file) approximate top-k — the scale path when
     * hyperplane LSH recall is too coarse. Centroids are learned with a
     * few Lloyd iterations (deterministic seeding: the `nlist` lowest-id
-    * vectors), the corpus is partitioned into centroid lists ONCE (one
-    * shuffle), and each query probes only its `nprobe` closest lists —
-    * per-query work is `nprobe/nlist` of the corpus. Queries and
-    * centroids are broadcast; the corpus is never replicated.
+    * vectors), the corpus is partitioned into centroid lists ONCE, and
+    * each query probes only its `nprobe` closest lists — per-query work
+    * is `nprobe/nlist` of the corpus.
+    *
+    * Assignment is a SHUFFLE-FREE projection: the centroid matrix is a
+    * broadcast-sized literal and [[graft.functions.ArgMaxCosine]]
+    * computes the nearest-centroid index in one native pass per row —
+    * zero exchanges between the corpus scan and its cluster id (the
+    * previous corpus×nlist crossJoin + row_number window shuffled a
+    * 16×-amplified corpus per Lloyd iteration, a 100 TB killer).
+    * Centroids live driver-side between iterations (nlist × dim
+    * doubles — trivially small; how a real IVF index trains anyway).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -99,32 +92,38 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       lloydIters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
     val c = corpus.select(col(id).alias("neighbor_id"), col(vec).alias("__cv")).cache()
-    // centroids live driver-side between Lloyd iterations (nlist × dim
-    // doubles — trivially small); re-literalizing them per iteration
-    // keeps each assignment plan flat instead of stacking the whole
-    // training lineage, and is how a real IVF index trains anyway
-    def literalized(df: DataFrame): DataFrame =
-      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
-    var cents: DataFrame = literalized(
-      c.orderBy("neighbor_id").limit(nlist)
-        .withColumn("__cid",
-          row_number().over(Window.orderBy("neighbor_id")).cast("int") - 1)
-        .select(col("__cid"), col("__cv").cast("array<double>").alias("__cent")))
+    def toDoubles(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toSeq
+    var cents: Seq[Seq[Double]] =
+      c.orderBy("neighbor_id").limit(nlist).collect().toSeq.map(toDoubles)
+    // ArgMaxCosine ties break to the lowest index, matching the
+    // (sim desc, cid asc) ordering of the window formulation
+    def assign(vecs: DataFrame): DataFrame =
+      vecs.withColumn("__cid", graft.functions.VectorExpressions.argMaxCosine(
+        col("__cv"), typedLit(cents)))
     (0 until lloydIters).foreach { _ =>
       // element-wise mean per cluster: posexplode → avg per (cluster,
-      // dim) → reassemble in dimension order
-      cents = literalized(assignClusters(c, cents)
+      // dim) → assemble driver-side (nlist × dim rows, trivially small)
+      val byCid = assign(c)
         .select(col("__cid"), posexplode(col("__cv")).as(Seq("__pos", "__v")))
         .groupBy("__cid", "__pos").agg(avg("__v").alias("__m"))
-        .groupBy("__cid").agg(
-          transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
-            s => s.getField("__m")).alias("__cent")))
+        .collect().groupBy(_.getInt(0))
+      cents = cents.indices.map { cid =>
+        byCid.get(cid) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None => cents(cid) // empty cluster keeps its centroid
+        }
+      }
     }
-    val assigned = assignClusters(c, cents)
+    val assigned = assign(c)
     val qProbe = queries.select(col(id).alias("query_id"), col(vec).alias("__qv"))
-      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("__qv"),
+        posexplode(typedLit(cents)).as(Seq("__cid", "__cent")))
       .withColumn("__psim", cosine(col("__qv"), col("__cent")))
       .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("__psim").desc, col("__cid").asc)))

@@ -55,9 +55,16 @@ object OpsQueries {
   def dedupJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.allPairsJaccard(Tables.documents(s, d), threshold = 0.5)
 
+  /** bands=32 (r=2): at J=0.5 a true pair misses all 32 bands with
+    * probability (1-0.5²)³² ≈ 1e-4, so the LSH output deterministically
+    * equals the all-pairs jaccard result on this corpus — which is
+    * exactly what the oracle asserts (same SQL as `dedup_jaccard`). The
+    * estimate pre-filter keeps the extra band collisions of r=2 cheap. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.5)
+    Dedup.minhashLsh(Tables.documents(s, d), bands = 32, threshold = 0.5)
 
+  /** Exercises the chunk-BUCKETED candidate path (the 100 TB-safe one);
+    * the all-pairs path is the recall reference in DedupSpec. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 12)
 
@@ -72,7 +79,13 @@ object OpsQueries {
       transform(col("embedding"), (x, i) =>
         x.cast("double") + pmod(xxhash64(i), lit(100)).cast("double") / 5000.0 - 0.01)
         .cast("array<float>").alias("embedding"))
+    // The oracle asserts EXACTLY the 50 planted pairs come back (ids
+    // only — the cosine values are spec-tested; reproducing Spark's
+    // xxhash64 perturbation inside DuckDB isn't possible). Multi-probe
+    // makes the recall deterministic-complete: a planted pair (cosine
+    // ≈ 0.998) misses only if ≥ 2 of the 4 hyperplanes separate it.
     Dedup.embeddingNearDup(e.unionByName(planted), threshold = 0.99, planes = 4)
+      .select("id_a", "id_b")
   }
 
   // --- §2B similarity search ---------------------------------------------
@@ -412,6 +425,25 @@ object OpsQueries {
                len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    // the LSH pipeline at bands=32 provably recovers every J >= 0.5
+    // pair on this corpus, so its verified output IS the all-pairs
+    // jaccard result — the same oracle asserts full recall+precision
+    "dedup_minhash" -> """
+         WITH sh AS (SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    // only the 50 planted perturbed copies clear cosine >= 0.99 (the
+    // corpus's max natural pairwise cosine is ~0.51); multi-probe LSH
+    // must return exactly those pairs
+    "dedup_embedding" -> """
+         SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+         FROM embeddings WHERE vec_id < 50""",
     "ann_bruteforce" -> """
          WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),
@@ -533,7 +565,7 @@ object OpsQueries {
            FROM t)
          SELECT doc_id, lang, n_tokens,
            CAST(floor(before / 2048.0) AS BIGINT) AS bin_id,
-           before % 2048 AS bin_offset
+           CAST(before % 2048 AS BIGINT) AS bin_offset
          FROM b""",
     "dedup_clusters" -> """
          WITH RECURSIVE

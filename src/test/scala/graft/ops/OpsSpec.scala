@@ -21,6 +21,13 @@ class OpsSpec extends AnyFunSuite {
     assert(found.subsetOf(truth), s"false positives: ${found -- truth}")
     val recall = found.size.toDouble / truth.size
     assert(recall >= 0.9, s"recall $recall too low (${found.size}/${truth.size})")
+    // at bands=32 (r=2) a J=0.5 pair misses all bands w.p. ~1e-4 —
+    // recall is total on this corpus, which is what the driver's
+    // dedup_minhash oracle (= the all-pairs jaccard SQL) asserts
+    val found32 = Dedup.minhashLsh(docs, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found32 == truth,
+      s"bands=32 output differs from exact: missing ${truth -- found32}, extra ${found32 -- truth}")
   }
 
   test("simhash of identical texts is identical, near-dup pairs have low hamming") {
@@ -31,13 +38,59 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.count() == 100) // identical text → identical simhash
   }
 
-  test("bucketed simhash pairs are a subset of all-pairs simhash") {
-    val docs = Tables.documents(spark, sf).limit(120)
-    val all = Dedup.simhashPairs(docs, maxHamming = 8)
+  test("bucketed simhash: exact recall inside the pigeonhole bound, subset beyond") {
+    val base = Tables.documents(spark, sf).limit(120)
+    // plant identical copies → hamming-0 pairs the bucketed path MUST find
+    val docs = base.unionByName(base.withColumn("doc_id", col("doc_id") + 5000))
+    def pairs(h: Int, bucketed: Boolean) =
+      Dedup.simhashPairs(docs, maxHamming = h, bucketed = bucketed)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hamming ≤ 3 over 4 16-bit chunks: pigeonhole guarantees one clean
+    // chunk, so the bucketed join's output EQUALS all-pairs
+    val all3 = pairs(3, bucketed = false)
+    val b3 = pairs(3, bucketed = true)
+    assert(all3.size >= 120, s"planted dups missing: ${all3.size}")
+    assert(b3 == all3, s"missing ${all3 -- b3}, extra ${b3 -- all3}")
+    // beyond the bound the chunk join trades recall for a candidate set
+    // bounded by chunk collisions (no cartesian) — subset, not equality
+    val all8 = pairs(8, bucketed = false)
+    val b8 = pairs(8, bucketed = true)
+    assert(b8.subsetOf(all8), "bucketed path produced a pair all-pairs did not")
+    assert(b8.size >= all3.size, "bucketed h=8 should at least contain the h=3 pairs")
+  }
+
+  test("argmax-cosine expression matches the window-argmin formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(6).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val native = e.withColumn("cid",
+      VectorExpressions.argMaxCosine(col("embedding"), typedLit(cents)))
+    val centsDf = spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }).toDF("cid2", "cent")
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid2").asc)
+    val windowed = e.crossJoin(broadcast(centsDf))
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cid2"))
+    val diff = native.join(windowed, "vec_id").where(col("cid") =!= col("cid2"))
+    assert(diff.count() == 0, "native argmax disagrees with window argmin")
+  }
+
+  test("multi-probe embedding near-dup recovers every planted pair") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val planted = e.where(col("vec_id") < 30).select(
+      (col("vec_id") + 1000000L).alias("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") + pmod(xxhash64(i), lit(100)).cast("double") / 5000.0 - 0.01)
+        .cast("array<float>").alias("embedding"))
+    val found = Dedup.embeddingNearDup(e.unionByName(planted),
+        threshold = 0.99, planes = 4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val bucketed = Dedup.simhashPairs(docs, maxHamming = 8, bucketed = true)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(bucketed.subsetOf(all))
+    val expected = (0L until 30L).map(i => (i, i + 1000000L)).toSet
+    assert(found == expected,
+      s"missing ${expected -- found}, extra ${found -- expected}")
   }
 
   test("lsh ANN results are true neighbors from the brute-force ranking's bucket") {
