@@ -211,6 +211,148 @@ object CdcQueries {
         col("total").cast("decimal(18,2)").as("total"))
   }
 
+  /** The reference's hardest composed test (tests/JoinTestComplex1.py:7-17):
+    * right+`prune(date)` → right+`prune(date)` → left `.on(expr ∧ lit)`
+    * over a `.to`-renamed source, as ONE streaming pipeline with
+    * late-arriving customer/part sides — placeholder rows must upgrade
+    * through BOTH chained stages (upstream-nullable keys stay nullable
+    * downstream). Oracle is the equivalent batch join. */
+  def joinComplex1(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{Stream, prune}
+    import org.apache.spark.sql.expressions.Window
+    val root = freshDir()
+    val cDf = Tables.customer(s, d).select("c_custkey", "c_name")
+    val oDf = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_custkey").alias("c_custkey"), col("o_totalprice"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int").alias("odate"))
+    // (l_orderkey, l_linenumber) is NOT unique in the test data —
+    // pre-dedup deterministically and mirror the window in the oracle
+    val w = Window.partitionBy("l_orderkey", "l_linenumber")
+      .orderBy(col("l_quantity").desc, col("l_partkey").desc)
+    val lDf = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+      .cache()
+    val pDf = Tables.part(s, d).select("p_partkey", "p_name", "p_brand")
+    val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
+    val oT = KeyedTable.create(s, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 8)
+    val lT = KeyedTable.create(s, s"$root/lineitem", lDf.schema,
+      Seq("o_orderkey", "l_linenumber"), numBuckets = 8)
+    val pT = KeyedTable.create(s, s"$root/part", pDf.schema, Seq("p_partkey"), numBuckets = 8)
+    val pS = Stream.fromKeyedTable(pT)
+      .to(df => df.withColumnRenamed("p_partkey", "part_id"))
+      .primaryKeys("part_id")
+    val q = Stream.fromKeyedTable(cT)
+      .join(Stream.fromKeyedTable(oT), "right").onKeys("c_custkey")
+      .partitionBy(prune("odate"))
+      .join(Stream.fromKeyedTable(lT), "right").onKeys("o_orderkey")
+      .partitionBy(prune("odate"))
+      .join(pS, "left")
+      .on((l2, p) => p("part_id") === l2("l_partkey") && p("p_brand") === lit("Brand#13"))
+      .writeToPath(s"$root/out")
+      .start()
+    try {
+      oT.upsert(oDf, uniqueKeys = true)
+      lT.upsert(lDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true)
+      q.processAllAvailable()
+      cT.upsert(cDf, uniqueKeys = true) // late: placeholders upgrade in stage 1→2→3
+      pT.upsert(pDf, uniqueKeys = true) // late: left-join nulls fill in stage 3
+      lT.upsert(lDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    KeyedTable.forPath(s, s"$root/out").snapshot()
+  }
+
+  /** Transformed ColumnSelectors in plain `select` positions MID-CHAIN
+    * (reference joins.py:62-110 accepts selectors with `.to`/`.alias`
+    * anywhere in select): stage 1 projects through transformed
+    * selectors, stage 2 keeps joining off the projected output. */
+  def joinSelectSel(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Stream
+    val root = freshDir()
+    val oDf = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+    val nDf = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val oT = KeyedTable.create(s, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 8)
+    val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
+    val nT = KeyedTable.create(s, s"$root/nation", nDf.schema, Seq("n_nationkey"), numBuckets = 2)
+    val oS = Stream.fromKeyedTable(oT)
+    val cS = Stream.fromKeyedTable(cT)
+    val q = oS.join(cS, "inner").on((l, r) => l("o_custkey") === r("c_custkey"))
+      .select(oS("o_orderkey"),
+        oS("o_totalprice").to(c => c + lit(1.0)).alias("gross"),
+        cS("c_name").to(upper).alias("name_upper"),
+        cS("c_custkey"), cS("c_nationkey"))
+      .join(Stream.fromKeyedTable(nT), "inner")
+      .on((l, r) => l("c_nationkey") === r("n_nationkey"))
+      .writeToPath(s"$root/out")
+      .start()
+    try {
+      nT.upsert(nDf, uniqueKeys = true)
+      cT.upsert(cDf, uniqueKeys = true)
+      oT.upsert(oDf, uniqueKeys = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    KeyedTable.forPath(s, s"$root/out").snapshot()
+  }
+
+  /** The reference's 5-stage flagship agg test
+    * (tests/AggsTestInnerGroupByLeftLeftGroupBy.py:6-22): inner
+    * join+`prune` → groupBy+`.reduce` running avg → left join → left
+    * join → groupBy, as ONE streaming pipeline. Money sums ride
+    * DECIMAL(18,6) end-to-end so incremental accumulation order can't
+    * flip a cent vs the oracle. */
+  def aggStreamComplex(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{Stream, prune}
+    import org.apache.spark.sql.expressions.Window
+    val root = freshDir()
+    val cDf = Tables.customer(s, d).select("c_custkey", "c_name")
+    val tDf = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_custkey").alias("c_custkey"),
+      col("o_totalprice").cast("decimal(18,6)").alias("amount"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int").alias("odate"))
+    val w = Window.partitionBy("l_orderkey", "l_linenumber")
+      .orderBy(col("l_quantity").desc, col("l_partkey").desc)
+    val lDf = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).alias("order_id"),
+        col("l_orderkey").alias("o_orderkey"), col("l_quantity"))
+      .cache()
+    val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
+    val tT = KeyedTable.create(s, s"$root/orders", tDf.schema, Seq("o_orderkey"), numBuckets = 8)
+    val lT = KeyedTable.create(s, s"$root/lineitem", lDf.schema, Seq("order_id"), numBuckets = 8)
+    val q = Stream.fromKeyedTable(cT)
+      .join(Stream.fromKeyedTable(tT), "inner").onKeys("c_custkey")
+      .partitionBy(prune("odate"))
+      .groupBy("c_custkey")
+      .agg(sum("amount").as("total_amount"), avg("amount").as("avg"),
+        count(lit(1)).as("count"))
+      .reduce("avg", update = (col("u.total_amount") + col("s.total_amount")) /
+        (col("u.count") + col("s.count")))
+      .join(Stream.fromKeyedTable(tT), "left").onKeys("c_custkey")
+      .join(Stream.fromKeyedTable(lT), "left").onKeys("o_orderkey")
+      .groupBy("order_id")
+      .agg(sum("total_amount").as("total_amount_per_order"))
+      .writeToPath(s"$root/out")
+      .start()
+    try {
+      lT.upsert(lDf, uniqueKeys = true)
+      tT.upsert(tDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true)
+      cT.upsert(cDf, uniqueKeys = true)
+      q.processAllAvailable()
+      tT.upsert(tDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true)
+      // update wave: amounts change → agg deltas + downstream retraction
+      tT.upsert(tDf.where(col("o_orderkey") % 7 === 0)
+        .withColumn("amount", (col("amount") * 2).cast("decimal(18,6)")), uniqueKeys = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    KeyedTable.forPath(s, s"$root/out").snapshot()
+      .select(col("order_id"),
+        col("total_amount_per_order").cast("decimal(18,2)").as("total_amount_per_order"))
+  }
+
   /** A16/A17 named-table surface: sources and sink live in a
     * TableCatalog, the pipeline is wired by name (`fromTable` →
     * `writeToTable`), and the result is read back through plain
@@ -240,6 +382,9 @@ object CdcQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_time_travel" -> (cdcTimeTravel _),
     "cdc_changes_since" -> (cdcChangesSince _),
+    "join_complex1" -> (joinComplex1 _),
+    "join_select_sel" -> (joinSelectSel _),
+    "agg_stream_complex" -> (aggStreamComplex _),
     "table_catalog_sql" -> (tableCatalogSql _),
     "cdc_delete_propagation" -> (cdcDeletePropagation _),
     "cdc_agg_delete_retract" -> (cdcAggDeleteRetract _),
@@ -250,6 +395,57 @@ object CdcQueries {
     "cdc_agg_incremental" -> (cdcAggIncremental _))
 
   val oracleSql: Map[String, String] = Map(
+    "join_complex1" ->
+      """WITH li0 AS (
+           SELECT l_orderkey AS o_orderkey, l_linenumber, l_partkey, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+               ORDER BY l_quantity DESC, l_partkey DESC) AS rn
+           FROM lineitem),
+         li AS (SELECT o_orderkey, l_linenumber, l_partkey, l_quantity
+           FROM li0 WHERE rn = 1),
+         o AS (SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice,
+             CAST(date_part('year', o_orderdate) * 100 +
+                  date_part('month', o_orderdate) AS INT) AS odate
+           FROM orders),
+         s1 AS (SELECT c.c_name, o.o_orderkey, o.c_custkey, o.o_totalprice, o.odate
+           FROM customer c RIGHT JOIN o ON c.c_custkey = o.c_custkey),
+         s2 AS (SELECT s1.c_name, s1.c_custkey, s1.o_totalprice, s1.odate,
+             li.o_orderkey, li.l_linenumber, li.l_partkey, li.l_quantity
+           FROM s1 RIGHT JOIN li ON s1.o_orderkey = li.o_orderkey)
+         SELECT s2.*, p.p_partkey AS part_id, p.p_name, p.p_brand
+         FROM s2 LEFT JOIN part p
+           ON p.p_partkey = s2.l_partkey AND p.p_brand = 'Brand#13'""",
+    "join_select_sel" ->
+      """SELECT o_orderkey, o_totalprice + 1.0 AS gross,
+           upper(c_name) AS name_upper, c_custkey, c_nationkey,
+           n_nationkey, n_name
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey""",
+    "agg_stream_complex" ->
+      """WITH li0 AS (
+           SELECT l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+               ORDER BY l_quantity DESC, l_partkey DESC) AS rn
+           FROM lineitem),
+         li AS (SELECT l_orderkey * 10 + l_linenumber AS order_id,
+             l_orderkey AS o_orderkey
+           FROM li0 WHERE rn = 1),
+         t AS (SELECT o_orderkey, o_custkey AS c_custkey,
+             CASE WHEN o_orderkey % 7 = 0
+               THEN CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 2 AS DECIMAL(18,6))
+               ELSE CAST(o_totalprice AS DECIMAL(18,6)) END AS amount
+           FROM orders),
+         g AS (SELECT t.c_custkey, sum(amount) AS total_amount
+           FROM customer c JOIN t ON c.c_custkey = t.c_custkey
+           GROUP BY t.c_custkey),
+         s3 AS (SELECT g.c_custkey, g.total_amount, t.o_orderkey
+           FROM g LEFT JOIN t ON g.c_custkey = t.c_custkey),
+         s4 AS (SELECT s3.*, li.order_id
+           FROM s3 LEFT JOIN li ON s3.o_orderkey = li.o_orderkey)
+         SELECT order_id,
+           CAST(sum(total_amount) AS DECIMAL(18,2)) AS total_amount_per_order
+         FROM s4 GROUP BY order_id""",
     "cdc_time_travel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
     "cdc_changes_since" ->

@@ -258,6 +258,8 @@ final class KeyedTable private (
     // a replayed microbatch (foreachBatch re-run after failure) must not
     // re-apply its deltas — that would double-count incremental aggs
     if (batchId >= 0 && batchId <= lastAppliedBatchId) return latestVersion
+    if (sys.env.contains("GRAFT_DEBUG_MERGE"))
+      println(s"[merge] ${new org.apache.hadoop.fs.Path(path).getName} batchId=$batchId v=${latestVersion + 1}")
     val dataOnly = batch.select(dataCols.map(col): _*)
     // incremental stages produce key-unique batches by construction
     // (join deltas are outer-merged per key, agg deltas are groupBy
@@ -374,9 +376,16 @@ final class KeyedTable private (
       .withColumn("_change_type", lit(null).cast(StringType))
       .withColumn("_commit_version", lit(null).cast(LongType))
       .withColumn(SideCol, lit("d"))
+    // cdf rows don't need per-bucket dirs (downstream flattens them to
+    // a file list); folding the bucket id modulo a small file budget
+    // caps each commit at ~cdfFiles change files, so a downstream file
+    // source's maxFilesPerTrigger swallows MANY commits per microbatch
+    // instead of fragmenting a drain into one trigger per commit
+    val cdfFiles = math.max(1, spark.conf
+      .getOption("spark.graft.merge.cdfFiles").map(_.toInt).getOrElse(4))
     val cdfSide = normalized(cdf, Seq(col("_change_type")))
       .withColumn("_commit_version", lit(newVersion))
-      .withColumn(BucketCol, bucketExpr(col))
+      .withColumn(BucketCol, pmod(bucketExpr(col), lit(cdfFiles)).cast("int"))
       .withColumn(SideCol, lit("c"))
     val tmp = s"$path/_tmp_v$newVersion"
     dataSide.unionByName(cdfSide)
@@ -471,8 +480,29 @@ final class KeyedTable private (
     * lose the per-target race insert as new rows — the reference builds
     * the same behavior from `_mergeCondition` OR-combinations + `__rn`
     * windows + an anti-join (joins.py:584-617, 691-746). */
-  private def mergeWithPlaceholders(current: DataFrame, staged: DataFrame, spec: MergeSpec)
+  private def mergeWithPlaceholders(current: DataFrame, staged0: DataFrame, spec: MergeSpec)
       : (DataFrame, DataFrame, () => Unit) = {
+    // Within-batch placeholder subsumption: when an upstream stage
+    // inserts a placeholder row (nullable keys still null) AND upgrades
+    // it within the commit range of ONE downstream microbatch, the
+    // batch carries both images of the same logical row. A staged row
+    // whose nullable keys are a null-masked version of another staged
+    // row with the same bucket keys is the stale image — drop it (the
+    // reference's anti-join on __pk_nulls_count, joins.py:716-719).
+    val staged =
+      if (meta.nullableKeys.isEmpty) staged0
+      else {
+        val nullsCnt = meta.nullableKeys
+          .map(k => when(col(k).isNull, 1).otherwise(0)).reduce(_ + _)
+        val x = staged0.withColumn("__nulls", nullsCnt).alias("x")
+        val y = staged0.withColumn("__nulls", nullsCnt).alias("y")
+        val subsumedBy = (meta.bucketKeys.map(k => col(s"x.$k") === col(s"y.$k")) ++
+          meta.nullableKeys.map(k => col(s"x.$k").isNull || col(s"x.$k") <=> col(s"y.$k")) :+
+          (col("x.__nulls") > col("y.__nulls"))).reduce(_ && _)
+        x.join(y, subsumedBy, "left_anti")
+          .select(dataCols.map(c => col(s"x.$c").alias(c)) :+
+            col(s"x.$BucketCol").alias(BucketCol): _*)
+      }
     val u = current.withColumn(UExists, lit(true)).alias("u")
     val s = staged.withColumn(SExists, lit(true)).alias("s")
     val bucketEq = (meta.bucketKeys.map(k => col(s"u.$k") === col(s"s.$k")) ++

@@ -73,6 +73,39 @@ final class PipelineQuery(val queries: Seq[(String, StreamingQuery)]) {
     }
   }
 
+  /** Progress-based drain for CONTINUOUSLY-triggered chains — the
+    * reference's `awaitAllProcessed` (streams.py:285-310). Ordered
+    * `processAllAvailable` passes assume each stage is idle once its
+    * own pass returns; under a ProcessingTime trigger an upstream
+    * commit can land mid-pass. This polls every stage's status and
+    * returns once the whole chain has been quiet (no data available,
+    * no trigger running) for `quietMs` — the reference's
+    * shutdownLatencySecs; size it ≥ 2× the trigger interval.
+    * Returns false on timeout. */
+  def awaitAllProcessed(timeoutMs: Long = 120000L, quietMs: Long = 2000L): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var quietStart = -1L
+    while (System.currentTimeMillis() < deadline) {
+      val busy = queries.exists { case (_, q) =>
+        q.isActive && (q.status.isDataAvailable || q.status.isTriggerActive)
+      }
+      if (busy) quietStart = -1L
+      else {
+        val now = System.currentTimeMillis()
+        if (quietStart < 0) quietStart = now
+        else if (now - quietStart >= quietMs) return true
+      }
+      Thread.sleep(50)
+    }
+    false
+  }
+
+  def awaitAllProcessedAndStop(timeoutMs: Long = 120000L, quietMs: Long = 2000L): Boolean = {
+    val drained = awaitAllProcessed(timeoutMs, quietMs)
+    stop()
+    drained
+  }
+
   def awaitTermination(timeoutMs: Long): Boolean =
     queries.map { case (_, q) => q.awaitTermination(timeoutMs) }.forall(identity)
 

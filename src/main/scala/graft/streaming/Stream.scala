@@ -45,6 +45,15 @@ final class Stream private (
   def primaryKeys(keys: String*): Stream = copy(pks2 = keys)
   def sequenceBy(cols: String*): Stream = copy(seq2 = cols)
 
+  /** Keys that may be NULL in this stream's rows — for a staged join
+    * output, the outer side's keys (the table's declared nullableKeys).
+    * Downstream joins must keep treating them as nullable: a chained
+    * stage that bucketed on an upstream-nullable key would never match
+    * its placeholder rows (the reference carries the same split through
+    * chains, joins.py:804-810). */
+  private[streaming] def nullablePks: Seq[String] =
+    table.meta.nullableKeys.filter(pks.contains)
+
   /** Opt into delete propagation: `delete` change rows stay in the
     * feed and downstream stages retract — inner-join stages remove the
     * affected output rows, agg stages subtract the deleted rows'

@@ -47,6 +47,7 @@ object ProjOp {
   final case class DropSel(sel: ColumnSel) extends ProjOp
   final case class SelectNames(names: Seq[String]) extends ProjOp
   final case class SelectStar(sels: Seq[ColumnSel]) extends ProjOp
+  final case class SelectSels(sels: Seq[ColumnSel]) extends ProjOp
   final case class MapFn(f: DataFrame => DataFrame) extends ProjOp
 }
 
@@ -67,6 +68,13 @@ final class JoinedStream(
 
   def select(names: String*): JoinedStream =
     withOp(ProjOp.SelectNames(names))
+
+  /** An explicit selector list — each `stream("col")` may carry `.to`
+    * transforms and `.alias` renames, anywhere in the list (the
+    * reference accepts transformed ColumnSelectors in any select
+    * position, joins.py:62-110, 954-963). */
+  def select(first: ColumnSel, rest: ColumnSel*): JoinedStream =
+    withOp(ProjOp.SelectSels(first +: rest))
 
   /** The reference's `select('*', stream['col'].alias(...))` form
     * (joins.py:572-620): all joined columns plus transformed extras. */
@@ -99,6 +107,17 @@ final class JoinedStream(
           val src = if (sel.owner eq left) l else r
           df.drop(src(sel.name))
         case ProjOp.SelectNames(names) => df.select(names.map(col): _*)
+        case ProjOp.SelectSels(sels) =>
+          df.select(sels.map { s =>
+            // a selector owned by a stream STAGED into this chain (not
+            // one of the two immediate sides) resolves by name on the
+            // joined frame, like the reference's selector mapping
+            val base =
+              if (s.owner eq left) l(s.name)
+              else if (s.owner eq right) r(s.name)
+              else df(s.name)
+            s(base)
+          }: _*)
         case ProjOp.SelectStar(sels) =>
           df.select(col("*") +: sels.map { s =>
             val src = if (s.owner eq left) l else r
@@ -110,16 +129,23 @@ final class JoinedStream(
 
   /** Output primary keys split into (non-nullable, nullable) by join
     * type (joins.py:804-810), restricted to columns that survive the
-    * projection. */
+    * projection. A key that is already nullable UPSTREAM (the outer
+    * side of a previous staged join) stays nullable here regardless of
+    * this stage's join type — its null rows flow through any join on
+    * the other keys, and bucketing on it would break placeholder
+    * matching in the chained stage's merge. */
   private[streaming] def outKeySplit: (Seq[String], Seq[String]) = {
     val outCols = staticJoined().columns.toSeq
     val lp = left.pks.filter(outCols.contains)
     val rp = right.pks.filter(outCols.contains)
-    joinType match {
+    val upNullable = (left.nullablePks ++ right.nullablePks).toSet
+    val (nn0, nul0) = joinType match {
       case "left"  => (lp, rp.filterNot(lp.contains))
       case "right" => (rp, lp.filterNot(rp.contains))
       case _       => ((lp ++ rp).distinct, Nil)
     }
+    val nn = nn0.filterNot(upNullable.contains)
+    (nn, (nn0.filter(upNullable.contains) ++ nul0).distinct)
   }
 
   /** The join applied to full static snapshots — used for output schema
@@ -283,8 +309,13 @@ final class JoinedStream(
 
       // delete propagation (inner joins): a source key whose LATEST
       // action in this batch is a delete retracts every output row it
-      // contributed — a partial-key delete on the out table. Commit
-      // versions strictly order delete vs re-insert within the batch.
+      // contributed. Commit versions strictly order delete vs re-insert
+      // within the batch. The deleted SOURCE keys are first resolved to
+      // FULL output keys against the output snapshot (one broadcast
+      // semi-join scan, no shuffle, no write), so `out.delete` takes
+      // the full-key bucket-pruned path and rewrites only the buckets
+      // that actually contain matches — a partial-key delete would
+      // rewrite the whole table per deleting microbatch (100 TB killer).
       if (anyDeletes && userSink.isEmpty) {
         def latestDeleteKeys(side: String, pks: Seq[String]): DataFrame = {
           val all = batch.where(col(side).isNotNull).select(s"$side.*")
@@ -294,9 +325,14 @@ final class JoinedStream(
             .where(col("__rn") === 1 && col("_change_type") === "delete")
             .select(pks.map(col): _*)
         }
-        // out.delete handles an all-superseded (empty) key set itself
-        if (left.deletesOn && lDeletes) out.delete(latestDeleteKeys("l", left.pks))
-        if (right.deletesOn && rDeletes) out.delete(latestDeleteKeys("r", right.pks))
+        def retract(srcKeys: DataFrame, pks: Seq[String]): Unit = {
+          val fullKeys = out.snapshot()
+            .join(broadcast(srcKeys), pks, "left_semi")
+            .select((nonNull ++ nullable).map(col): _*)
+          out.delete(fullKeys)
+        }
+        if (left.deletesOn && lDeletes) retract(latestDeleteKeys("l", left.pks), left.pks)
+        if (right.deletesOn && rDeletes) retract(latestDeleteKeys("r", right.pks), right.pks)
       }
     }
 

@@ -99,6 +99,26 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(kt.snapshot().where(col("lid") === 2L).count() == 2)
   }
 
+  test("within-batch placeholder image is subsumed by its upgraded row") {
+    val t = tmp()
+    // one downstream microbatch can carry BOTH the placeholder insert
+    // (rid null) and its upgrade (rid filled) when an upstream stage
+    // committed both inside the batch's commit range — they are images
+    // of the SAME logical row and must collapse to the complete one
+    val df = Seq((1L, Option.empty[Long], "placeholder"), (1L, Option(10L), "upgraded"))
+      .toDF("lid", "rid", "payload")
+    val kt = KeyedTable.create(spark, t, df.schema,
+      keys = Seq("lid", "rid"), nullableKeys = Seq("rid"), numBuckets = 4)
+    kt.merge(df, MergeSpec(), uniqueKeys = true) // join stages pass uniqueKeys
+    val rows = kt.snapshot().collect()
+    assert(rows.length == 1, s"expected subsumption, got ${rows.mkString(";")}")
+    assert(rows.head.getLong(1) == 10L && rows.head.getString(2) == "upgraded")
+    // genuinely distinct matches (both rids non-null) are NOT subsumed
+    kt.merge(Seq((2L, Option(20L), "a"), (2L, Option(21L), "b"))
+      .toDF("lid", "rid", "payload"), MergeSpec(), uniqueKeys = true)
+    assert(kt.snapshot().where(col("lid") === 2L).count() == 2)
+  }
+
   test("delete removes rows, emits delete CDF, tombstones emptied buckets") {
     val t = tmp()
     val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "x")

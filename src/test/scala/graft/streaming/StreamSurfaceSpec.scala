@@ -131,6 +131,141 @@ class StreamSurfaceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("select with transformed ColumnSels (ref joins.py:62-110) projects correctly") {
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(spark, s"$root/o", oDf.schema, Seq("o_orderkey"), numBuckets = 4)
+    val cT = KeyedTable.create(spark, s"$root/c", cDf.schema, Seq("c_custkey"), numBuckets = 4)
+    cT.upsert(cDf)
+    val oS = Stream.fromKeyedTable(oT)
+    val cS = Stream.fromKeyedTable(cT)
+    val q = oS.join(cS, "inner").on((l, r) => l("o_custkey") === r("c_custkey"))
+      .select(oS("o_orderkey"),
+        oS("o_totalprice").to(c => c + lit(1.0)).alias("gross"),
+        cS("c_name").to(upper).alias("name_upper"),
+        cS("c_custkey"))
+      .writeToPath(s"$root/out").start()
+    try {
+      oT.upsert(oDf); q.processAllAvailable()
+      val got = KeyedTable.forPath(spark, s"$root/out").snapshot()
+      assert(got.columns.toSeq == Seq("o_orderkey", "gross", "name_upper", "c_custkey"))
+      val want = oDf.join(cDf, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("gross"),
+          upper(col("c_name")).as("name_upper"), col("c_custkey"))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
+  test("delete retraction rewrites only buckets containing matches") {
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(spark, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 16)
+    val cT = KeyedTable.create(spark, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 16)
+    cT.upsert(cDf)
+    val q = Stream.fromKeyedTable(oT).handleDeletes()
+      .join(Stream.fromKeyedTable(cT), "inner")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .writeToPath(s"$root/out").start()
+    try {
+      oT.upsert(oDf); q.processAllAvailable()
+      val out = KeyedTable.forPath(spark, s"$root/out")
+      val before = out.snapshot().count()
+      // delete ONE source key → the retraction must resolve it to full
+      // output keys and bucket-prune: the delete commit's data dir may
+      // contain at most the one bucket holding that key's output row
+      val victim = oDf.select("o_orderkey").orderBy("o_orderkey").limit(1)
+      oT.delete(victim); q.processAllAvailable()
+      val out2 = KeyedTable.forPath(spark, s"$root/out")
+      assert(out2.snapshot().count() == before - 1)
+      val v = out2.latestVersion
+      val dir = new org.apache.hadoop.fs.Path(s"$root/out/data/v=$v")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val bucketDirs =
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq.map(_.getPath.getName).filter(_.startsWith("b="))
+      assert(bucketDirs.size <= 1,
+        s"delete commit rewrote ${bucketDirs.size} buckets: $bucketDirs")
+    } finally q.stop()
+  }
+
+  test("chained right-right-left with upstream-nullable keys converges, no dup rows") {
+    val root = tmp()
+    val cDf = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val oDf = Tables.orders(spark, sf).select(col("o_orderkey"),
+      col("o_custkey").alias("c_custkey"), col("o_totalprice"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey", "l_linenumber")
+      .orderBy(col("l_quantity").desc, col("l_partkey").desc)
+    val lDf = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val pDf = Tables.part(spark, sf).select("p_partkey", "p_name", "p_brand")
+    val cT = KeyedTable.create(spark, s"$root/c", cDf.schema, Seq("c_custkey"), numBuckets = 4)
+    val oT = KeyedTable.create(spark, s"$root/o", oDf.schema, Seq("o_orderkey"), numBuckets = 4)
+    val lT = KeyedTable.create(spark, s"$root/l", lDf.schema,
+      Seq("o_orderkey", "l_linenumber"), numBuckets = 4)
+    val pT = KeyedTable.create(spark, s"$root/p", pDf.schema, Seq("p_partkey"), numBuckets = 4)
+    val pS = Stream.fromKeyedTable(pT)
+      .to(df => df.withColumnRenamed("p_partkey", "part_id")).primaryKeys("part_id")
+    val q = Stream.fromKeyedTable(cT)
+      .join(Stream.fromKeyedTable(oT), "right").onKeys("c_custkey")
+      .join(Stream.fromKeyedTable(lT), "right").onKeys("o_orderkey")
+      .join(pS, "left")
+      .on((l2, p) => p("part_id") === l2("l_partkey") && p("p_brand") === lit("Brand#13"))
+      .writeToPath(s"$root/out").start()
+    try {
+      // lineitems FIRST (placeholders at every stage), then the rest late
+      lT.upsert(lDf); q.processAllAvailable()
+      oT.upsert(oDf); q.processAllAvailable()
+      cT.upsert(cDf); pT.upsert(pDf); q.processAllAvailable()
+      val got = KeyedTable.forPath(spark, s"$root/out").snapshot()
+      val pp = pDf.select(col("p_partkey").alias("part_id"), col("p_name"), col("p_brand"))
+      val want = cDf.join(oDf, Seq("c_custkey"), "right")
+        .join(lDf, Seq("o_orderkey"), "right")
+        .join(pp, pp("part_id") === lDf("l_partkey") && pp("p_brand") === lit("Brand#13"), "left")
+      val cols = got.columns.sorted.map(col).toIndexedSeq
+      assert(got.count() == want.count(),
+        s"row count ${got.count()} vs batch ${want.count()}")
+      assert(got.select(cols: _*).exceptAll(want.select(cols: _*)).count() == 0)
+      assert(want.select(cols: _*).exceptAll(got.select(cols: _*)).count() == 0)
+    } finally q.stop()
+  }
+
+  test("awaitAllProcessed drains a ProcessingTime-triggered chain") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(spark, s"$root/o", oDf.schema, Seq("o_orderkey"), numBuckets = 4)
+    val cT = KeyedTable.create(spark, s"$root/c", cDf.schema, Seq("c_custkey"), numBuckets = 4)
+    cT.upsert(cDf)
+    // a CHAINED pipeline (join → agg) on a real periodic trigger: the
+    // drain cannot use ordered passes, it must poll progress quiescence
+    val q = Stream.fromKeyedTable(oT)
+      .join(Stream.fromKeyedTable(cT), "inner")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total"))
+      .writeToPath(s"$root/agg")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      oT.upsert(oDf.where(col("o_orderkey") % 2 === 0))
+      oT.upsert(oDf.where(col("o_orderkey") % 2 === 1))
+      assert(q.awaitAllProcessed(timeoutMs = 120000L, quietMs = 1500L),
+        "chain did not quiesce before timeout")
+      val got = KeyedTable.forPath(spark, s"$root/agg").snapshot()
+        .select(col("c_custkey"), col("cnt"), round(col("total"), 2).as("total"))
+      val want = oDf.join(cDf, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("selectStar with aliased ColumnSel transform (ref select('*', col.alias))") {
     val root = tmp()
     val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
