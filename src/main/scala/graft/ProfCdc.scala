@@ -17,7 +17,8 @@ object ProfCdc {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.graft.merge.shufflePartitions", "8")
+      .config("spark.graft.merge.shufflePartitions",
+        sys.env.getOrElse("GRAFT_MERGE_PARTS", "8"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
