@@ -104,18 +104,15 @@ object CdcQueries {
     val cDf = Tables.customer(s, d).select("c_custkey", "c_name")
     val oT = KeyedTable.create(s, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 8)
     val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
-    val q = Stream.fromKeyedTable(oT, maxFilesPerTrigger = 64)
+    val p = Stream.fromKeyedTable(oT, maxFilesPerTrigger = 64)
       .join(Stream.fromKeyedTable(cT, maxFilesPerTrigger = 64), "left")
       .on((l, r) => l("o_custkey") === r("c_custkey"))
       .writeToPath(s"$root/out")
-      .start()
-    try {
-      oT.upsert(oDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true)
-      q.processAllAvailable()
-      cT.upsert(cDf, uniqueKeys = true) // late right side: placeholders upgrade
-      oT.upsert(oDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true)
-      q.processAllAvailable()
-    } finally q.stop()
+    oT.upsert(oDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true)
+    p.runAvailableNow()
+    cT.upsert(cDf, uniqueKeys = true) // late right side: placeholders upgrade
+    oT.upsert(oDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true)
+    p.runAvailableNow()
     KeyedTable.forPath(s, s"$root/out").snapshot()
   }
 
@@ -139,21 +136,18 @@ object CdcQueries {
       .cache()
     val lT = KeyedTable.create(s, s"$root/lineitem", lDf.schema,
       Seq("l_orderkey", "l_linenumber"), numBuckets = 8)
-    val q = Stream.fromKeyedTable(lT, maxFilesPerTrigger = 64)
+    val p = Stream.fromKeyedTable(lT, maxFilesPerTrigger = 64)
       .groupBy("l_returnflag")
       .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("cnt"),
         avg("l_quantity").as("avg_qty"))
       .reduce("avg_qty", update =
         (col("u.total_qty") + col("s.total_qty")) / (col("u.cnt") + col("s.cnt")))
       .writeToPath(s"$root/agg")
-      .start()
-    try {
-      lT.upsert(lDf.where(col("l_orderkey") % 2 === 0), uniqueKeys = true); q.processAllAvailable()
-      lT.upsert(lDf.where(col("l_orderkey") % 2 === 1), uniqueKeys = true); q.processAllAvailable()
-      lT.upsert(lDf.where(col("l_orderkey") % 7 === 0)
-        .withColumn("l_quantity", col("l_quantity") * 3), uniqueKeys = true)
-      q.processAllAvailable()
-    } finally q.stop()
+    lT.upsert(lDf.where(col("l_orderkey") % 2 === 0), uniqueKeys = true); p.runAvailableNow()
+    lT.upsert(lDf.where(col("l_orderkey") % 2 === 1), uniqueKeys = true); p.runAvailableNow()
+    lT.upsert(lDf.where(col("l_orderkey") % 7 === 0)
+      .withColumn("l_quantity", col("l_quantity") * 3), uniqueKeys = true)
+    p.runAvailableNow()
     KeyedTable.forPath(s, s"$root/agg").snapshot()
       .select(col("l_returnflag"), round(col("total_qty"), 2).as("total_qty"),
         col("cnt"), round(col("avg_qty"), 2).as("avg_qty"))
@@ -172,17 +166,14 @@ object CdcQueries {
     val oT = KeyedTable.create(s, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 8)
     val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
     cT.upsert(cDf, uniqueKeys = true)
-    val q = Stream.fromKeyedTable(oT, maxFilesPerTrigger = 64).handleDeletes()
+    val p = Stream.fromKeyedTable(oT, maxFilesPerTrigger = 64).handleDeletes()
       .join(Stream.fromKeyedTable(cT, maxFilesPerTrigger = 64), "inner")
       .on((l, r) => l("o_custkey") === r("c_custkey"))
       .writeToPath(s"$root/out")
-      .start()
-    try {
-      oT.upsert(oDf, uniqueKeys = true)
-      q.processAllAvailable()
-      oT.delete(oDf.where(col("o_orderkey") % 4 === 0).select("o_orderkey"))
-      q.processAllAvailable()
-    } finally q.stop()
+    oT.upsert(oDf, uniqueKeys = true)
+    p.runAvailableNow()
+    oT.delete(oDf.where(col("o_orderkey") % 4 === 0).select("o_orderkey"))
+    p.runAvailableNow()
     KeyedTable.forPath(s, s"$root/out").snapshot()
   }
 
@@ -194,18 +185,15 @@ object CdcQueries {
     val root = freshDir()
     val oDf = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
     val oT = KeyedTable.create(s, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 8)
-    val q = Stream.fromKeyedTable(oT, maxFilesPerTrigger = 64).handleDeletes()
+    val p = Stream.fromKeyedTable(oT, maxFilesPerTrigger = 64).handleDeletes()
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("cnt"),
         sum(col("o_totalprice").cast("decimal(18,6)")).as("total"))
       .writeToPath(s"$root/agg")
-      .start()
-    try {
-      oT.upsert(oDf, uniqueKeys = true)
-      q.processAllAvailable()
-      oT.delete(oDf.where(col("o_orderkey") % 4 === 0).select("o_orderkey"))
-      q.processAllAvailable()
-    } finally q.stop()
+    oT.upsert(oDf, uniqueKeys = true)
+    p.runAvailableNow()
+    oT.delete(oDf.where(col("o_orderkey") % 4 === 0).select("o_orderkey"))
+    p.runAvailableNow()
     KeyedTable.forPath(s, s"$root/agg").snapshot()
       .select(col("o_orderstatus"), col("cnt"),
         col("total").cast("decimal(18,2)").as("total"))
@@ -243,7 +231,7 @@ object CdcQueries {
     val pS = Stream.fromKeyedTable(pT)
       .to(df => df.withColumnRenamed("p_partkey", "part_id"))
       .primaryKeys("part_id")
-    val q = Stream.fromKeyedTable(cT)
+    val pipe = Stream.fromKeyedTable(cT)
       .join(Stream.fromKeyedTable(oT), "right").onKeys("c_custkey")
       .partitionBy(prune("odate"))
       .join(Stream.fromKeyedTable(lT), "right").onKeys("o_orderkey")
@@ -251,16 +239,13 @@ object CdcQueries {
       .join(pS, "left")
       .on((l2, p) => p("part_id") === l2("l_partkey") && p("p_brand") === lit("Brand#13"))
       .writeToPath(s"$root/out")
-      .start()
-    try {
-      oT.upsert(oDf, uniqueKeys = true)
-      lT.upsert(lDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true)
-      q.processAllAvailable()
-      cT.upsert(cDf, uniqueKeys = true) // late: placeholders upgrade in stage 1→2→3
-      pT.upsert(pDf, uniqueKeys = true) // late: left-join nulls fill in stage 3
-      lT.upsert(lDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true)
-      q.processAllAvailable()
-    } finally q.stop()
+    oT.upsert(oDf, uniqueKeys = true)
+    lT.upsert(lDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true)
+    pipe.runAvailableNow()
+    cT.upsert(cDf, uniqueKeys = true) // late: placeholders upgrade in stage 1→2→3
+    pT.upsert(pDf, uniqueKeys = true) // late: left-join nulls fill in stage 3
+    lT.upsert(lDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true)
+    pipe.runAvailableNow()
     KeyedTable.forPath(s, s"$root/out").snapshot()
   }
 
@@ -279,7 +264,7 @@ object CdcQueries {
     val nT = KeyedTable.create(s, s"$root/nation", nDf.schema, Seq("n_nationkey"), numBuckets = 2)
     val oS = Stream.fromKeyedTable(oT)
     val cS = Stream.fromKeyedTable(cT)
-    val q = oS.join(cS, "inner").on((l, r) => l("o_custkey") === r("c_custkey"))
+    val p = oS.join(cS, "inner").on((l, r) => l("o_custkey") === r("c_custkey"))
       .select(oS("o_orderkey"),
         oS("o_totalprice").to(c => c + lit(1.0)).alias("gross"),
         cS("c_name").to(upper).alias("name_upper"),
@@ -287,13 +272,10 @@ object CdcQueries {
       .join(Stream.fromKeyedTable(nT), "inner")
       .on((l, r) => l("c_nationkey") === r("n_nationkey"))
       .writeToPath(s"$root/out")
-      .start()
-    try {
-      nT.upsert(nDf, uniqueKeys = true)
-      cT.upsert(cDf, uniqueKeys = true)
-      oT.upsert(oDf, uniqueKeys = true)
-      q.processAllAvailable()
-    } finally q.stop()
+    nT.upsert(nDf, uniqueKeys = true)
+    cT.upsert(cDf, uniqueKeys = true)
+    oT.upsert(oDf, uniqueKeys = true)
+    p.runAvailableNow()
     KeyedTable.forPath(s, s"$root/out").snapshot()
   }
 
@@ -323,7 +305,7 @@ object CdcQueries {
     val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
     val tT = KeyedTable.create(s, s"$root/orders", tDf.schema, Seq("o_orderkey"), numBuckets = 8)
     val lT = KeyedTable.create(s, s"$root/lineitem", lDf.schema, Seq("order_id"), numBuckets = 8)
-    val q = Stream.fromKeyedTable(cT)
+    val p = Stream.fromKeyedTable(cT)
       .join(Stream.fromKeyedTable(tT), "inner").onKeys("c_custkey")
       .partitionBy(prune("odate"))
       .groupBy("c_custkey")
@@ -336,18 +318,15 @@ object CdcQueries {
       .groupBy("order_id")
       .agg(sum("total_amount").as("total_amount_per_order"))
       .writeToPath(s"$root/out")
-      .start()
-    try {
-      lT.upsert(lDf, uniqueKeys = true)
-      tT.upsert(tDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true)
-      cT.upsert(cDf, uniqueKeys = true)
-      q.processAllAvailable()
-      tT.upsert(tDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true)
-      // update wave: amounts change → agg deltas + downstream retraction
-      tT.upsert(tDf.where(col("o_orderkey") % 7 === 0)
-        .withColumn("amount", (col("amount") * 2).cast("decimal(18,6)")), uniqueKeys = true)
-      q.processAllAvailable()
-    } finally q.stop()
+    lT.upsert(lDf, uniqueKeys = true)
+    tT.upsert(tDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true)
+    cT.upsert(cDf, uniqueKeys = true)
+    p.runAvailableNow()
+    tT.upsert(tDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true)
+    // update wave: amounts change → agg deltas + downstream retraction
+    tT.upsert(tDf.where(col("o_orderkey") % 7 === 0)
+      .withColumn("amount", (col("amount") * 2).cast("decimal(18,6)")), uniqueKeys = true)
+    p.runAvailableNow()
     KeyedTable.forPath(s, s"$root/out").snapshot()
       .select(col("order_id"),
         col("total_amount_per_order").cast("decimal(18,2)").as("total_amount_per_order"))

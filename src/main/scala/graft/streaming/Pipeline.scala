@@ -45,6 +45,28 @@ final class Pipeline(val handles: Seq[StageHandle]) {
     val terminal = handles.last
     new PipelineQuery(staged :+ (terminal.name -> terminal.startFn(conf)))
   }
+
+  /** Batch-drain execution: each stage runs once with
+    * `Trigger.AvailableNow`, upstream-first and SEQUENTIALLY — stage k
+    * materializes its whole backlog (then stops) before stage k+1
+    * starts, so one call cascades the full chain. Unlike a
+    * continuously-triggered `start()`, a stage consumes its entire
+    * pending commit range as one availableNow run instead of eagerly
+    * chasing every upstream commit — far fewer microbatch merges for
+    * the same result. Checkpoints persist between calls, so repeated
+    * `runAvailableNow()` invocations are incremental: the deployment
+    * shape for cron-style periodic pipelines (and how the driver-gate
+    * feed waves are drained). */
+  def runAvailableNow(): Unit = {
+    val t = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    handles.zipWithIndex.foreach { case (h, i) =>
+      val wc =
+        if (i == handles.size - 1) conf.copy(trigger = Some(t))
+        else WriterConf(trigger = Some(t))
+      val q = h.startFn(wc)
+      q.awaitTermination()
+    }
+  }
 }
 
 /** Running pipeline — the reference's chained StreamingQuery wrapper

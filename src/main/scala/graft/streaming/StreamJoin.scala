@@ -251,6 +251,8 @@ final class JoinedStream(
         count(when(col("l._change_type") === "delete", 1)).alias("ld"),
         count(when(col("r._change_type") === "delete", 1)).alias("rd")).collect().head
       batch.sparkSession.sparkContext.setJobDescription(null)
+      if (sys.env.contains("GRAFT_DEBUG_MERGE"))
+        println(s"[mb] batch=$batchId rows=${vRow.getLong(2)} lv=${vRow.get(0)} rv=${vRow.get(1)}")
       if (vRow.getLong(2) == 0L) return // empty microbatch: nothing to do
       val (lDeletes, rDeletes) = (vRow.getLong(3) > 0, vRow.getLong(4) > 0)
       val lMax = if (vRow.isNullAt(0)) -1L else vRow.getLong(0)

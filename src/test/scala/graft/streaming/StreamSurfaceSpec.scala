@@ -234,6 +234,29 @@ class StreamSurfaceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runAvailableNow batch-drain waves converge to the batch result") {
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(spark, s"$root/o", oDf.schema, Seq("o_orderkey"), numBuckets = 4)
+    val cT = KeyedTable.create(spark, s"$root/c", cDf.schema, Seq("c_custkey"), numBuckets = 4)
+    val p = Stream.fromKeyedTable(oT)
+      .join(Stream.fromKeyedTable(cT), "left")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .writeToPath(s"$root/out")
+    // wave 1: orders only → placeholders; wave 2: late customers +
+    // more orders — each drain is a fresh availableNow run resuming
+    // the same checkpoints (exactly-once across restarts)
+    oT.upsert(oDf.where(col("o_orderkey") % 2 === 0)); p.runAvailableNow()
+    cT.upsert(cDf)
+    oT.upsert(oDf.where(col("o_orderkey") % 2 === 1)); p.runAvailableNow()
+    val got = KeyedTable.forPath(spark, s"$root/out").snapshot()
+    val want = oDf.join(cDf, col("o_custkey") === col("c_custkey"), "left")
+    val cols = want.columns.sorted.map(col).toIndexedSeq
+    assert(got.select(cols: _*).exceptAll(want.select(cols: _*)).count() == 0)
+    assert(want.select(cols: _*).exceptAll(got.select(cols: _*)).count() == 0)
+  }
+
   test("awaitAllProcessed drains a ProcessingTime-triggered chain") {
     import org.apache.spark.sql.streaming.Trigger
     val root = tmp()
