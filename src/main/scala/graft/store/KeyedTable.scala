@@ -295,7 +295,8 @@ final class KeyedTable private (
         val current = pruneFilter.fold(currentRaw)(currentRaw.where)
             .withColumn(BucketCol, bucketExpr(col))
         val (merged, cdf, cleanup) =
-          if (meta.nullableKeys.isEmpty) mergeExact(current, staged0, spec)
+          if (bv.isEmpty) mergeIntoEmpty(staged0, spec)
+          else if (meta.nullableKeys.isEmpty) mergeExact(current, staged0, spec)
           else mergeWithPlaceholders(current, staged0, spec)
         // bucket rewrite must carry pruned-out rows through unchanged —
         // pruning narrows the MATCHING scan, not the bucket contents
@@ -480,29 +481,47 @@ final class KeyedTable private (
     * lose the per-target race insert as new rows — the reference builds
     * the same behavior from `_mergeCondition` OR-combinations + `__rn`
     * windows + an anti-join (joins.py:584-617, 691-746). */
+  /** Within-batch placeholder subsumption: when an upstream stage
+    * inserts a placeholder row (nullable keys still null) AND upgrades
+    * it within the commit range of ONE downstream microbatch, the
+    * batch carries both images of the same logical row. A staged row
+    * whose nullable keys are a null-masked version of another staged
+    * row with the same bucket keys is the stale image — drop it (the
+    * reference's anti-join on __pk_nulls_count, joins.py:716-719). */
+  private def subsumeStaged(staged0: DataFrame): DataFrame =
+    if (meta.nullableKeys.isEmpty) staged0
+    else {
+      val nullsCnt = meta.nullableKeys
+        .map(k => when(col(k).isNull, 1).otherwise(0)).reduce(_ + _)
+      val x = staged0.withColumn("__nulls", nullsCnt).alias("x")
+      val y = staged0.withColumn("__nulls", nullsCnt).alias("y")
+      val subsumedBy = (meta.bucketKeys.map(k => col(s"x.$k") === col(s"y.$k")) ++
+        meta.nullableKeys.map(k => col(s"x.$k").isNull || col(s"x.$k") <=> col(s"y.$k")) :+
+        (col("x.__nulls") > col("y.__nulls"))).reduce(_ && _)
+      x.join(y, subsumedBy, "left_anti")
+        .select(dataCols.map(c => col(s"x.$c").alias(c)) :+
+          col(s"x.$BucketCol").alias(BucketCol): _*)
+    }
+
+  /** Fast path for merges whose affected buckets don't exist yet (first
+    * load of a table or of new buckets): every staged row is an insert,
+    * so the target-join/window machinery — a self-join against nothing —
+    * is skipped entirely. Matters twice: initial bulk loads at scale
+    * bootstrap with a pure write, and every gate's source-table setup
+    * drops a join+sort per upsert. */
+  private def mergeIntoEmpty(staged0: DataFrame, spec: MergeSpec)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val s = subsumeStaged(staged0).alias("s")
+    val content = s.select(dataCols.map(c =>
+      spec.insertExprs.flatMap(_.get(c)).getOrElse(col(s"s.$c")).alias(c)) :+
+      col(s"s.$BucketCol").alias(BucketCol): _*)
+    val cdf = content.drop(BucketCol).withColumn("_change_type", lit("insert"))
+    (content, cdf, () => ())
+  }
+
   private def mergeWithPlaceholders(current: DataFrame, staged0: DataFrame, spec: MergeSpec)
       : (DataFrame, DataFrame, () => Unit) = {
-    // Within-batch placeholder subsumption: when an upstream stage
-    // inserts a placeholder row (nullable keys still null) AND upgrades
-    // it within the commit range of ONE downstream microbatch, the
-    // batch carries both images of the same logical row. A staged row
-    // whose nullable keys are a null-masked version of another staged
-    // row with the same bucket keys is the stale image — drop it (the
-    // reference's anti-join on __pk_nulls_count, joins.py:716-719).
-    val staged =
-      if (meta.nullableKeys.isEmpty) staged0
-      else {
-        val nullsCnt = meta.nullableKeys
-          .map(k => when(col(k).isNull, 1).otherwise(0)).reduce(_ + _)
-        val x = staged0.withColumn("__nulls", nullsCnt).alias("x")
-        val y = staged0.withColumn("__nulls", nullsCnt).alias("y")
-        val subsumedBy = (meta.bucketKeys.map(k => col(s"x.$k") === col(s"y.$k")) ++
-          meta.nullableKeys.map(k => col(s"x.$k").isNull || col(s"x.$k") <=> col(s"y.$k")) :+
-          (col("x.__nulls") > col("y.__nulls"))).reduce(_ && _)
-        x.join(y, subsumedBy, "left_anti")
-          .select(dataCols.map(c => col(s"x.$c").alias(c)) :+
-            col(s"x.$BucketCol").alias(BucketCol): _*)
-      }
+    val staged = subsumeStaged(staged0)
     val u = current.withColumn(UExists, lit(true)).alias("u")
     val s = staged.withColumn(SExists, lit(true)).alias("s")
     val bucketEq = (meta.bucketKeys.map(k => col(s"u.$k") === col(s"s.$k")) ++
