@@ -39,7 +39,8 @@ final case class TableMeta(
     numBuckets: Int,
     schemaDdl: String,
     partitionCols: Seq[String] = Nil,
-    prunedCols: Seq[String] = Nil) {
+    prunedCols: Seq[String] = Nil,
+    generatedCols: Seq[(String, String)] = Nil) {
   def bucketKeys: Seq[String] = keys.filterNot(nullableKeys.contains)
   def schema: StructType = StructType.fromDDL(schemaDdl)
 }
@@ -260,7 +261,14 @@ final class KeyedTable private (
     if (batchId >= 0 && batchId <= lastAppliedBatchId) return latestVersion
     if (sys.env.contains("GRAFT_DEBUG_MERGE"))
       println(s"[merge] ${new org.apache.hadoop.fs.Path(path).getName} batchId=$batchId v=${latestVersion + 1}")
-    val dataOnly = batch.select(dataCols.map(col): _*)
+    // generated columns (Delta's GENERATED ALWAYS AS analog,
+    // joins.py:875-878): computed from the staged rows when the batch
+    // doesn't carry them — so partition pruning on a derived column
+    // works without every writer re-deriving it
+    val withGen = meta.generatedCols.foldLeft(batch) { case (df, (n, sql)) =>
+      if (df.columns.contains(n)) df else df.withColumn(n, expr(sql))
+    }
+    val dataOnly = withGen.select(dataCols.map(col): _*)
     // incremental stages produce key-unique batches by construction
     // (join deltas are outer-merged per key, agg deltas are groupBy
     // output) — the within-batch dedup window would be a no-op shuffle
@@ -614,11 +622,23 @@ object KeyedTable {
       nullableKeys: Seq[String] = Nil,
       numBuckets: Int = 32,
       partitionCols: Seq[String] = Nil,
-      prunedCols: Seq[String] = Nil): KeyedTable = {
+      prunedCols: Seq[String] = Nil,
+      generatedCols: Seq[(String, String)] = Nil): KeyedTable = {
     require(keys.nonEmpty, "keys required")
     require(prunedCols.forall(partitionCols.contains), "prunedCols ⊆ partitionCols")
-    val meta = TableMeta(keys, nullableKeys, seqCols, numBuckets, schema.toDDL,
-      partitionCols, prunedCols)
+    // generated columns extend the declared schema; their types come
+    // from evaluating the expression against an empty frame
+    val fullSchema = generatedCols.foldLeft(schema) { case (sc, (n, sql)) =>
+      if (sc.fieldNames.contains(n)) sc
+      else {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], sc)
+        StructType(sc.fields :+ empty.withColumn(n,
+          org.apache.spark.sql.functions.expr(sql)).schema.fields.last)
+      }
+    }
+    val meta = TableMeta(keys, nullableKeys, seqCols, numBuckets, fullSchema.toDDL,
+      partitionCols, prunedCols, generatedCols)
     val log = new CommitLog(path, spark.sessionState.newHadoopConf())
     if (!log.exists) {
       log.writeMeta(metaToJson(meta))
@@ -639,9 +659,15 @@ object KeyedTable {
 
   private def metaToJson(m: TableMeta): String = {
     def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
+    // generated-col exprs are arbitrary SQL (commas, quotes) — base64
+    // keeps the crude regex parser below sound
+    def b64(s: String) = java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8"))
     s"""{"keys":${arr(m.keys)},"nullableKeys":${arr(m.nullableKeys)},""" +
       s""""seqCols":${arr(m.seqCols)},"numBuckets":${m.numBuckets},""" +
       s""""partitionCols":${arr(m.partitionCols)},"prunedCols":${arr(m.prunedCols)},""" +
+      s""""genColNames":${arr(m.generatedCols.map(_._1))},""" +
+      s""""genColExprs":${arr(m.generatedCols.map(g => b64(g._2)))},""" +
       s""""schemaDdl":"${m.schemaDdl.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
   }
 
@@ -654,7 +680,9 @@ object KeyedTable {
     val numBuckets = """"numBuckets":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
     val ddl = (""""schemaDdl":"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(json).get.group(1)
       .replace("\\\"", "\"").replace("\\\\", "\\")
+    val gen = arr("genColNames").zip(arr("genColExprs").map(e =>
+      new String(java.util.Base64.getDecoder.decode(e), "UTF-8")))
     TableMeta(arr("keys"), arr("nullableKeys"), arr("seqCols"), numBuckets, ddl,
-      arr("partitionCols"), arr("prunedCols"))
+      arr("partitionCols"), arr("prunedCols"), gen)
   }
 }

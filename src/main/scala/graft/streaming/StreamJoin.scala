@@ -29,13 +29,26 @@ final class JoinBuilder(left: Stream, right: Stream, joinType: String) {
 }
 
 /** A partition column for a join-output table; wrap with [[prune]] for
-  * static merge-time pruning (streams.py:67-94).
+  * static merge-time pruning (streams.py:67-94), or declare it
+  * GENERATED with [[gen]].
   */
-final case class PartitionCol(name: String, pruned: Boolean = false)
+final case class PartitionCol(name: String, pruned: Boolean = false,
+    genSql: Option[String] = None)
 
 object prune {
   /** `partitionBy(prune("date"))` — the reference's `prune(col)`. */
   def apply(name: String): PartitionCol = PartitionCol(name, pruned = true)
+}
+
+object gen {
+  /** `partitionBy(gen("date", "year(ts)*100+month(ts)"))` — the
+    * reference's `generated_columns_ddl` (joins.py:875-878): the
+    * column need not exist in the join output; the store derives it
+    * from each staged batch at merge time (Delta's GENERATED ALWAYS AS
+    * analog), so writers never re-derive the partition value and
+    * pruning still applies. */
+  def apply(name: String, sql: String, pruned: Boolean = true): PartitionCol =
+    PartitionCol(name, pruned, Some(sql))
 }
 
 /** Projection steps applied to each microbatch join result in order —
@@ -223,7 +236,8 @@ final class JoinedStream(
       keys = nonNull ++ nullable, seqCols = seqCols, nullableKeys = nullable,
       numBuckets = math.max(left.table.meta.numBuckets, right.table.meta.numBuckets),
       partitionCols = partitionCols.map(_.name),
-      prunedCols = partitionCols.filter(_.pruned).map(_.name))
+      prunedCols = partitionCols.filter(_.pruned).map(_.name),
+      generatedCols = partitionCols.flatMap(pc => pc.genSql.map(pc.name -> _)))
     if (userSink.isEmpty) out // force managed-table creation eagerly
 
     // state for consistent static pinning across microbatches (joins.py:399-428)

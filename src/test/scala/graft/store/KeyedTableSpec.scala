@@ -119,6 +119,29 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(kt.snapshot().where(col("lid") === 2L).count() == 2)
   }
 
+  test("generated columns are derived at merge time and survive forPath") {
+    val t = tmp()
+    val df = Seq((1L, "2024-03-05"), (2L, "2025-11-20")).toDF("id", "d")
+      .withColumn("d", col("d").cast("date"))
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"),
+      numBuckets = 4,
+      partitionCols = Seq("ym"), prunedCols = Seq("ym"),
+      generatedCols = Seq("ym" -> "year(d) * 100 + month(d)"))
+    kt.upsert(df) // batch does NOT carry ym — the store derives it
+    val snap = kt.snapshot().orderBy("id").collect()
+    assert(snap.map(_.get(2)).toSeq == Seq(202403, 202511))
+    // a writer that DOES provide the column wins (no re-derivation)
+    kt.upsert(Seq((3L, "2020-01-01")).toDF("id", "d")
+      .withColumn("d", col("d").cast("date")).withColumn("ym", lit(999901)))
+    assert(kt.snapshot().where(col("id") === 3L).collect().head.get(2) == 999901)
+    // meta round-trip (expr contains spaces, *, + — base64-encoded)
+    val reopened = KeyedTable.forPath(spark, t)
+    assert(reopened.meta.generatedCols == Seq("ym" -> "year(d) * 100 + month(d)"))
+    reopened.upsert(Seq((4L, "2021-06-15")).toDF("id", "d")
+      .withColumn("d", col("d").cast("date")))
+    assert(reopened.snapshot().where(col("id") === 4L).collect().head.get(2) == 202106)
+  }
+
   test("delete removes rows, emits delete CDF, tombstones emptied buckets") {
     val t = tmp()
     val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "x")

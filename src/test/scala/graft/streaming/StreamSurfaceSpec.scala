@@ -234,6 +234,32 @@ class StreamSurfaceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gen() partition column is derived by the store and recorded pruned") {
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_orderdate")
+    val cDf = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(spark, s"$root/o", oDf.schema, Seq("o_orderkey"), numBuckets = 4)
+    val cT = KeyedTable.create(spark, s"$root/c", cDf.schema, Seq("c_custkey"), numBuckets = 4)
+    cT.upsert(cDf)
+    val p = Stream.fromKeyedTable(oT)
+      .join(Stream.fromKeyedTable(cT), "inner")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .partitionBy(gen("o_year", "year(o_orderdate)"))
+      .writeToPath(s"$root/out")
+    oT.upsert(oDf.where(col("o_orderkey") % 2 === 0)); p.runAvailableNow()
+    oT.upsert(oDf.where(col("o_orderkey") % 2 === 1)); p.runAvailableNow()
+    val out = KeyedTable.forPath(spark, s"$root/out")
+    assert(out.meta.generatedCols == Seq("o_year" -> "year(o_orderdate)"))
+    assert(out.meta.prunedCols == Seq("o_year"))
+    val got = out.snapshot()
+    assert(got.where(col("o_year") =!= year(col("o_orderdate"))).count() == 0)
+    val want = oDf.join(cDf, col("o_custkey") === col("c_custkey"))
+      .withColumn("o_year", year(col("o_orderdate")))
+    val cols = want.columns.sorted.map(col).toIndexedSeq
+    assert(got.select(cols: _*).exceptAll(want.select(cols: _*)).count() == 0)
+    assert(want.select(cols: _*).exceptAll(got.select(cols: _*)).count() == 0)
+  }
+
   test("runAvailableNow batch-drain waves converge to the batch result") {
     val root = tmp()
     val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
