@@ -220,11 +220,61 @@ object RefQueries {
       .agg(r2(sum(col("l_extendedprice").cast("decimal(18,6)") * (lit(1.0).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))).cast("double").as("revenue"))
   }
 
+  /** Q7-like: bilateral shipping volume between two nations by year —
+    * a 6-way join where both nation sides must broadcast and the
+    * name-pair filter prunes before the aggregate. */
+  def tpchQ7Like(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), sup("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(r2(sum(col("l_extendedprice").cast("decimal(18,6)") *
+          (lit(1.0).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))))
+        .cast("double").as("volume"))
+  }
+
+  /** Q9-like: per-nation profit by year over a part-name predicate (no
+    * partsupp table in the testdata, so cost = 80% of retail). */
+  def tpchQ9Like(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).where(col("p_name").contains("red"))
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(r2(sum(
+          col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1.0).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")) -
+          col("l_quantity").cast("decimal(18,6)") *
+            col("p_retailprice").cast("decimal(18,6)") * lit(0.8).cast("decimal(18,6)")))
+        .cast("double").as("profit"))
+  }
+
   // --- registration ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q3_like"           -> (tpchQ3Like _),
     "tpch_q5_like"           -> (tpchQ5Like _),
+    "tpch_q7_like"           -> (tpchQ7Like _),
+    "tpch_q9_like"           -> (tpchQ9Like _),
     "agg_sum_groupby"        -> (aggSumGroupBy _),
     "agg_multi"              -> (aggMulti _),
     "agg_min_max"            -> (aggMinMax _),
@@ -264,6 +314,31 @@ object RefQueries {
          JOIN lineitem ON o_orderkey = l_orderkey
          WHERE r_name = 'ASIA'
          GROUP BY n_name""",
+    "tpch_q7_like" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(date_part('year', l_shipdate) AS INT) AS l_year,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)::DOUBLE AS volume
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+         GROUP BY 1, 2, 3""",
+    "tpch_q9_like" ->
+      """SELECT n_name AS nation,
+         CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                 - CAST(l_quantity AS DECIMAL(18,6)) * CAST(p_retailprice AS DECIMAL(18,6)) * CAST(0.8 AS DECIMAL(18,6))), 2)::DOUBLE AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2""",
     "agg_sum_groupby" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
