@@ -25,7 +25,9 @@ object Tables {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long"))
+      // integer `div`, NOT `/`: ns epoch values exceed double's 53-bit
+      // mantissa, so float division is off by ±1µs on some rows
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))
         .cast(org.apache.spark.sql.types.TimestampNTZType))
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, SkewJoin, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Ranking, Similarity, SkewJoin, TextAnalysis}
 import graft.streaming.EventOps
 
 /** Gate queries for the training-data pipeline ops (§2B) and streaming
@@ -319,6 +319,28 @@ object OpsQueries {
         .alias("session_end"))
   }
 
+  /** B24: as-of join — each click picks up the user's latest
+    * prior-or-simultaneous purchase (value + time). DuckDB's native
+    * ASOF LEFT JOIN is the oracle. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    AsOfJoin.asof(clicks, purchases, on = Seq("user_id"),
+      leftTs = "ts", rightTs = "ts",
+      payload = Map("value" -> "purchase_value", "ts" -> "purchase_ts"),
+      tieBreak = "event_id")
+  }
+
+  /** B25: BM25 relevance of every document against a fixed query.
+    * Scores round to 6 decimals on BOTH sides: `ln` differs by ±1 ulp
+    * between Math.log and libm, so raw doubles can't hash-match. */
+  def rankBm25(s: SparkSession, d: String): DataFrame =
+    Ranking.bm25(Tables.documents(s, d), Seq("spark", "join", "filter"))
+      .select(col("doc_id"), round(col("bm25"), 6).alias("bm25"))
+
   // --- registration -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -353,7 +375,9 @@ object OpsQueries {
     "dedup_clusters"    -> (dedupClusters _),
     "stream_sessionize"     -> (streamSessionize _),
     "stream_series_similarity" -> (streamSeriesSimilarity _),
-    "stream_sessionize_native" -> (streamSessionizeNative _))
+    "stream_sessionize_native" -> (streamSessionizeNative _),
+    "asof_join"         -> (asofJoin _),
+    "rank_bm25"         -> (rankBm25 _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -614,5 +638,33 @@ object OpsQueries {
              date_trunc('second', min(ts)) AS session_start,
              date_trunc('second', max(ts)) AS session_end
            FROM s GROUP BY user_id, session_id)
-         SELECT user_id, n_events, session_start, session_end FROM g""")
+         SELECT user_id, n_events, session_start, session_end FROM g""",
+    // ts is TIMESTAMP_NS in DuckDB but µs-truncated in Spark (Tables
+    // .events) — CAST both sides to µs TIMESTAMP before comparing
+    "asof_join" -> """
+         WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+             FROM events WHERE event_type = 'click'),
+         r0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+             FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, arg_max(value, event_id) AS purchase_value
+             FROM r0 GROUP BY user_id, ts)
+         SELECT l.event_id, l.user_id, l.ts, l.value,
+             r.purchase_value, r.ts AS purchase_ts
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "rank_bm25" -> """
+         WITH tok AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+         tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+             WHERE term IN ('spark', 'join', 'filter') GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT tf.doc_id,
+             round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                 tf * (1.2 + 1.0) /
+                 (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         GROUP BY tf.doc_id""")
 }
