@@ -241,11 +241,11 @@ object CdcQueries {
       .writeToPath(s"$root/out")
     oT.upsert(oDf, uniqueKeys = true)
     lT.upsert(lDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true)
-    pipe.runAvailableNow()
+    pipe.runIncremental()
     cT.upsert(cDf, uniqueKeys = true) // late: placeholders upgrade in stage 1→2→3
     pT.upsert(pDf, uniqueKeys = true) // late: left-join nulls fill in stage 3
     lT.upsert(lDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true)
-    pipe.runAvailableNow()
+    pipe.runIncremental()
     KeyedTable.forPath(s, s"$root/out").snapshot()
   }
 
@@ -321,12 +321,12 @@ object CdcQueries {
     lT.upsert(lDf, uniqueKeys = true)
     tT.upsert(tDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true)
     cT.upsert(cDf, uniqueKeys = true)
-    p.runAvailableNow()
+    p.runIncremental()
     tT.upsert(tDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true)
     // update wave: amounts change → agg deltas + downstream retraction
     tT.upsert(tDf.where(col("o_orderkey") % 7 === 0)
       .withColumn("amount", (col("amount") * 2).cast("decimal(18,6)")), uniqueKeys = true)
-    p.runAvailableNow()
+    p.runIncremental()
     KeyedTable.forPath(s, s"$root/out").snapshot()
       .select(col("order_id"),
         col("total_amount_per_order").cast("decimal(18,2)").as("total_amount_per_order"))

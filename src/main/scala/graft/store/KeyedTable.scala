@@ -123,9 +123,17 @@ final class KeyedTable private (
   }
 
   /** Change rows with `_commit_version > sinceVersion`, batch form. */
-  def changesSince(sinceVersion: Long): DataFrame =
-    spark.read.schema(cdfSchema).parquet(s"$path/cdf/*")
-      .where(col("_commit_version") > sinceVersion)
+  def changesSince(sinceVersion: Long): DataFrame = {
+    // `cdf/*` globs per-commit dirs; with zero commits the batch reader
+    // throws where the stream source would just wait — return empty
+    val cdfPath = new org.apache.hadoop.fs.Path(s"$path/cdf")
+    val fs = cdfPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(cdfPath) || fs.listStatus(cdfPath).isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), cdfSchema)
+    else
+      spark.read.schema(cdfSchema).parquet(s"$path/cdf/*")
+        .where(col("_commit_version") > sinceVersion)
+  }
 
   /** The change feed as a Structured Streaming source. New commits land
     * as new files under `cdf/` and are discovered by the file source;
@@ -248,7 +256,7 @@ final class KeyedTable private (
   // markers written before the crash
   @volatile private var batchIdCache: Long = Long.MinValue
 
-  private def lastAppliedBatchId: Long = {
+  private[graft] def lastAppliedBatchId: Long = {
     if (batchIdCache == Long.MinValue)
       batchIdCache = log.maxBatchIdAt(latestVersion)
     batchIdCache

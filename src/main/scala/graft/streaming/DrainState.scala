@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Persisted high-water marks for a batch-incrementally drained stage
+  * (`Pipeline.runIncremental`): the last drained commit version of
+  * every source table plus the next merge batchId.
+  *
+  * Crash safety is write-ahead-intent: a drain writes `intent` (the
+  * post-drain state) BEFORE merging and promotes it to `state` after.
+  * Recovery on the next load: if the output table's applied-batchId
+  * marker shows the intent's merge landed, the intent is promoted;
+  * otherwise it is discarded and the range is re-drained (the merge's
+  * own batchId guard makes a half-landed replay a no-op). Single
+  * writer per stage, like every KeyedTable.
+  */
+private[streaming] object DrainState {
+  final case class St(versions: Map[String, Long], next: Long)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def read(f: org.apache.hadoop.fs.FileSystem, p: Path): St = {
+    val in = f.open(p)
+    try {
+      val props = new java.util.Properties()
+      props.load(in)
+      val next = props.getProperty("next", "0").toLong
+      import scala.jdk.CollectionConverters._
+      val versions = props.stringPropertyNames().asScala.toSeq
+        .filter(_.startsWith("v."))
+        .map(k => k.stripPrefix("v.") -> props.getProperty(k).toLong).toMap
+      St(versions, next)
+    } finally in.close()
+  }
+
+  private def write(f: org.apache.hadoop.fs.FileSystem, p: Path, st: St): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("next", st.next.toString)
+    st.versions.foreach { case (k, v) => props.setProperty(s"v.$k", v.toString) }
+    val out = f.create(p, true)
+    try props.store(out, null) finally out.close()
+  }
+
+  /** Current state with intent recovery (see class doc). */
+  def load(spark: SparkSession, dir: String, appliedBatchId: Long): St = {
+    val f = fs(spark, dir)
+    val state = new Path(dir, "state.properties")
+    val intent = new Path(dir, "intent.properties")
+    if (f.exists(intent)) {
+      val i = read(f, intent)
+      f.delete(intent, false)
+      // the intent's merge ran with batchId = i.next - 1
+      if (appliedBatchId >= i.next - 1) { write(f, state, i); return i }
+    }
+    if (f.exists(state)) read(f, state) else St(Map.empty, 0L)
+  }
+
+  def begin(spark: SparkSession, dir: String, post: St): Unit = {
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    write(f, new Path(dir, "intent.properties"), post)
+  }
+
+  def commit(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val state = new Path(dir, "state.properties")
+    val intent = new Path(dir, "intent.properties")
+    f.delete(state, false)
+    f.rename(intent, state)
+  }
+}

@@ -15,7 +15,9 @@ final case class WriterConf(
   * writing a staged KeyedTable (the reference's dependent-query chain,
   * streams.py:316-359).
   */
-final case class StageHandle(name: String, startFn: WriterConf => StreamingQuery)
+final case class StageHandle(name: String, startFn: WriterConf => StreamingQuery,
+    drainFn: () => Unit = () => throw new UnsupportedOperationException(
+      "stage does not support incremental drain"))
 
 /** An unstarted chain of streaming stages, upstream first. */
 final class Pipeline(val handles: Seq[StageHandle]) {
@@ -57,6 +59,20 @@ final class Pipeline(val handles: Seq[StageHandle]) {
     * `runAvailableNow()` invocations are incremental: the deployment
     * shape for cron-style periodic pipelines (and how the driver-gate
     * feed waves are drained). */
+  /** Checkpoint-FREE batch-incremental drain: each stage reads its
+    * pending cdf commit range as ONE plain batch DataFrame (per-table
+    * high-water marks in a tiny `_drain` state file, write-ahead-intent
+    * crash recovery) and runs the same merge body the streaming path
+    * runs — no StreamingQuery start/stop, no offset/commit WAL, no
+    * file-source directory listing. Upstream-first like
+    * [[runAvailableNow]]; a stage whose sources haven't moved is a pure
+    * filesystem no-op. This is the cheapest cron-style deployment shape;
+    * the exactly-once guarantee is the merge batchId marker, same as
+    * streaming. Do NOT mix with checkpointed runs of the same pipeline:
+    * each mode tracks progress on its own and would re- or skip-apply
+    * the other's batches (the stage throws on a detected mix). */
+  def runIncremental(): Unit = handles.foreach(_.drainFn())
+
   def runAvailableNow(): Unit = {
     val t = org.apache.spark.sql.streaming.Trigger.AvailableNow()
     handles.zipWithIndex.foreach { case (h, i) =>

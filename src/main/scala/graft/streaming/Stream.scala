@@ -89,6 +89,23 @@ final class Stream private (
     others.foldLeft(own)((acc, o) => acc.unionByName(o.changeStream))
   }
 
+  /** Every keyed table feeding this stream (union members included) —
+    * the version vector a batch-incremental drain tracks. */
+  private[streaming] def allTables: Seq[KeyedTable] =
+    table +: others.flatMap(_.allTables)
+
+  /** Batch analog of [[changeStream]]: all change rows past the given
+    * per-table high-water marks, with the same delete filtering and
+    * source transform. One plain pruned cdf scan — no streaming query,
+    * no checkpoint (`Pipeline.runIncremental`). */
+  private[streaming] def changesBatch(after: String => Long): DataFrame = {
+    val raw0 = table.changesSince(after(table.path))
+    val raw = if (deletesOn) raw0 else raw0.where(col("_change_type") =!= "delete")
+    val cut = if (startV < 0) raw else raw.where(col("_commit_version") > startV)
+    val own = applyTransformKeepingCdf(cut)
+    others.foldLeft(own)((acc, o) => acc.unionByName(o.changesBatch(after)))
+  }
+
   /** Static snapshot pinned at a version (streams.py:203-208). For a
     * unioned stream the pin applies to the primary table; union members
     * snapshot at their own latest. */

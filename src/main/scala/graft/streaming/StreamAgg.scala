@@ -129,6 +129,25 @@ final class StreamAgg(
     }
 
     val name = s"agg:${new org.apache.hadoop.fs.Path(outPath).getName}"
+
+    // batch-incremental drain (Pipeline.runIncremental): same mergeAgg
+    // body over one plain batch of the pending cdf range. The delta
+    // merge is NOT idempotent, so the batchId marker + drain intent
+    // recovery carry the exactly-once guarantee here.
+    def drainOnce(): Unit = {
+      val dir = s"$outPath/_drain"
+      val st = DrainState.load(spark, dir, out.lastAppliedBatchId)
+      val cur = src.allTables.map(t => t.path -> t.latestVersion).toMap
+      if (cur == st.versions) return
+      require(st.versions.nonEmpty || out.lastAppliedBatchId < 0,
+        s"stage $name has checkpointed-run history; runIncremental needs " +
+          "its own state from the pipeline's first run")
+      val after = (p: String) => st.versions.getOrElse(p, -1L)
+      DrainState.begin(spark, dir, DrainState.St(cur, st.next + 1))
+      mergeAgg(src.changesBatch(after), st.next)
+      DrainState.commit(spark, dir)
+    }
+
     val handle = StageHandle(name, wc => {
       var w = src.changeStream.writeStream
         .option("checkpointLocation", s"$outPath/_cp")
@@ -137,7 +156,7 @@ final class StreamAgg(
       wc.options.foreach { case (k, v) => w = w.option(k, v) }
       wc.trigger.foreach(t => w = w.trigger(t))
       w.start()
-    })
+    }, drainFn = () => drainOnce())
     (handle, out)
   }
 }

@@ -352,9 +352,7 @@ final class JoinedStream(
       }
     }
 
-    val packed: DataFrame = {
-      val ls = left.changeStream
-      val rs = right.changeStream
+    def pack(ls: DataFrame, rs: DataFrame): DataFrame = {
       val lStruct = struct(ls.columns.map(col): _*)
       val rStruct = struct(rs.columns.map(col): _*)
       val lPacked = ls.select(lStruct.alias("l"), lit(null).cast(
@@ -363,8 +361,28 @@ final class JoinedStream(
         org.apache.spark.sql.types.StructType(ls.schema.fields)).alias("l"), rStruct.alias("r"))
       lPacked.unionByName(rPacked)
     }
+    val packed: DataFrame = pack(left.changeStream, right.changeStream)
 
     val name = s"join:${new org.apache.hadoop.fs.Path(outPath).getName}"
+
+    // batch-incremental drain (Pipeline.runIncremental): same mergeJoin
+    // body over one plain batch of the pending cdf range
+    def drainOnce(): Unit = {
+      val dir = s"$outPath/_drain"
+      val applied = if (userSink.isEmpty) out.lastAppliedBatchId else -1L
+      val st = DrainState.load(spark, dir, applied)
+      val cur = (left.allTables ++ right.allTables)
+        .map(t => t.path -> t.latestVersion).toMap
+      if (cur == st.versions) return
+      require(st.versions.nonEmpty || applied < 0,
+        s"stage $name has checkpointed-run history; runIncremental needs " +
+          "its own state from the pipeline's first run")
+      val after = (p: String) => st.versions.getOrElse(p, -1L)
+      DrainState.begin(spark, dir, DrainState.St(cur, st.next + 1))
+      mergeJoin(pack(left.changesBatch(after), right.changesBatch(after)), st.next)
+      DrainState.commit(spark, dir)
+    }
+
     val handle = StageHandle(name, wc => {
       var w = packed.writeStream
         .option("checkpointLocation", s"$outPath/_cp")
@@ -373,7 +391,7 @@ final class JoinedStream(
       wc.options.foreach { case (k, v) => w = w.option(k, v) }
       wc.trigger.foreach(t => w = w.trigger(t))
       w.start()
-    })
+    }, drainFn = () => drainOnce())
     (handle, () => out)
   }
 }
