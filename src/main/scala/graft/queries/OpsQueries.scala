@@ -319,6 +319,31 @@ object OpsQueries {
         .alias("session_end"))
   }
 
+  /** B26: shuffle-free co-bucket join — orders and a per-order
+    * lineitem rollup land in KeyedTables bucketed identically on
+    * o_orderkey, then join bucket-by-bucket with zero exchange
+    * (decimal sums so the stored rollup is bit-exact vs the oracle). */
+  def joinCobucket(s: SparkSession, d: String): DataFrame = {
+    import graft.store.KeyedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_cb").toString
+    val oDf = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val rollup = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").alias("o_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
+        count(lit(1)).alias("line_cnt"))
+    val oT = KeyedTable.create(s, s"$root/orders", oDf.schema,
+      Seq("o_orderkey"), numBuckets = 8)
+    val rT = KeyedTable.create(s, s"$root/rollup", rollup.schema,
+      Seq("o_orderkey"), numBuckets = 8)
+    oT.upsert(oDf, uniqueKeys = true)
+    rT.upsert(rollup, uniqueKeys = true)
+    graft.ops.CoBucketJoin.join(oT, rT, Seq("o_orderkey"), joinType = "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("sum_qty").cast("decimal(18,2)").alias("sum_qty"),
+        col("line_cnt"))
+  }
+
   /** B24: as-of join — each click picks up the user's latest
     * prior-or-simultaneous purchase (value + time). DuckDB's native
     * ASOF LEFT JOIN is the oracle. */
@@ -377,7 +402,8 @@ object OpsQueries {
     "stream_series_similarity" -> (streamSeriesSimilarity _),
     "stream_sessionize_native" -> (streamSessionizeNative _),
     "asof_join"         -> (asofJoin _),
-    "rank_bm25"         -> (rankBm25 _))
+    "rank_bm25"         -> (rankBm25 _),
+    "join_cobucket"     -> (joinCobucket _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -666,5 +692,13 @@ object OpsQueries {
                  tf * (1.2 + 1.0) /
                  (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
          FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-         GROUP BY tf.doc_id""")
+         GROUP BY tf.doc_id""",
+    "join_cobucket" -> """
+         WITH r AS (SELECT l_orderkey AS o_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS sum_qty,
+             count(*) AS line_cnt
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             sum_qty, line_cnt
+         FROM orders LEFT JOIN r USING (o_orderkey)""")
 }

@@ -80,7 +80,7 @@ final class KeyedTable private (
   // writers invalidate it implicitly because latestVersion is re-listed)
   @volatile private var bvCache: (Long, Map[Int, Long]) = (-1L, Map.empty)
 
-  private def bucketVersionsAt(v: Long): Map[Int, Long] = {
+  private[graft] def bucketVersionsAt(v: Long): Map[Int, Long] = {
     val cached = bvCache
     if (cached._1 == v) cached._2
     else {
