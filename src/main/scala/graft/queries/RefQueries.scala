@@ -268,6 +268,30 @@ object RefQueries {
         .cast("double").as("profit"))
   }
 
+  /** Ranked-window analytics: top-3 orders per customer by price
+    * (deterministic tie-break on orderkey). One shuffle on the
+    * partition key; the rank prunes before any downstream join. */
+  def windowTopOrders(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+  }
+
+  /** ROLLUP aggregate: order counts and revenue by (status, year) with
+    * subtotal and grand-total rows — one shuffle, partial aggregation
+    * map-side for every grouping set. */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(count(lit(1)).as("cnt"),
+        r2(sum(col("o_totalprice").cast("decimal(18,6)")))
+          .cast("decimal(18,2)").as("revenue"))
+
   // --- registration ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -275,6 +299,8 @@ object RefQueries {
     "tpch_q5_like"           -> (tpchQ5Like _),
     "tpch_q7_like"           -> (tpchQ7Like _),
     "tpch_q9_like"           -> (tpchQ9Like _),
+    "window_top_orders"      -> (windowTopOrders _),
+    "agg_rollup"             -> (aggRollup _),
     "agg_sum_groupby"        -> (aggSumGroupBy _),
     "agg_multi"              -> (aggMulti _),
     "agg_min_max"            -> (aggMinMax _),
@@ -339,6 +365,19 @@ object RefQueries {
          JOIN nation ON s_nationkey = n_nationkey
          WHERE p_name LIKE '%red%'
          GROUP BY 1, 2""",
+    "window_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, rk FROM (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders) WHERE rk <= 3""",
+    "agg_rollup" ->
+      """SELECT o_orderstatus,
+           CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+           count(*) AS cnt,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue
+         FROM orders
+         GROUP BY ROLLUP (o_orderstatus, o_year)""",
     "agg_sum_groupby" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
