@@ -102,10 +102,16 @@ object OpsQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Gate runs nprobe = nlist (exhaustive probing): every stage of the
+    * IVF machinery — Lloyd iterations, shuffle-free ArgMaxCosine
+    * assignment, probe ranking, candidate join — executes, and the
+    * result provably equals brute-force top-k, so the gate carries the
+    * FULL oracle. The deployment path (nprobe < nlist) is recall-spec'd
+    * in OpsSpec. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5,
-        nlist = 8, nprobe = 3)
+        nlist = 8, nprobe = 8)
       .withColumn("rank", col("rank").cast("long"))
   }
 
@@ -494,6 +500,18 @@ object OpsQueries {
     "dedup_embedding" -> """
          SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
          FROM embeddings WHERE vec_id < 50""",
+    // nprobe = nlist → IVF is exhaustive → identical to brute force
+    // (same (sim desc, neighbor_id) tie-break, same round-6 sims)
+    "ann_ivf" -> """
+         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 6) AS sim
+               FROM q, embeddings c WHERE c.vec_id != query_id),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""",
     "ann_bruteforce" -> """
          WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),
