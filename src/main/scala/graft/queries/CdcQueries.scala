@@ -275,7 +275,7 @@ object CdcQueries {
     nT.upsert(nDf, uniqueKeys = true)
     cT.upsert(cDf, uniqueKeys = true)
     oT.upsert(oDf, uniqueKeys = true)
-    p.runAvailableNow()
+    p.runIncremental()
     KeyedTable.forPath(s, s"$root/out").snapshot()
   }
 
