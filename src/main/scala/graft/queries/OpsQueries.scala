@@ -231,6 +231,20 @@ object OpsQueries {
     EventOps.runToMemory(s, s"$d/events.parquet", s"win_agg_${System.nanoTime()}")(
       EventOps.windowedAgg)
 
+  /** C10: genuine stream-stream interval join (two watermarked file
+    * streams; state bounded by the 1-hour range condition). */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val src = s"$d/events.parquet"
+    val name = s"ivj_${System.nanoTime()}"
+    val q = EventOps.intervalJoin(
+        EventOps.eventStream(s, src), EventOps.eventStream(s, src))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     // feed the events twice; streaming dropDuplicates must collapse them
     val st = EventOps.eventStream(s, s"$d/events.parquet")
@@ -409,7 +423,8 @@ object OpsQueries {
     "stream_sessionize_native" -> (streamSessionizeNative _),
     "asof_join"         -> (asofJoin _),
     "rank_bm25"         -> (rankBm25 _),
-    "join_cobucket"     -> (joinCobucket _))
+    "join_cobucket"     -> (joinCobucket _),
+    "stream_interval_join" -> (streamIntervalJoin _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -718,5 +733,17 @@ object OpsQueries {
            FROM lineitem GROUP BY l_orderkey)
          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              sum_qty, line_cnt
-         FROM orders LEFT JOIN r USING (o_orderkey)""")
+         FROM orders LEFT JOIN r USING (o_orderkey)""",
+    "stream_interval_join" -> """
+         WITH c AS (SELECT event_id AS click_id, user_id,
+             CAST(ts AS TIMESTAMP) AS click_ts
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id,
+             CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT click_id, purchase_id, c.user_id, click_ts,
+             purchase_ts, purchase_value
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND purchase_ts >= click_ts
+           AND purchase_ts <= click_ts + INTERVAL 1 HOUR""")
 }

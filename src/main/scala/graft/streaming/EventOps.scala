@@ -48,7 +48,9 @@ object EventOps {
     // watermarks require TIMESTAMP (LTZ); session tz is UTC so values
     // align with the NTZ batch reads — outputs cast back to NTZ
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer `div`, NOT `/`: ns epoch values exceed double's 53-bit
+      // mantissa (same fix as Tables.eventsDf)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 
@@ -61,6 +63,33 @@ object EventOps {
       .select(col("w.start").cast(org.apache.spark.sql.types.TimestampNTZType)
           .alias("window_start"),
         col("event_type"), col("cnt"), col("total"))
+
+  /** C10: stream-stream INTERVAL join — each click attributed to the
+    * purchases the same user makes within the following hour. Both
+    * sides carry watermarks and the join condition bounds the time
+    * range, so Spark can evict state as the watermark advances —
+    * unbounded-stream-safe, unlike an unconstrained stream-stream
+    * join. */
+  def intervalJoin(clicks0: DataFrame, purchases0: DataFrame): DataFrame = {
+    val ntz = org.apache.spark.sql.types.TimestampNTZType
+    val clicks = clicks0.where(col("event_type") === "click")
+      .select(col("event_id").alias("click_id"), col("user_id"),
+        col("ts").alias("click_ts"), col("value").alias("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = purchases0.where(col("event_type") === "purchase")
+      .select(col("event_id").alias("purchase_id"),
+        col("user_id").alias("p_user_id"), col("ts").alias("purchase_ts"),
+        col("value").alias("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts").cast(ntz).alias("click_ts"),
+        col("purchase_ts").cast(ntz).alias("purchase_ts"),
+        col("purchase_value"))
+  }
 
   /** C2: streaming dedup by event id within the watermark. */
   def dedup(events: DataFrame): DataFrame =
