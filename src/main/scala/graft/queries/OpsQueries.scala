@@ -339,6 +339,11 @@ object OpsQueries {
         .alias("session_end"))
   }
 
+  /** B27: end-to-end curation decision over the corpus (with planted
+    * exact dups so the duplicate rule fires). */
+  def curateDocs(s: SparkSession, d: String): DataFrame =
+    graft.ops.Curation.curate(docsWithExactDups(s, d))
+
   /** B26: shuffle-free co-bucket join — orders and a per-order
     * lineitem rollup land in KeyedTables bucketed identically on
     * o_orderkey, then join bucket-by-bucket with zero exchange
@@ -424,7 +429,8 @@ object OpsQueries {
     "asof_join"         -> (asofJoin _),
     "rank_bm25"         -> (rankBm25 _),
     "join_cobucket"     -> (joinCobucket _),
-    "stream_interval_join" -> (streamIntervalJoin _))
+    "stream_interval_join" -> (streamIntervalJoin _),
+    "curate_docs"       -> (curateDocs _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -734,6 +740,44 @@ object OpsQueries {
          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              sum_qty, line_cnt
          FROM orders LEFT JOIN r USING (o_orderkey)""",
+    "curate_docs" -> s"""
+         WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+         t AS (SELECT doc_id, text, string_split(text, ' ') w FROM all_docs),
+         q AS (SELECT doc_id, len(w) AS n_words,
+           round(least(1.0,
+             CAST(len(list_filter(w, x -> list_contains($stop10, x))) AS DOUBLE) / len(w) * 2.0
+             + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.5
+             + CASE WHEN CAST(strlen(text) - len(w) + 1 AS DOUBLE) / len(w)
+                 BETWEEN 3.0 AND 8.0 THEN 0.25 ELSE 0.0 END), 4) AS qs
+           FROM t),
+         lc AS (SELECT doc_id,
+           len(list_filter(w, x -> list_contains(['the','and','of','is'], x))) AS c_en,
+           len(list_filter(w, x -> list_contains(['der','die','und','ist'], x))) AS c_de,
+           len(list_filter(w, x -> list_contains(['le','la','et','est'], x))) AS c_fr,
+           len(list_filter(w, x -> list_contains(['el','los','y','es'], x))) AS c_es
+           FROM t),
+         lg AS (SELECT doc_id, greatest(c_en, c_de, c_fr, c_es) AS best, * FROM lc),
+         l AS (SELECT doc_id,
+           CASE WHEN c_en = best AND best > 0 THEN 'en'
+                WHEN c_de = best AND best > 0 THEN 'de'
+                WHEN c_fr = best AND best > 0 THEN 'fr'
+                WHEN c_es = best AND best > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+           FROM lg),
+         cn AS (SELECT doc_id,
+             doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+           FROM all_docs),
+         r AS (SELECT q.doc_id,
+           CASE WHEN n_words < 20 THEN 'too_short'
+                WHEN n_words > 2000 THEN 'too_long'
+                WHEN qs < 0.5 THEN 'low_quality'
+                WHEN lang_pred = 'und' THEN 'unknown_lang'
+                WHEN NOT canonical THEN 'duplicate' END AS reason
+           FROM q JOIN l USING (doc_id) JOIN cn USING (doc_id))
+         SELECT doc_id, reason IS NULL AS keep, reason FROM r""",
     "stream_interval_join" -> """
          WITH c AS (SELECT event_id AS click_id, user_id,
              CAST(ts AS TIMESTAMP) AS click_ts
