@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * predicate as a post-filter over ALL (left × right-per-key) pairs —
   * quadratic in per-key row count; the union form is linear.
   *
-  * Right rows at identical `(keys, ts)` are deduped deterministically
-  * first (greatest tie-break column wins) so the result is unique and
-  * order-independent.
+  * Right rows at identical `(keys, ts)` resolve deterministically to
+  * the greatest `tieBreak`: they sort before the left row ordered by
+  * `(ts, side, tieBreak)`, so the carry-forward `last()` lands on the
+  * max-tieBreak payload — no separate dedup window, no second
+  * exchange of the right side.
   */
 object AsOfJoin {
 
@@ -43,29 +45,27 @@ object AsOfJoin {
       tieBreak: String,
       strict: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
-    // newest-wins dedup of right rows sharing (keys, ts)
-    val rw = Window.partitionBy((on :+ rightTs).map(col): _*)
-      .orderBy(col(tieBreak).desc)
-    val rDedup = right
-      .withColumn("__rn", row_number().over(rw)).where(col("__rn") === 1)
-      .select((on.map(col) :+ col(rightTs).alias("__ts") :+
-        struct(payload.map { case (c, a) => col(c).alias(a) }.toSeq: _*)
-          .alias("__payload")): _*)
+    val tbType = right.schema(tieBreak).dataType
+    val rProj = right.select((on.map(col) :+ col(rightTs).alias("__ts") :+
+      col(tieBreak).cast(tbType).alias("__tb") :+
+      struct(payload.map { case (c, a) => col(c).alias(a) }.toSeq: _*)
+        .alias("__payload")): _*)
 
     // side ordering at equal ts decides inclusivity: rights first (0)
     // for `<=`, rights last (2) for strict `<`
     val rSide = if (strict) 2 else 0
     val lPacked = left.select(
       (on.map(col) :+ col(leftTs).alias("__ts") :+ lit(1).alias("__side") :+
-        lit(null).cast(rDedup.schema("__payload").dataType).alias("__payload") :+
+        lit(null).cast(tbType).alias("__tb") :+
+        lit(null).cast(rProj.schema("__payload").dataType).alias("__payload") :+
         struct(leftCols.map(col): _*).alias("__l")): _*)
-    val rPacked = rDedup.select(
+    val rPacked = rProj.select(
       (on.map(col) :+ col("__ts") :+ lit(rSide).alias("__side") :+
-        col("__payload") :+
+        col("__tb") :+ col("__payload") :+
         lit(null).cast(lPacked.schema("__l").dataType).alias("__l")): _*)
 
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val payloadCols = payload.values.toSeq
     lPacked.unionByName(rPacked)
