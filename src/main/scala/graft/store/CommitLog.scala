@@ -28,7 +28,7 @@ final class CommitLog(rootPath: String, conf: Configuration) {
 
   def writeMeta(json: String): Unit = {
     fs.mkdirs(logDir)
-    writeAtomic(new Path(logDir, "_meta.json"), json)
+    writeAtomic(new Path(logDir, "_meta.json"), json, overwrite = true)
   }
 
   def readMeta(): String = readFully(new Path(logDir, "_meta.json"))
@@ -127,11 +127,21 @@ final class CommitLog(rootPath: String, conf: Configuration) {
       .getOrElse(Nil)
   }
 
-  private def writeAtomic(target: Path, content: String): Unit = {
+  private def writeAtomic(target: Path, content: String,
+      overwrite: Boolean = false): Unit = {
     val tmp = new Path(target.getParent, s".${target.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!fs.rename(tmp, target)) {
+    var ok = fs.rename(tmp, target)
+    if (!ok && overwrite && fs.exists(target)) {
+      // Hadoop rename refuses to clobber an existing target, but a meta
+      // REWRITE (schema evolution) must replace it. Commit files keep
+      // overwrite=false: there a failed rename means a concurrent
+      // writer won, and backing off is the correct race semantics.
+      fs.delete(target, false)
+      ok = fs.rename(tmp, target)
+    }
+    if (!ok) {
       fs.delete(tmp, false)
       // a concurrent writer won the rename — single-writer tables never hit this
       if (!fs.exists(target)) sys.error(s"commit rename failed: $target")

@@ -69,11 +69,31 @@ final case class TableMeta(
 final class KeyedTable private (
     val spark: SparkSession,
     val path: String,
-    val meta: TableMeta) {
+    meta0: TableMeta) {
 
   import KeyedTable._
 
+  @volatile private var metaVar: TableMeta = meta0
+  def meta: TableMeta = metaVar
+
   private val log = new CommitLog(path, spark.sessionState.newHadoopConf())
+
+  /** Adds columns to the table schema (Delta's `mergeSchema` analog).
+    * Existing bucket and cdf files stay untouched — every read goes
+    * through the declared schema, and parquet null-fills fields a file
+    * lacks. Added fields are forced nullable for exactly that reason;
+    * a field whose name already exists is ignored (the declared type
+    * wins — `writeFused` casts batches to it). Metadata-only: no data
+    * rewrite at any scale. */
+  def evolveSchema(newFields: Seq[StructField]): Unit = synchronized {
+    val existing = schema.fieldNames.toSet
+    val adds = newFields.filterNot(f => existing.contains(f.name))
+    if (adds.isEmpty) return
+    val next = metaVar.copy(schemaDdl =
+      StructType(schema.fields ++ adds.map(_.copy(nullable = true))).toDDL)
+    log.writeMeta(metaToJson(next))
+    metaVar = next
+  }
 
   // single-writer replay cache: avoids re-reading the whole commit log
   // on every merge/snapshot of a long-lived table handle (external
@@ -273,6 +293,14 @@ final class KeyedTable private (
     // joins.py:875-878): computed from the staged rows when the batch
     // doesn't carry them — so partition pruning on a derived column
     // works without every writer re-deriving it
+    // schema auto-evolution (Delta's autoMerge analog): batch columns
+    // beyond the declared schema widen it in place when opted in;
+    // otherwise they are dropped by the dataCols projection below
+    if (spark.conf.getOption("spark.graft.schema.autoMerge").contains("true")) {
+      val extra = batch.schema.fields
+        .filterNot(f => dataCols.contains(f.name) || f.name.startsWith("_"))
+      if (extra.nonEmpty) evolveSchema(extra.toSeq)
+    }
     val withGen = meta.generatedCols.foldLeft(batch) { case (df, (n, sql)) =>
       if (df.columns.contains(n)) df else df.withColumn(n, expr(sql))
     }

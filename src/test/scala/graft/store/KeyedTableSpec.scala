@@ -222,4 +222,32 @@ class KeyedTableSpec extends AnyFunSuite {
     kt2.merge(delta, spec, uniqueKeys = true, batchId = 1L) // replay after restart
     assert(kt2.snapshot().where(col("k") === "A").head.getLong(1) == 20L)
   }
+
+  test("schema evolution: autoMerge widens on merge, old rows null-fill") {
+    val t = tmp()
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val kt = KeyedTable.create(spark, t, df1.schema, keys = Seq("id"), numBuckets = 4)
+    kt.upsert(df1, uniqueKeys = true)
+    // without opting in, the extra column is dropped and schema keeps
+    val df2 = Seq((3L, "c", 30.0)).toDF("id", "name", "score")
+    kt.upsert(df2, uniqueKeys = true)
+    assert(!kt.schema.fieldNames.contains("score"))
+    try {
+      spark.conf.set("spark.graft.schema.autoMerge", "true")
+      kt.upsert(Seq((4L, "d", 40.0)).toDF("id", "name", "score"), uniqueKeys = true)
+    } finally spark.conf.unset("spark.graft.schema.autoMerge")
+    assert(kt.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    val snap = kt.snapshot().orderBy("id").collect()
+    assert(snap.length == 4)
+    assert(snap.take(3).forall(_.isNullAt(2)), "pre-evolution rows null-fill")
+    assert(snap(3).getDouble(2) == 40.0)
+    // evolution is persisted: a fresh handle sees it, cdf still reads,
+    // and post-evolution merges keep updating pre-evolution rows
+    val kt2 = KeyedTable.forPath(spark, t)
+    assert(kt2.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(kt2.changesSince(-1L).count() >= 4)
+    kt2.upsert(Seq((1L, "a2", 1.5)).toDF("id", "name", "score"), uniqueKeys = true)
+    val r1 = kt2.snapshot().where(col("id") === 1L).head
+    assert(r1.getString(1) == "a2" && r1.getDouble(2) == 1.5)
+  }
 }
