@@ -63,6 +63,17 @@ private[streaming] object DrainState {
     write(f, new Path(dir, "intent.properties"), post)
   }
 
+  /** Refuses a checkpointed streaming start over a drained stage — the
+    * streaming run's early batchIds would be marker-skipped even when
+    * they cover commits the drain never saw. */
+  def requireNone(spark: SparkSession, dir: String, stage: String): Unit = {
+    val f = fs(spark, dir)
+    require(!f.exists(new Path(dir, "state.properties")),
+      s"stage $stage was drained with runIncremental; a checkpointed " +
+        "streaming run would silently skip overlapping batches - keep " +
+        "using runIncremental for this pipeline")
+  }
+
   def commit(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark, dir)
     val state = new Path(dir, "state.properties")

@@ -149,6 +149,8 @@ final class StreamAgg(
     }
 
     val handle = StageHandle(name, wc => {
+      // mirror of drainOnce's mode-mix guard (see StreamJoin)
+      DrainState.requireNone(spark, s"$outPath/_drain", name)
       var w = src.changeStream.writeStream
         .option("checkpointLocation", s"$outPath/_cp")
         .queryName(wc.queryName.getOrElse(name))

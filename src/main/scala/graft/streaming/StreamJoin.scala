@@ -384,6 +384,10 @@ final class JoinedStream(
     }
 
     val handle = StageHandle(name, wc => {
+      // the mirror of drainOnce's mode-mix guard: a checkpointed run
+      // over a drained stage would have its early batchIds silently
+      // marker-skipped even when they cover newer commits
+      DrainState.requireNone(spark, s"$outPath/_drain", name)
       var w = packed.writeStream
         .option("checkpointLocation", s"$outPath/_cp")
         .queryName(wc.queryName.getOrElse(name))

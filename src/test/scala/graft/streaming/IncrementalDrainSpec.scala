@@ -91,6 +91,21 @@ class IncrementalDrainSpec extends AnyFunSuite {
     assert(e.getMessage.contains("checkpointed-run history"))
   }
 
+  test("a checkpointed streaming run over a drained stage is refused") {
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice").limit(50)
+    val oT = KeyedTable.create(spark, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 4)
+    val pipe = Stream.fromKeyedTable(oT)
+      .groupBy("o_orderkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("total"))
+      .writeToPath(s"$root/out")
+    oT.upsert(oDf, uniqueKeys = true)
+    pipe.runIncremental()
+    val e = intercept[IllegalArgumentException] { pipe.runAvailableNow() }
+    assert(e.getMessage.contains("drained with runIncremental"))
+    pipe.runIncremental() // drain mode keeps working
+  }
+
   test("crash between intent and merge is re-drained; after merge is promoted") {
     val root = tmp()
     val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
