@@ -268,6 +268,27 @@ object RefQueries {
         .cast("double").as("profit"))
   }
 
+  /** Q4-like: priority counts of 1995-Q1/Q2 orders having ≥1 returned
+    * lineitem — LEFT SEMI join (no fan-out, dedup-free EXISTS). */
+  def tpchQ4Like(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-07-01")
+    val ret = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** LEFT ANTI complement: orders with NO lineitems at all, by status
+    * (the data-quality "orphan rows" probe). */
+  def ordersWithoutLineitems(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Ranked-window analytics: top-3 orders per customer by price
     * (deterministic tie-break on orderkey). One shuffle on the
     * partition key; the rank prunes before any downstream join. */
@@ -301,6 +322,8 @@ object RefQueries {
     "tpch_q9_like"           -> (tpchQ9Like _),
     "window_top_orders"      -> (windowTopOrders _),
     "agg_rollup"             -> (aggRollup _),
+    "tpch_q4_like"           -> (tpchQ4Like _),
+    "join_anti_orphans"      -> (ordersWithoutLineitems _),
     "agg_sum_groupby"        -> (aggSumGroupBy _),
     "agg_multi"              -> (aggMulti _),
     "agg_min_max"            -> (aggMinMax _),
@@ -365,6 +388,18 @@ object RefQueries {
          JOIN nation ON s_nationkey = n_nationkey
          WHERE p_name LIKE '%red%'
          GROUP BY 1, 2""",
+    "tpch_q4_like" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY 1""",
+    "join_anti_orphans" ->
+      """SELECT o_orderstatus, count(*) AS cnt
+         FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         GROUP BY 1""",
     "window_top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, rk FROM (
            SELECT o_orderkey, o_custkey, o_totalprice,
