@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-export sharding: the deterministic "epoch shuffle" a
+  * trainer consumes — every row gets a stable (shard, pos) so N data
+  * loaders can each read one shard in a reproducible pseudo-random
+  * order, for any engine that computes the same md5.
+  *
+  * Scale shape: shard assignment is a pure projection (md5 of id+seed,
+  * first 4 hex chars → 65536 bins folded modulo numShards) and the
+  * within-shard position is ONE row_number window partitioned by
+  * shard — parallel across shards, no global sort, no driver state.
+  * Re-seeding re-shuffles; same seed reproduces byte-identically.
+  */
+object Export {
+
+  /** @param numShards ≤ 65536 (bins = first 4 md5 hex chars) */
+  def shardForTraining(df: DataFrame, id: String, numShards: Int,
+      seed: Long): DataFrame = {
+    require(numShards > 0 && numShards <= 65536, "numShards in [1, 65536]")
+    val h = md5(concat_ws("|", col(id).cast("string"), lit(seed.toString)))
+    def nib(i: Int): Column =
+      expr(s"locate(substr(__h, $i, 1), '0123456789abcdef') - 1")
+    val shard = pmod(
+      ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4),
+      lit(numShards)).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(id))
+    df.withColumn("__h", h)
+      .withColumn("shard", shard)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+}

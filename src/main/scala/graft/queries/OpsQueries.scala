@@ -344,6 +344,12 @@ object OpsQueries {
   def curateDocs(s: SparkSession, d: String): DataFrame =
     graft.ops.Curation.curate(docsWithExactDups(s, d))
 
+  /** B28: deterministic epoch-shuffle sharding for training export. */
+  def exportShards(s: SparkSession, d: String): DataFrame =
+    graft.ops.Export.shardForTraining(
+      Tables.documents(s, d).select("doc_id", "n_chars"),
+      id = "doc_id", numShards = 7, seed = 42L)
+
   /** B26: shuffle-free co-bucket join — orders and a per-order
     * lineitem rollup land in KeyedTables bucketed identically on
     * o_orderkey, then join bucket-by-bucket with zero exchange
@@ -430,7 +436,8 @@ object OpsQueries {
     "rank_bm25"         -> (rankBm25 _),
     "join_cobucket"     -> (joinCobucket _),
     "stream_interval_join" -> (streamIntervalJoin _),
-    "curate_docs"       -> (curateDocs _))
+    "curate_docs"       -> (curateDocs _),
+    "export_shards"     -> (exportShards _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -778,6 +785,20 @@ object OpsQueries {
                 WHEN NOT canonical THEN 'duplicate' END AS reason
            FROM q JOIN l USING (doc_id) JOIN cn USING (doc_id))
          SELECT doc_id, reason IS NULL AS keep, reason FROM r""",
+    "export_shards" -> """
+         WITH h AS (SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR) || '|' || '42') AS hx
+           FROM documents),
+         b AS (SELECT doc_id, n_chars, hx,
+             (((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 16
+               + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) * 16
+               + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS bin
+           FROM h)
+         SELECT doc_id, n_chars, CAST(bin % 7 AS INT) AS shard,
+             CAST(row_number() OVER (PARTITION BY bin % 7
+               ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+         FROM b""",
     "stream_interval_join" -> """
          WITH c AS (SELECT event_id AS click_id, user_id,
              CAST(ts AS TIMESTAMP) AS click_ts
