@@ -142,19 +142,33 @@ object Similarity {
   /** B7: LSH-bucketed approximate top-k — queries join only their own
     * hyperplane bucket, so per-query work is corpus/2^planes instead of
     * the full corpus. Recall is tunable by lowering `planes` (bigger
-    * buckets) or multi-probing; the exact [[bruteForceTopK]] is the
-    * small-scale reference. */
+    * buckets) or raising `multiProbe`: each query additionally probes
+    * every bucket within Hamming distance `multiProbe` of its own (the
+    * standard multi-probe LSH scheme — probing is an explode on the
+    * BROADCAST query side, so the corpus is still touched once and
+    * never reshuffled). At `multiProbe = planes` every bucket is probed
+    * and the result provably equals [[bruteForceTopK]] — which is how
+    * the gate carries a full oracle; deployment uses `multiProbe` ≪
+    * `planes`. */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
       vec: String = "embedding",
       id: String = "vec_id",
       k: Int = 5,
-      planes: Int = 4): DataFrame = {
+      planes: Int = 4,
+      multiProbe: Int = 0): DataFrame = {
+    // XOR masks with ≤ multiProbe bits set, enumerated by combination
+    // (never 2^planes): C(planes,0..multiProbe) masks per query row
+    val masks: Seq[Long] = (0 to multiProbe).flatMap(f =>
+      (0 until planes).combinations(f).map(_.foldLeft(0L)((a, i) => a | (1L << i))))
     val cb = corpus.select(col(id).alias("neighbor_id"), col(vec).alias("__cv"))
       .withColumn("__bucket", hyperplaneBucket(col("__cv"), planes))
     val qb = broadcast(queries.select(col(id).alias("query_id"), col(vec).alias("__qv"))
-      .withColumn("__bucket", hyperplaneBucket(col("__qv"), planes)))
+      .withColumn("__b0", hyperplaneBucket(col("__qv"), planes))
+      .withColumn("__bucket",
+        explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*)))
+      .drop("__b0"))
     val scored = cb.join(qb, "__bucket")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))

@@ -196,7 +196,7 @@ object CdcQueries {
     p.runAvailableNow()
     KeyedTable.forPath(s, s"$root/agg").snapshot()
       .select(col("o_orderstatus"), col("cnt"),
-        col("total").cast("decimal(18,2)").as("total"))
+        round(col("total"), 2).cast("double").as("total"))
   }
 
   /** The reference's hardest composed test (tests/JoinTestComplex1.py:7-17):
@@ -329,7 +329,7 @@ object CdcQueries {
     p.runIncremental()
     KeyedTable.forPath(s, s"$root/out").snapshot()
       .select(col("order_id"),
-        col("total_amount_per_order").cast("decimal(18,2)").as("total_amount_per_order"))
+        round(col("total_amount_per_order"), 2).cast("double").as("total_amount_per_order"))
   }
 
   /** A16/A17 named-table surface: sources and sink live in a
@@ -423,7 +423,7 @@ object CdcQueries {
          s4 AS (SELECT s3.*, li.order_id
            FROM s3 LEFT JOIN li ON s3.o_orderkey = li.o_orderkey)
          SELECT order_id,
-           CAST(sum(total_amount) AS DECIMAL(18,2)) AS total_amount_per_order
+           round(sum(total_amount), 2)::DOUBLE AS total_amount_per_order
          FROM s4 GROUP BY order_id""",
     "cdc_time_travel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
@@ -444,7 +444,7 @@ object CdcQueries {
          WHERE o_orderkey % 4 <> 0""",
     "cdc_agg_delete_retract" ->
       """SELECT o_orderstatus, count(*) AS cnt,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS total
+           round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total
          FROM orders WHERE o_orderkey % 4 <> 0
          GROUP BY o_orderstatus""",
     "cdc_join_incremental" ->

@@ -96,9 +96,15 @@ object OpsQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** Gate probes ALL buckets (multiProbe = planes): the full LSH
+    * machinery — bucketing, mask expansion, bucket join, ranking —
+    * executes, and the result provably equals brute-force top-k, so
+    * the gate carries the FULL oracle (same SQL as `ann_bruteforce`).
+    * The deployment path (multiProbe ≪ planes) is recall-spec'd. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, planes = 4)
+    Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, planes = 4,
+        multiProbe = 4)
       .withColumn("rank", col("rank").cast("long"))
   }
 
@@ -371,7 +377,7 @@ object OpsQueries {
     rT.upsert(rollup, uniqueKeys = true)
     graft.ops.CoBucketJoin.join(oT, rT, Seq("o_orderkey"), joinType = "left")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), col("sum_qty").cast("decimal(18,2)").alias("sum_qty"),
+        col("o_totalprice"), round(col("sum_qty"), 2).cast("double").alias("sum_qty"),
         col("line_cnt"))
   }
 
@@ -531,6 +537,16 @@ object OpsQueries {
     // nprobe = nlist → IVF is exhaustive → identical to brute force
     // (same (sim desc, neighbor_id) tie-break, same round-6 sims)
     "ann_ivf" -> """
+         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 6) AS sim
+               FROM q, embeddings c WHERE c.vec_id != query_id),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""",
+    "ann_lsh" -> """
          WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),
          s AS (SELECT query_id, c.vec_id AS neighbor_id,
@@ -741,7 +757,7 @@ object OpsQueries {
          GROUP BY tf.doc_id""",
     "join_cobucket" -> """
          WITH r AS (SELECT l_orderkey AS o_orderkey,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS sum_qty,
+             round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2)::DOUBLE AS sum_qty,
              count(*) AS line_cnt
            FROM lineitem GROUP BY l_orderkey)
          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

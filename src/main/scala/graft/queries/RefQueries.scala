@@ -311,7 +311,7 @@ object RefQueries {
         year(col("o_orderdate")).cast("int").as("o_year"))
       .agg(count(lit(1)).as("cnt"),
         r2(sum(col("o_totalprice").cast("decimal(18,6)")))
-          .cast("decimal(18,2)").as("revenue"))
+          .cast("double").as("revenue"))
 
   // --- registration ------------------------------------------------------
 
@@ -410,7 +410,7 @@ object RefQueries {
       """SELECT o_orderstatus,
            CAST(date_part('year', o_orderdate) AS INT) AS o_year,
            count(*) AS cnt,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue
+           round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
          FROM orders
          GROUP BY ROLLUP (o_orderstatus, o_year)""",
     "agg_sum_groupby" ->

@@ -258,17 +258,23 @@ final class JoinedStream(
       batch.sparkSession.sparkContext.setJobDescription("graft:join:pin")
       // ONE action: version pins, row count, and per-side delete counts
       // (so deleteless batches skip the retraction pass entirely)
+      val upsertish = (side: String) => col(s"$side").isNotNull &&
+        col(s"$side._change_type") =!= "update_preimage" &&
+        col(s"$side._change_type") =!= "delete"
       val vRow = batch.agg(
         max(col("l._commit_version")).alias("lv"),
         max(col("r._commit_version")).alias("rv"),
         count(lit(1)).alias("n"),
         count(when(col("l._change_type") === "delete", 1)).alias("ld"),
-        count(when(col("r._change_type") === "delete", 1)).alias("rd")).collect().head
+        count(when(col("r._change_type") === "delete", 1)).alias("rd"),
+        count(when(upsertish("l"), 1)).alias("lc"),
+        count(when(upsertish("r"), 1)).alias("rc")).collect().head
       batch.sparkSession.sparkContext.setJobDescription(null)
       if (sys.env.contains("GRAFT_DEBUG_MERGE"))
         println(s"[mb] batch=$batchId rows=${vRow.getLong(2)} lv=${vRow.get(0)} rv=${vRow.get(1)}")
       if (vRow.getLong(2) == 0L) return // empty microbatch: nothing to do
       val (lDeletes, rDeletes) = (vRow.getLong(3) > 0, vRow.getLong(4) > 0)
+      val (lCnt, rCnt) = (vRow.getLong(5), vRow.getLong(6))
       val lMax = if (vRow.isNullAt(0)) -1L else vRow.getLong(0)
       val rMax = if (vRow.isNullAt(1)) -1L else vRow.getLong(1)
       // pin statics at the batch's max commit version for deterministic
@@ -305,15 +311,28 @@ final class JoinedStream(
         lStatic, rBatch)
 
       // unify rows discovered from both sides in the same batch
-      // (joins.py:318-343): full-outer on the output key, coalesce
-      val a = newLeft.alias("ha")
-      val b = newRight.alias("hb")
+      // (joins.py:318-343): full-outer on the output key, coalesce.
+      // A microbatch that carries rows from ONE side only — the common
+      // case in chained stages, where each wave touches one source —
+      // skips the other half AND the full-outer combine entirely
+      // (halves the merge plan's jobs; within one half the join output
+      // is already key-unique).
       val allKeys = nonNull ++ nullable
-      val keyEq = allKeys.map(k => col(s"ha.$k") <=> col(s"hb.$k")).reduce(_ && _)
       val outCols = schemaDf.columns.toSeq
-      val combined = a.join(b, keyEq, "full_outer")
-        .select(outCols.map(c => coalesce(col(s"ha.$c"), col(s"hb.$c")).alias(c)): _*)
-        .where(allKeys.map(k => col(k).isNotNull).reduce(_ || _))
+      val keepKeyed = (df: DataFrame) =>
+        df.select(outCols.map(col): _*)
+          .where(allKeys.map(k => col(k).isNotNull).reduce(_ || _))
+      val combined =
+        if (rCnt == 0L && lCnt > 0L) keepKeyed(newLeft)
+        else if (lCnt == 0L && rCnt > 0L) keepKeyed(newRight)
+        else {
+          val a = newLeft.alias("ha")
+          val b = newRight.alias("hb")
+          val keyEq = allKeys.map(k => col(s"ha.$k") <=> col(s"hb.$k")).reduce(_ && _)
+          a.join(b, keyEq, "full_outer")
+            .select(outCols.map(c => coalesce(col(s"ha.$c"), col(s"hb.$c")).alias(c)): _*)
+            .where(allKeys.map(k => col(k).isNotNull).reduce(_ || _))
+        }
 
       userSink match {
         case Some(fn) => fn(combined, batchId)

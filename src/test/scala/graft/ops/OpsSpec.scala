@@ -109,6 +109,26 @@ class OpsSpec extends AnyFunSuite {
       s"only $hits/${lsh.length} LSH results in exact top-50")
   }
 
+  test("multi-probe lsh: probe-all equals brute force; 1-bit probing lifts recall") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where(col("vec_id") < 5)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = ids(Similarity.bruteForceTopK(e, q, k = 5))
+    // probe-all (multiProbe = planes) is provably the exact ranking —
+    // the equivalence the ann_lsh gate's full oracle rests on
+    val all = ids(Similarity.lshTopK(e, q, k = 5, planes = 4, multiProbe = 4))
+    assert(all == brute, s"probe-all ≠ brute: missing ${brute -- all}")
+    // deployment path: 1-bit probing strictly dominates 0-probe recall
+    def recall(mp: Int) = {
+      val got = ids(Similarity.lshTopK(e, q, k = 5, planes = 4, multiProbe = mp))
+        .map(t => (t._1, t._2))
+      (got & brute.map(t => (t._1, t._2))).size.toDouble / brute.size
+    }
+    assert(recall(1) >= recall(0), "1-bit multi-probe must not lose recall")
+  }
+
   test("streaming sessionize equals batch gaps-and-islands") {
     val events = Tables.events(spark, sf)
     val batch = EventOps.sessionizeBatch(events)
