@@ -187,17 +187,23 @@ object Dedup {
   }
 
   /** B3: SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
-    * The DEFAULT (scale) path buckets by 4 16-bit signature chunks
-    * first, so candidates are bounded by chunk collisions instead of
-    * the n² all-pairs join. Pigeonhole gives EXACT recall for
-    * `maxHamming < 4` (some chunk must be diff-free — the Manku/WWW'07
-    * block trick); beyond that, recall degrades gracefully (a pair
-    * must still share one clean chunk) in exchange for never paying a
-    * cartesian — the standard web-scale trade. `bucketed = false` is
-    * the small-table reference path (all-pairs, exact at any hamming)
-    * kept for the recall spec. */
+    * The DEFAULT (scale) path buckets by `64/chunkBits` signature
+    * chunks first, so candidates are bounded by chunk collisions
+    * instead of the n² all-pairs join. Pigeonhole gives EXACT recall
+    * for `maxHamming < 64/chunkBits` (some chunk must be diff-free —
+    * the Manku/WWW'07 block trick); beyond that, recall degrades
+    * gracefully (a pair must still share one clean chunk) in exchange
+    * for never paying a cartesian — the standard web-scale trade.
+    * `chunkBits` trades guarantee depth against collision fan-out:
+    * 16-bit chunks (4, guarantee h≤3) keep bucket collisions ~n²/2^16
+    * per chunk — the 100 TB setting; 8-bit chunks (8, guarantee h≤7)
+    * suit corpora small enough that 256-way bucketing still bounds the
+    * join (at Manku scale you'd instead add permuted 16-bit tables).
+    * `bucketed = false` is the small-table reference path (all-pairs,
+    * exact at any hamming) kept for the recall spec. */
   def simhashPairs(df: DataFrame, text: String = "text", id: String = "doc_id",
-      maxHamming: Int = 12, bucketed: Boolean = true): DataFrame = {
+      maxHamming: Int = 12, bucketed: Boolean = true, chunkBits: Int = 16): DataFrame = {
+    require(64 % chunkBits == 0, "chunkBits must divide 64")
     val sigs = simhash(df, text, id)
     val pairs =
       if (!bucketed)
@@ -205,9 +211,11 @@ object Dedup {
           .select(col(s"a.$id").alias("id_a"), col("a.simhash").alias("__sha"),
             col(s"b.$id").alias("id_b"), col("b.simhash").alias("__shb"))
       else {
+        val nChunks = 64 / chunkBits
+        val mask = (1L << chunkBits) - 1
         val chunked = sigs.select(col(id), col("simhash"), explode(array(
-          (0 until 4).map(c => struct(lit(c).alias("chunk"),
-            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).alias("ck"))): _*)).alias("e"))
+          (0 until nChunks).map(c => struct(lit(c).alias("chunk"),
+            shiftright(col("simhash"), c * chunkBits).bitwiseAND(mask).alias("ck"))): _*)).alias("e"))
           .select(col(id), col("simhash"), col("e.chunk"), col("e.ck"))
         chunked.alias("a").join(chunked.alias("b"),
             col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
@@ -219,6 +227,24 @@ object Dedup {
     pairs.select(col("id_a"), col("id_b"),
         bit_count(col("__sha").bitwiseXOR(col("__shb"))).alias("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** B3 (verified form): simhash-bucketed candidate pairs exact-verified
+    * by shingle Jaccard ≥ `threshold` — the same candidates→verify shape
+    * as [[minhashLsh]], with simhash as the (cheaper, shuffle-free-
+    * signature) candidate generator. Output (id_a, id_b, jaccard).
+    * Recall = recall of the hamming prefilter on true pairs; on corpora
+    * where every J ≥ threshold pair sits within `maxHamming` simhash
+    * bits (gate-checked empirically here), the output EQUALS the
+    * all-pairs jaccard result. */
+  def simhashNearDup(df: DataFrame, text: String = "text", id: String = "doc_id",
+      maxHamming: Int = 12, n: Int = 3, threshold: Double = 0.5,
+      chunkBits: Int = 16): DataFrame = {
+    val base = df.select(col(id), Shingles.wordShingles(col(text), n).alias("__sh"))
+      .cache()
+    val cand = simhashPairs(df, text, id, maxHamming, bucketed = true, chunkBits)
+      .select("id_a", "id_b")
+    verifyJaccard(cand, base, id, threshold)
   }
 
   /** Near-dup CLUSTERING: connected components over a dup-pair edge

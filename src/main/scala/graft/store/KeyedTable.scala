@@ -114,6 +114,19 @@ final class KeyedTable private (
   def dataCols: Seq[String] = schema.fieldNames.toSeq
   def latestVersion: Long = log.latestVersion()
 
+  private def autoMergeOn: Boolean =
+    spark.conf.getOption("spark.graft.schema.autoMerge").contains("true")
+
+  /** Re-reads the persisted meta, picking up schema evolution performed
+    * through ANOTHER handle of the same table — drain-mode pipelines
+    * hold long-lived handles per stage, and an upstream writer may
+    * widen the schema between drains (§6f-4). One small-file read; only
+    * exercised when `spark.graft.schema.autoMerge` opts in. */
+  def refreshMeta(): Unit = {
+    val m = KeyedTable.metaFromJson(log.readMeta())
+    if (m != metaVar) metaVar = m
+  }
+
   def cdfSchema: StructType =
     StructType(schema.fields ++ Array(
       StructField("_change_type", StringType),
@@ -127,6 +140,7 @@ final class KeyedTable private (
 
   /** Full table contents as of `version` (default: latest). */
   def snapshot(version: Long = -1L): DataFrame = {
+    if (autoMergeOn) refreshMeta() // an evolved writer's columns must appear
     val v = if (version < 0) latestVersion else version
     val bv = bucketVersionsAt(v)
     if (bv.isEmpty) emptyDf
@@ -144,6 +158,7 @@ final class KeyedTable private (
 
   /** Change rows with `_commit_version > sinceVersion`, batch form. */
   def changesSince(sinceVersion: Long): DataFrame = {
+    if (autoMergeOn) refreshMeta() // evolved cdf columns must appear
     // `cdf/*` globs per-commit dirs; with zero commits the batch reader
     // throws where the stream source would just wait — return empty
     val cdfPath = new org.apache.hadoop.fs.Path(s"$path/cdf")
@@ -225,6 +240,68 @@ final class KeyedTable private (
       newVersion
     } finally staged.unpersist()
   } }
+
+  /** Re-hashes the table to a different bucket count — the escape hatch
+    * when data outgrows the original sizing (a 32-bucket table at 100 TB
+    * would put ~3 TB in each bucket; rebucketing to 2^14 restores a few
+    * GB per bucket). A full rewrite by definition, but layout-only: NO
+    * cdf rows are emitted, so downstream incremental stages do not
+    * reprocess anything.
+    *
+    * Crash safety (SURVEY §6f-7): the new modulus must become visible
+    * atomically with the commit that laid data out under it, or future
+    * merges would prune batches with the wrong hash. Sequence:
+    * marker → data write → commit → meta write → marker clear; a crash
+    * anywhere is recovered on the next open ([[KeyedTable.forPath]]) by
+    * rolling forward (commit present) or back (commit absent). */
+  def rebucket(newBuckets: Int): Long = synchronized { withMergeConf {
+    require(newBuckets > 0, "newBuckets must be positive")
+    recoverPendingRebucket()
+    if (newBuckets == meta.numBuckets) return latestVersion
+    val v = latestVersion
+    val oldLive = bucketVersionsAt(v).keys.toSeq
+    def swapMeta(): Unit = {
+      val next = metaVar.copy(numBuckets = newBuckets)
+      log.writeMeta(metaToJson(next))
+      metaVar = next
+    }
+    if (oldLive.isEmpty) { swapMeta(); return v } // empty table: meta-only
+    val newVersion = v + 1
+    log.writeRebucketMarker(newVersion, newBuckets)
+    val content = snapshot(v).withColumn(BucketCol,
+      pmod(xxhash64(meta.bucketKeys.map(col): _*), lit(newBuckets)).cast("int"))
+    val emptyCdf = emptyDf.withColumn("_change_type", lit(null).cast(StringType))
+    spark.sparkContext.setJobDescription("graft:rebucket:write")
+    writeFused(newVersion, content, emptyCdf)
+    spark.sparkContext.setJobDescription(null)
+    val written = listWrittenBuckets(newVersion)
+    log.commit(newVersion, written, oldLive.filterNot(written.contains))
+    swapMeta()
+    log.clearRebucketMarker()
+    bvCache = (newVersion, written.map(_ -> newVersion).toMap)
+    maybeCheckpoint(newVersion)
+    newVersion
+  } }
+
+  /** Completes or rolls back an interrupted [[rebucket]] (run on every
+    * open): marker + its commit ⇒ finish the meta swap; marker without
+    * the commit ⇒ delete the orphan data dir. Idempotent. */
+  private[store] def recoverPendingRebucket(): Unit =
+    log.readRebucketMarker().foreach { case (v, n) =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (log.hasCommit(v)) {
+        if (meta.numBuckets != n) {
+          val next = metaVar.copy(numBuckets = n)
+          log.writeMeta(metaToJson(next))
+          metaVar = next
+        }
+      } else {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/data/v=$v"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tmp_v$v"), true)
+      }
+      log.clearRebucketMarker()
+    }
 
   /** Every [[KeyedTable.CheckpointInterval]] commits, persist the full
     * bucket map so future readers replay O(interval) commit files, not
@@ -690,7 +767,9 @@ object KeyedTable {
   def forPath(spark: SparkSession, path: String): KeyedTable = {
     val log = new CommitLog(path, spark.sessionState.newHadoopConf())
     require(log.exists, s"no KeyedTable at $path")
-    new KeyedTable(spark, path, metaFromJson(log.readMeta()))
+    val kt = new KeyedTable(spark, path, metaFromJson(log.readMeta()))
+    kt.recoverPendingRebucket() // finish/undo an interrupted rebucket
+    kt
   }
 
   private def metaToJson(m: TableMeta): String = {

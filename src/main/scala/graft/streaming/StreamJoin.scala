@@ -318,7 +318,13 @@ final class JoinedStream(
       // (halves the merge plan's jobs; within one half the join output
       // is already key-unique).
       val allKeys = nonNull ++ nullable
-      val outCols = schemaDf.columns.toSeq
+      // dynamic, not schemaDf.columns (pinned at buildStage): with
+      // spark.graft.schema.autoMerge an EVOLVED source's new columns
+      // flow through the join halves here and evolve the output table
+      // in merge() — a drain-mode pipeline picks up source schema
+      // evolution without a restart (§6f-4; the checkpointed streaming
+      // path still needs one — its file source pins schemas at start)
+      val outCols = newLeft.columns.toSeq
       val keepKeyed = (df: DataFrame) =>
         df.select(outCols.map(col): _*)
           .where(allKeys.map(k => col(k).isNotNull).reduce(_ || _))

@@ -1,0 +1,83 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import java.nio.file.Files
+
+class RebucketSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("rb").toString
+
+  private def dataDirs(path: String, v: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/data/v=$v")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName).filter(_.startsWith("b="))
+  }
+
+  test("rebucket preserves contents, changes layout, emits no cdf") {
+    val t = tmp()
+    val df = (1L to 500L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "name", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 16)
+    kt.upsert(df, uniqueKeys = true)
+    val before = kt.snapshot().orderBy("id").collect()
+    val cdfBefore = kt.changesSince(0L).count()
+
+    val v = kt.rebucket(4)
+    assert(kt.meta.numBuckets == 4)
+    assert(dataDirs(t, v).length <= 4 && dataDirs(t, v).nonEmpty)
+    assert(kt.snapshot().orderBy("id").collect().toSeq == before.toSeq)
+    // layout-only: downstream incremental stages see zero new change rows
+    assert(kt.changesSince(0L).count() == cdfBefore)
+  }
+
+  test("merges after rebucket prune with the new modulus") {
+    val t = tmp()
+    val df = (1L to 300L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 32)
+    kt.upsert(df, uniqueKeys = true)
+    kt.rebucket(8)
+    // update one key: the commit must rewrite exactly the ONE bucket the
+    // new modulus assigns it to
+    val v = kt.upsert(Seq((7L, 700.0)).toDF("id", "v"), uniqueKeys = true)
+    assert(dataDirs(t, v).length == 1)
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(7L) == 700.0 && m.size == 300)
+    // time travel across the rebucket boundary still replays the old layout
+    assert(kt.snapshot(1).count() == 300)
+  }
+
+  test("crash before commit rolls back; crash before meta swap rolls forward") {
+    val t = tmp()
+    val df = (1L to 100L).map(i => (i, i.toString)).toDF("id", "s")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 16)
+    kt.upsert(df, uniqueKeys = true)
+    val log = new CommitLog(t, spark.sessionState.newHadoopConf())
+
+    // (a) marker written, no commit (crash mid data-write) → roll back
+    log.writeRebucketMarker(99L, 4)
+    val kt2 = KeyedTable.forPath(spark, t)
+    assert(log.readRebucketMarker().isEmpty)
+    assert(kt2.meta.numBuckets == 16)
+    assert(kt2.snapshot().count() == 100)
+
+    // (b) marker + commit present, meta still old (crash before meta
+    // swap): simulate by completing a real rebucket then restoring the
+    // OLD meta + marker — recovery must finish the meta swap
+    val v = kt2.rebucket(4)
+    val oldMeta = kt2.meta.copy(numBuckets = 16)
+    log.writeMeta(
+      // re-serialize via a fresh create round-trip: simplest is direct edit
+      log.readMeta().replace("\"numBuckets\":4", "\"numBuckets\":16"))
+    log.writeRebucketMarker(v, 4)
+    val kt3 = KeyedTable.forPath(spark, t)
+    assert(kt3.meta.numBuckets == 4, "recovery must roll the meta swap forward")
+    assert(log.readRebucketMarker().isEmpty)
+    assert(kt3.snapshot().count() == 100)
+    assert(oldMeta.numBuckets == 16) // silence unused warning
+  }
+}
