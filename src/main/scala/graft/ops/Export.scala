@@ -17,6 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Export {
 
+  /** B31: deterministic EXACT-k-per-group downsampling — cap every
+    * stratum (language, source, domain) at `k` rows, chosen by a seeded
+    * md5 order so the "random" subset is engine-reproducible (the
+    * balanced-corpus cap before training: rate-based sampling — B20 —
+    * can't bound a dominant stratum's absolute size; this does).
+    * ONE window shuffle partitioned by the stratum; no global sort.
+    * Ties cannot happen (md5 collisions aside, `id` breaks them). */
+  def sampleKPerGroup(df: DataFrame, group: String, id: String, k: Int,
+      seed: Long): DataFrame = {
+    val h = md5(concat_ws("|", col(id).cast("string"), lit(seed.toString)))
+    val w = Window.partitionBy(col(group)).orderBy(col("__h"), col(id))
+    df.withColumn("__h", h)
+      .withColumn("smp_rank", row_number().over(w).cast("long"))
+      .where(col("smp_rank") <= k)
+      .drop("__h")
+  }
+
   /** @param numShards ≤ 65536 (bins = first 4 md5 hex chars) */
   def shardForTraining(df: DataFrame, id: String, numShards: Int,
       seed: Long): DataFrame = {

@@ -91,7 +91,8 @@ object Similarity {
       k: Int = 5,
       nlist: Int = 16,
       nprobe: Int = 4,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2,
+      quantizedScoring: Boolean = false): DataFrame = {
     val c = corpus.select(col(id).alias("neighbor_id"), col(vec).alias("__cv")).cache()
     def toDoubles(r: org.apache.spark.sql.Row): Seq[Double] =
       r.getSeq[Any](1).map {
@@ -120,7 +121,20 @@ object Similarity {
         }
       }
     }
-    val assigned = assign(c)
+    // §6f-6 compressed candidate scoring: the probed lists ship int8
+    // codes + one scale (4× fewer scan bytes than float32; a stored IVF
+    // index would persist exactly these codes), and scoring dequantizes
+    // on the fly. Recall vs exact scoring is spec-asserted in
+    // QuantizeSpec; the exact path stays the default and the gate's.
+    val assigned0 = assign(c)
+    val assigned =
+      if (!quantizedScoring) assigned0
+      else assigned0
+        .withColumn("__s", Quantize.scaleOf(col("__cv")))
+        .withColumn("__cv",
+          Quantize.dequant(Quantize.codesOf(col("__cv"), col("__s")), col("__s"))
+            .cast("array<float>"))
+        .drop("__s")
     val qProbe = queries.select(col(id).alias("query_id"), col(vec).alias("__qv"))
       .select(col("query_id"), col("__qv"),
         posexplode(typedLit(cents)).as(Seq("__cid", "__cent")))

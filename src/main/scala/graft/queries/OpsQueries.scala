@@ -257,6 +257,54 @@ object OpsQueries {
     s.table(name)
   }
 
+  /** C10b: LEFT OUTER interval join — clicks with no purchase in their
+    * window must emit with nulls, which requires genuine outer-join
+    * state eviction. Sentinel click/purchase events (negative user ids,
+    * 3h past max ts) advance both watermarks so every pending unmatched
+    * click flushes. Sentinels need NO output filter — and must not get
+    * one: a `user_id >= 0` filter would be PUSHED DOWN below the
+    * watermark assigner into the parquet scan, silently re-removing the
+    * sentinels before they can advance the watermark (observed: the
+    * last-hour unmatched clicks never flushed). They exit naturally:
+    * the sentinel click's own window never expires (nothing arrives
+    * after it) so it stays in state, and an unmatched right-side row
+    * never emits from a left join. */
+  def streamIntervalJoinLeft(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$d/events.parquet"
+    val raw = s.read.parquet(src)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivjl").toString
+    val conf = s.sessionState.newHadoopConf()
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val fs = srcP.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs,
+      new org.apache.hadoop.fs.Path(tmp, srcP.getName), false, conf)
+    val maxTs = raw.agg(max("ts")).head.getLong(0)
+    val sentinelTs = maxTs + 3L * 3600L * 1000000000L // 3h past, in ns
+    val sentinel = Seq((-1L, "click"), (-2L, "purchase")).foldLeft(
+      Option.empty[DataFrame]) { case (acc, (uid, tpe)) =>
+        val row = raw.limit(1).select(raw.schema.fields.toSeq.map { f =>
+          f.name match {
+            case "event_id"   => lit(uid).cast(f.dataType).alias("event_id")
+            case "user_id"    => lit(uid).cast(f.dataType).alias("user_id")
+            case "ts"         => lit(sentinelTs).cast(f.dataType).alias("ts")
+            case "event_type" => lit(tpe).alias("event_type")
+            case other        => lit(null).cast(f.dataType).alias(other)
+          }
+        }: _*)
+        Some(acc.fold(row)(_.unionByName(row)))
+      }.get
+    sentinel.coalesce(1).write.mode("append").parquet(tmp)
+    val name = s"ivjl_${System.nanoTime()}"
+    val q = EventOps.intervalJoinLeft(
+        EventOps.eventStream(s, tmp), EventOps.eventStream(s, tmp))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     // feed the events twice; streaming dropDuplicates must collapse them
     val st = EventOps.eventStream(s, s"$d/events.parquet")
@@ -356,6 +404,13 @@ object OpsQueries {
   def curateDocs(s: SparkSession, d: String): DataFrame =
     graft.ops.Curation.curate(docsWithExactDups(s, d))
 
+  /** B31: exact-k-per-group balanced downsample (cap each language at
+    * 120 docs, seeded md5 order — engine-reproducible). */
+  def samplePerGroup(s: SparkSession, d: String): DataFrame =
+    graft.ops.Export.sampleKPerGroup(
+      Tables.documents(s, d).select("doc_id", "lang"),
+      group = "lang", id = "doc_id", k = 120, seed = 7L)
+
   /** B28: deterministic epoch-shuffle sharding for training export. */
   def exportShards(s: SparkSession, d: String): DataFrame =
     graft.ops.Export.shardForTraining(
@@ -400,6 +455,20 @@ object OpsQueries {
       leftTs = "ts", rightTs = "ts",
       payload = Map("value" -> "purchase_value", "ts" -> "purchase_ts"),
       tieBreak = "event_id")
+  }
+
+  /** B30: int8 embedding quantization — per-vector symmetric scale +
+    * signed-byte codes, bit-reproducible across engines (explicit
+    * floor(x/s + 0.5), not engine `round`). The oracle recomputes the
+    * codes in DuckDB and checks scale + code-sum + code-range per
+    * vector; the compressed-scoring search path is recall-spec'd. */
+  def quantizeEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val q = graft.ops.Quantize.int8(Tables.embeddings(s, d))
+    q.select(col("vec_id"),
+      round(col("scale"), 6).alias("scale"),
+      aggregate(col("qvec"), lit(0L), (a, x) => a + x).alias("q_sum"),
+      array_min(col("qvec")).alias("q_min"),
+      array_max(col("qvec")).alias("q_max"))
   }
 
   /** B29: Bloom-filter join pruning — lineitem pre-filtered against the
@@ -465,7 +534,10 @@ object OpsQueries {
     "stream_interval_join" -> (streamIntervalJoin _),
     "curate_docs"       -> (curateDocs _),
     "export_shards"     -> (exportShards _),
-    "bloom_join"        -> (bloomJoin _))
+    "bloom_join"        -> (bloomJoin _),
+    "quantize_embeddings" -> (quantizeEmbeddings _),
+    "sample_per_group"  -> (samplePerGroup _),
+    "stream_interval_left" -> (streamIntervalJoinLeft _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -850,12 +922,48 @@ object OpsQueries {
                len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    "sample_per_group" -> """
+         WITH r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '7'), doc_id)
+               AS smp_rank
+           FROM documents)
+         SELECT doc_id, lang, CAST(smp_rank AS BIGINT) AS smp_rank
+         FROM r WHERE smp_rank <= 120""",
+    // codes recomputed in DuckDB with the same explicit floor(x/s+0.5)
+    // formula; the UNROUNDED scale feeds the codes, rounding is
+    // display-only (separate CTE so the alias can't shadow it)
+    "quantize_embeddings" -> """
+         WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+           FROM embeddings),
+         q AS (SELECT vec_id, s,
+             list_transform(v, x -> CASE WHEN s = 0 THEN 0
+               ELSE CAST(floor(x / s + 0.5) AS INT) END) AS qv
+           FROM m)
+         SELECT vec_id, round(s, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max
+         FROM q""",
     // bloom pre-filter + real join == plain join, exactly
     "bloom_join" -> """
          SELECT p_brand, count(*) AS cnt,
              round(sum(l_quantity), 2) AS total_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size = 15 GROUP BY p_brand""",
+    "stream_interval_left" -> """
+         WITH c AS (SELECT event_id AS click_id, user_id,
+             CAST(ts AS TIMESTAMP) AS click_ts
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+             CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT click_id, purchase_id, user_id, click_ts,
+             purchase_ts, purchase_value
+         FROM c LEFT JOIN p ON c.user_id = p.p_user_id
+           AND purchase_ts >= click_ts
+           AND purchase_ts <= click_ts + INTERVAL 1 HOUR""",
     "stream_interval_join" -> """
          WITH c AS (SELECT event_id AS click_id, user_id,
              CAST(ts AS TIMESTAMP) AS click_ts

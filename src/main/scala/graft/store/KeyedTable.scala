@@ -42,7 +42,16 @@ final case class TableMeta(
     prunedCols: Seq[String] = Nil,
     generatedCols: Seq[(String, String)] = Nil) {
   def bucketKeys: Seq[String] = keys.filterNot(nullableKeys.contains)
-  def schema: StructType = StructType.fromDDL(schemaDdl)
+  // schema is read on every merge/snapshot/changesSince; parsing the
+  // DDL each time is measurable driver CPU across a multi-stage drain
+  def schema: StructType = TableMeta.parseDdl(schemaDdl)
+}
+
+object TableMeta {
+  private val ddlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private[store] def parseDdl(ddl: String): StructType =
+    ddlCache.computeIfAbsent(ddl, StructType.fromDDL)
 }
 
 /** A keyed, versioned, hash-bucketed parquet table with a change feed —

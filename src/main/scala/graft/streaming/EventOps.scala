@@ -91,6 +91,33 @@ object EventOps {
         col("purchase_value"))
   }
 
+  /** C10b: LEFT OUTER stream-stream interval join — clicks WITHOUT a
+    * purchase in their 1-hour window emit with null purchase columns
+    * once the watermark passes the window (genuine outer-join state
+    * eviction: Spark holds the unmatched click until no late purchase
+    * can still match). Same state bound as [[intervalJoin]]. */
+  def intervalJoinLeft(clicks0: DataFrame, purchases0: DataFrame): DataFrame = {
+    val ntz = org.apache.spark.sql.types.TimestampNTZType
+    val clicks = clicks0.where(col("event_type") === "click")
+      .select(col("event_id").alias("click_id"), col("user_id"),
+        col("ts").alias("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = purchases0.where(col("event_type") === "purchase")
+      .select(col("event_id").alias("purchase_id"),
+        col("user_id").alias("p_user_id"), col("ts").alias("purchase_ts"),
+        col("value").alias("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts").cast(ntz).alias("click_ts"),
+        col("purchase_ts").cast(ntz).alias("purchase_ts"),
+        col("purchase_value"))
+  }
+
   /** C2: streaming dedup by event id within the watermark. */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
