@@ -46,6 +46,31 @@ object Ranking {
       .groupBy(docIdCol).agg(sum("__s").alias("bm25"))
   }
 
+  /** B33: unigram language-model NEGATIVE LOG-LIKELIHOOD per document —
+    * the perplexity-filtering signal (CCNet-style): documents whose
+    * tokens are improbable under the corpus unigram distribution score
+    * high and get dropped/down-weighted. Reported as avg −ln p(w)
+    * (= ln perplexity) rather than exp of it, so cross-engine float
+    * drift stays at the ulp level (same trick as [[bm25]]'s round-6 ln).
+    *
+    * Scale shape: two map-side-combinable shuffles over the token
+    * explode (per-word counts = vocab-sized; per-doc average), the
+    * corpus total joined back as a broadcast 1-row frame — no collect,
+    * no driver state; the same shape a 100 TB corpus pass needs. */
+  def unigramLogPpl(docs: DataFrame, docIdCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(docIdCol),
+      explode(split(col(textCol), "\\s+")).alias("term"))
+      .where(col("term") =!= "")
+    val counts = toks.groupBy("term").agg(count(lit(1)).alias("cnt"))
+    val total = counts.agg(sum("cnt").alias("total"))
+    toks.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("__nll", -log(col("cnt").cast("double") / col("total")))
+      .groupBy(docIdCol)
+      .agg(count(lit(1)).alias("n_tokens"), avg("__nll").alias("log_ppl"))
+  }
+
   /** Top-k documents for the query by BM25 — rank over the scored set. */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
       docIdCol: String = "doc_id", textCol: String = "text"): DataFrame =

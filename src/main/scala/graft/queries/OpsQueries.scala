@@ -486,12 +486,45 @@ object OpsQueries {
         round(sum(col("l_quantity")), 2).alias("total_qty"))
   }
 
+  /** B32: bucketed range join — click→purchase attribution as a batch
+    * point-in-interval join (click_ts ∈ [purchase_ts − 1h,
+    * purchase_ts]), expressed as an equi-join on 1h buckets + exact
+    * residual filter. Same result set as the streaming interval join's
+    * oracle; the spec additionally asserts the plan has no
+    * BroadcastNestedLoopJoin/cartesian (what Spark's planner would do
+    * with a raw range predicate). */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val tsType = org.apache.spark.sql.types.TimestampType
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").alias("click_id"),
+        col("user_id"), col("ts").alias("click_ts"))
+      .withColumn("__pt", unix_micros(col("click_ts").cast(tsType)))
+    val hourUs = 3600L * 1000000L
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").alias("purchase_id"),
+        col("user_id"), col("ts").alias("purchase_ts"),
+        col("value").alias("purchase_value"))
+      .withColumn("__end", unix_micros(col("purchase_ts").cast(tsType)))
+      .withColumn("__start", col("__end") - hourUs)
+    graft.ops.RangeJoin.pointInInterval(clicks, purchases, Seq("user_id"),
+        "__pt", "__start", "__end", width = hourUs)
+      .select("click_id", "purchase_id", "user_id", "click_ts",
+        "purchase_ts", "purchase_value")
+  }
+
   /** B25: BM25 relevance of every document against a fixed query.
     * Scores round to 6 decimals on BOTH sides: `ln` differs by ±1 ulp
     * between Math.log and libm, so raw doubles can't hash-match. */
   def rankBm25(s: SparkSession, d: String): DataFrame =
     Ranking.bm25(Tables.documents(s, d), Seq("spark", "join", "filter"))
       .select(col("doc_id"), round(col("bm25"), 6).alias("bm25"))
+
+  /** B33: unigram-LM perplexity scoring (reported as avg −ln p(w)). */
+  def textPerplexity(s: SparkSession, d: String): DataFrame =
+    Ranking.unigramLogPpl(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("log_ppl"), 6).alias("log_ppl"))
 
   // --- registration -------------------------------------------------------
 
@@ -537,7 +570,9 @@ object OpsQueries {
     "bloom_join"        -> (bloomJoin _),
     "quantize_embeddings" -> (quantizeEmbeddings _),
     "sample_per_group"  -> (samplePerGroup _),
-    "stream_interval_left" -> (streamIntervalJoinLeft _))
+    "stream_interval_left" -> (streamIntervalJoinLeft _),
+    "range_join"        -> (rangeJoin _),
+    "text_perplexity"   -> (textPerplexity _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -952,6 +987,28 @@ object OpsQueries {
              round(sum(l_quantity), 2) AS total_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size = 15 GROUP BY p_brand""",
+    "text_perplexity" -> """
+         WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+         w2 AS (SELECT doc_id, term FROM w WHERE term <> ''),
+         c AS (SELECT term, count(*) AS cnt FROM w2 GROUP BY term),
+         t AS (SELECT sum(cnt) AS total FROM c)
+         SELECT doc_id, count(*) AS n_tokens,
+             round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS log_ppl
+         FROM w2 JOIN c USING (term) CROSS JOIN t
+         GROUP BY doc_id""",
+    "range_join" -> """
+         WITH c AS (SELECT event_id AS click_id, user_id,
+             CAST(ts AS TIMESTAMP) AS click_ts
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+             CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT click_id, purchase_id, user_id, click_ts,
+             purchase_ts, purchase_value
+         FROM c JOIN p ON c.user_id = p.p_user_id
+           AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+           AND click_ts <= purchase_ts""",
     "stream_interval_left" -> """
          WITH c AS (SELECT event_id AS click_id, user_id,
              CAST(ts AS TIMESTAMP) AS click_ts
