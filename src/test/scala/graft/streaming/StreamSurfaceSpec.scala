@@ -364,4 +364,26 @@ class StreamSurfaceSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
       s"got ${got.count()} want ${want.count()}")
   }
+
+  test("startingVersion cuts the change feed below it (streams.py:127)") {
+    // an AGG stage isolates the feed cut: it aggregates only change
+    // deltas, so rows from the skipped commit must be absent from the
+    // result (a JOIN stage would still see them through the other
+    // side's static snapshot — that's by design, same as the reference)
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val oT = KeyedTable.create(spark, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 4)
+    oT.upsert(oDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true) // v1: skipped
+    oT.upsert(oDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true) // v2: seen
+    val q = Stream.fromKeyedTable(oT).startingVersion(1L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      .writeToPath(s"$root/out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = KeyedTable.forPath(spark, s"$root/out").snapshot()
+      .agg(sum("cnt")).head.getLong(0)
+    val want = oDf.where(col("o_orderkey") % 2 === 1).count()
+    assert(got == want, s"got $got want $want (v1 rows must be skipped)")
+  }
 }
