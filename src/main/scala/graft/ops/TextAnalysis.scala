@@ -20,6 +20,33 @@ object TextAnalysis {
       .withColumn("word_tokens", regexp_count(col(text), lit("[a-z]+")))
       .withColumn("byte_len", length(col(text).cast("binary")))
 
+  /** B35: token-window chunking — split each document into overlapping
+    * `maxTokens`-token windows (stride `maxTokens - overlap`), the
+    * standard context-window prep before embedding or training long
+    * docs. Chunk count = max(1, ⌈(n − overlap) / stride⌉) so every
+    * token is covered and consecutive chunks share `overlap` tokens.
+    * Pure projection + generator explode — no shuffle, no UDF;
+    * deterministic, so the chunk boundaries are engine-reproducible. */
+  def chunk(df: DataFrame, maxTokens: Int, overlap: Int,
+      text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(maxTokens > overlap && overlap >= 0, "need maxTokens > overlap >= 0")
+    val stride = maxTokens - overlap
+    val w = words(col(text))
+    val n = size(w)
+    val nChunks = greatest(lit(1L),
+      ceil((n.cast("long") - overlap).cast("double") / stride).cast("long"))
+    df.withColumn("__w", w)
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("tok_start", col("chunk_id") * stride)
+      .withColumn("chunk_text",
+        array_join(slice(col("__w"), (col("tok_start") + 1).cast("int"),
+          lit(maxTokens)), " "))
+      .select(col(id), col("chunk_id"),
+        col("tok_start"),
+        least(col("tok_start") + maxTokens, size(col("__w")).cast("long")).alias("tok_end"),
+        col("chunk_text"))
+  }
+
   private val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 

@@ -127,6 +127,22 @@ object OpsQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** B34: incrementally-maintained IVF index — built on a third of the
+    * corpus, grown to full coverage with two CDC upserts (the second
+    * re-upserts overlapping ids: the update path), then queried with
+    * nprobe = nlist so the result provably equals brute-force top-k
+    * over the final corpus (same full oracle as `ann_bruteforce`). */
+  def annIndexIncremental(s: SparkSession, d: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_vidx").toString + "/idx"
+    val e = Tables.embeddings(s, d)
+    graft.ops.VectorIndex.build(s, path, e.where(col("vec_id") % 3 === 0), nlist = 8)
+    graft.ops.VectorIndex.upsert(s, path, e.where(col("vec_id") % 3 === 1), batchId = 1L)
+    // second wave overlaps the first (update path) and adds the rest
+    graft.ops.VectorIndex.upsert(s, path, e.where(col("vec_id") % 3 >= 1), batchId = 2L)
+    graft.ops.VectorIndex.query(s, path, e.where(col("vec_id") < 10), k = 5, nprobe = 8)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** §6c-6: salted join under heavy key skew — 70% of lineitem rows
     * collapse onto one hot key; the salted join must return exactly the
     * unsalted join's aggregate (the oracle computes the plain join). */
@@ -520,6 +536,13 @@ object OpsQueries {
     Ranking.bm25(Tables.documents(s, d), Seq("spark", "join", "filter"))
       .select(col("doc_id"), round(col("bm25"), 6).alias("bm25"))
 
+  /** B35: token-window chunking (64-token windows, 8-token overlap);
+    * chunk text hashed so the oracle compare stays compact. */
+  def chunkDocuments(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunk(Tables.documents(s, d), maxTokens = 64, overlap = 8)
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"), col("tok_end"),
+        md5(col("chunk_text")).alias("chunk_md5"))
+
   /** B33: unigram-LM perplexity scoring (reported as avg −ln p(w)). */
   def textPerplexity(s: SparkSession, d: String): DataFrame =
     Ranking.unigramLogPpl(Tables.documents(s, d))
@@ -572,7 +595,9 @@ object OpsQueries {
     "sample_per_group"  -> (samplePerGroup _),
     "stream_interval_left" -> (streamIntervalJoinLeft _),
     "range_join"        -> (rangeJoin _),
-    "text_perplexity"   -> (textPerplexity _))
+    "text_perplexity"   -> (textPerplexity _),
+    "ann_index_incremental" -> (annIndexIncremental _),
+    "chunk_documents"   -> (chunkDocuments _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -676,6 +701,18 @@ object OpsQueries {
                FROM s)
          SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""",
     "ann_lsh" -> """
+         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 6) AS sim
+               FROM q, embeddings c WHERE c.vec_id != query_id),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""",
+    // incremental index at nprobe = nlist == brute force over the
+    // final corpus (build ∪ upserts = the whole embeddings table)
+    "ann_index_incremental" -> """
          WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),
          s AS (SELECT query_id, c.vec_id AS neighbor_id,
@@ -987,6 +1024,19 @@ object OpsQueries {
              round(sum(l_quantity), 2) AS total_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size = 15 GROUP BY p_brand""",
+    // 64-token windows, stride 56; DuckDB list slice is 1-based
+    // inclusive, Spark slice(start, length) — both clamp at the end
+    "chunk_documents" -> """
+         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         n AS (SELECT doc_id, w, len(w) AS n,
+             greatest(1, CAST(ceil((len(w) - 8) / 56.0) AS BIGINT)) AS nc
+           FROM t),
+         c AS (SELECT doc_id, w, n, unnest(range(0, nc)) AS chunk_id FROM n)
+         SELECT doc_id, chunk_id, chunk_id * 56 AS tok_start,
+           least(chunk_id * 56 + 64, n) AS tok_end,
+           md5(array_to_string(w[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' '))
+             AS chunk_md5
+         FROM c""",
     "text_perplexity" -> """
          WITH w AS (SELECT doc_id,
              unnest(string_split_regex(text, '\s+')) AS term FROM documents),
