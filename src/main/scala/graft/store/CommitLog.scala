@@ -98,12 +98,24 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     * foreachBatch) are detected via [[maxBatchIdAt]] and skipped, which
     * is what makes incremental agg merges exactly-once. */
   def commit(version: Long, buckets: Seq[Int], emptied: Seq[Int] = Nil,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L, cdfBytes: Long = -1L): Unit = {
     val bid = if (batchId >= 0) s""","batchId":$batchId""" else ""
+    val cb = if (cdfBytes >= 0) s""","cdfBytes":$cdfBytes""" else ""
     val json = s"""{"version":$version,"buckets":[${buckets.mkString(",")}],""" +
-      s""""emptied":[${emptied.mkString(",")}]$bid}"""
+      s""""emptied":[${emptied.mkString(",")}]$bid$cb}"""
     writeAtomic(commitPath(version), json)
   }
+
+  /** (version, cdf byte size) for commits in `(fromExclusive, upTo]`,
+    * ascending; -1 for commits that predate size recording. Feeds the
+    * size-aware incremental drain (a month of backlog must not become
+    * one giant merge). */
+  def cdfBytesByVersion(fromExclusive: Long, upTo: Long): Seq[(Long, Long)] =
+    versions().filter(v => v > fromExclusive && v <= upTo).map { v =>
+      val json = readFully(commitPath(v))
+      v -> """"cdfBytes":(-?\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong).getOrElse(-1L)
+    }
 
   /** Highest streaming batchId recorded at or below `upTo`; -1 if none.
     * Replays from the newest checkpoint like [[bucketVersions]]. */

@@ -241,7 +241,7 @@ final class KeyedTable private (
       // point at their rewritten files
       val written = listWrittenBuckets(newVersion)
       val emptied = affected.filterNot(written.contains)
-      log.commit(newVersion, written, emptied)
+      log.commit(newVersion, written, emptied, cdfBytes = cdfBytesOf(newVersion))
       bvCache = (newVersion,
         bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
           -- emptied)
@@ -445,7 +445,7 @@ final class KeyedTable private (
           // a missing dir
           val written = listWrittenBuckets(newVersion)
           val emptied = affected.filterNot(written.contains)
-          log.commit(newVersion, written, emptied, batchId)
+          log.commit(newVersion, written, emptied, batchId, cdfBytesOf(newVersion))
           // advance the replay cache incrementally (single-writer)
           bvCache = (newVersion,
             bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
@@ -717,6 +717,35 @@ final class KeyedTable private (
     val cdfPost = updatesNew.drop(BucketCol).withColumn("_change_type", lit("update_postimage"))
     (newContent, cdfInserts.unionByName(cdfPre).unionByName(cdfPost),
       () => { ranked.unpersist(); () })
+  }
+
+  /** Total size of a commit's change files (one FS listing). */
+  private def cdfBytesOf(version: Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/cdf/v=$version")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L else fs.listStatus(p).map(_.getLen).sum
+  }
+
+  /** Highest version `hi` such that the cdf bytes of `(afterVersion,
+    * hi]` fit in `maxBytes` — always ≥ one commit when any is pending
+    * (progress guarantee even for a single oversized commit). Commits
+    * predating size recording count as size 0. */
+  private[graft] def cdfVersionUpTo(afterVersion: Long, maxBytes: Long,
+      ceilVersion: Long = Long.MaxValue): Long = {
+    val entries = log.cdfBytesByVersion(afterVersion,
+      math.min(latestVersion, ceilVersion))
+    var hi = afterVersion
+    var acc = 0L
+    var stop = false
+    entries.foreach { case (v, b) =>
+      if (!stop) {
+        val bb = math.max(0L, b)
+        if (hi == afterVersion) { hi = v; acc = bb }
+        else if (acc + bb <= maxBytes) { hi = v; acc += bb }
+        else stop = true
+      }
+    }
+    hi
   }
 
   private def listWrittenBuckets(version: Long): Seq[Int] = {

@@ -74,6 +74,26 @@ private[streaming] object DrainState {
         "using runIncremental for this pipeline")
   }
 
+  /** Source tables deduped by path (a self-join lists its table twice). */
+  def distinctTables(ts: Seq[graft.store.KeyedTable]): Seq[graft.store.KeyedTable] =
+    ts.groupBy(_.path).values.map(_.head).toSeq
+
+  /** Per-table target versions for the next drain sub-batch: with no
+    * byte budget, drain straight to `cur`; with one, each table
+    * advances as far as its pending cdf bytes fit (always ≥ 1 commit —
+    * progress even for a single oversized commit). */
+  def nextStep(tables: Seq[graft.store.KeyedTable], versions: Map[String, Long],
+      cur: Map[String, Long], budget: Option[Long]): Map[String, Long] =
+    budget match {
+      case None => cur
+      case Some(b) => tables.map { t =>
+        val after = versions.getOrElse(t.path, -1L)
+        val ceil = cur.getOrElse(t.path, t.latestVersion)
+        t.path -> (if (after >= ceil) after
+                   else t.cdfVersionUpTo(after, b, ceil))
+      }.toMap
+    }
+
   def commit(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark, dir)
     val state = new Path(dir, "state.properties")

@@ -95,15 +95,20 @@ final class Stream private (
     table +: others.flatMap(_.allTables)
 
   /** Batch analog of [[changeStream]]: all change rows past the given
-    * per-table high-water marks, with the same delete filtering and
-    * source transform. One plain pruned cdf scan — no streaming query,
-    * no checkpoint (`Pipeline.runIncremental`). */
-  private[streaming] def changesBatch(after: String => Long): DataFrame = {
-    val raw0 = table.changesSince(after(table.path))
+    * per-table high-water marks (and, when a drain byte budget splits
+    * the backlog, at or below the `upTo` marks), with the same delete
+    * filtering and source transform. One plain pruned cdf scan — no
+    * streaming query, no checkpoint (`Pipeline.runIncremental`). */
+  private[streaming] def changesBatch(after: String => Long,
+      upTo: String => Long = _ => Long.MaxValue): DataFrame = {
+    val raw1 = table.changesSince(after(table.path))
+    val hi = upTo(table.path)
+    val raw0 = if (hi == Long.MaxValue) raw1
+               else raw1.where(col("_commit_version") <= hi)
     val raw = if (deletesOn) raw0 else raw0.where(col("_change_type") =!= "delete")
     val cut = if (startV < 0) raw else raw.where(col("_commit_version") > startV)
     val own = applyTransformKeepingCdf(cut)
-    others.foldLeft(own)((acc, o) => acc.unionByName(o.changesBatch(after)))
+    others.foldLeft(own)((acc, o) => acc.unionByName(o.changesBatch(after, upTo)))
   }
 
   /** Static snapshot pinned at a version (streams.py:203-208). For a

@@ -137,15 +137,27 @@ final class StreamAgg(
     def drainOnce(): Unit = {
       val dir = s"$outPath/_drain"
       val st = DrainState.load(spark, dir, out.lastAppliedBatchId)
-      val cur = src.allTables.map(t => t.path -> t.latestVersion).toMap
+      val tables = DrainState.distinctTables(src.allTables)
+      val cur = tables.map(t => t.path -> t.latestVersion).toMap
       if (cur == st.versions) return
       require(st.versions.nonEmpty || out.lastAppliedBatchId < 0,
         s"stage $name has checkpointed-run history; runIncremental needs " +
           "its own state from the pipeline's first run")
-      val after = (p: String) => st.versions.getOrElse(p, -1L)
-      DrainState.begin(spark, dir, DrainState.St(cur, st.next + 1))
-      mergeAgg(src.changesBatch(after), st.next)
-      DrainState.commit(spark, dir)
+      // byte-budgeted sub-batches like StreamJoin.drainOnce (the delta
+      // merge stays exactly-once per sub-batch via its own batchId)
+      val budget = spark.conf.getOption("spark.graft.drain.maxBytes").map(_.toLong)
+      var versions = st.versions
+      var next = st.next
+      while (versions != cur) {
+        val step = DrainState.nextStep(tables, versions, cur, budget)
+        val after = (p: String) => versions.getOrElse(p, -1L)
+        val upTo = (p: String) => step.getOrElse(p, Long.MaxValue)
+        DrainState.begin(spark, dir, DrainState.St(step, next + 1))
+        mergeAgg(src.changesBatch(after, upTo), next)
+        DrainState.commit(spark, dir)
+        versions = step
+        next += 1
+      }
     }
 
     val handle = StageHandle(name, wc => {

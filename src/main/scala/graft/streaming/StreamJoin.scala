@@ -390,22 +390,37 @@ final class JoinedStream(
 
     val name = s"join:${new org.apache.hadoop.fs.Path(outPath).getName}"
 
-    // batch-incremental drain (Pipeline.runIncremental): same mergeJoin
-    // body over one plain batch of the pending cdf range
+    // batch-incremental drain (Pipeline.runIncremental): the mergeJoin
+    // body over plain batches of the pending cdf range. With
+    // spark.graft.drain.maxBytes set, the backlog splits into
+    // byte-budgeted sub-batches (per-commit cdf sizes from the commit
+    // log) — a month of backlog becomes bounded merges, not one giant
+    // one; each sub-batch has its own intent/commit cycle and batchId,
+    // so crash recovery and exactly-once work per sub-batch.
     def drainOnce(): Unit = {
       val dir = s"$outPath/_drain"
       val applied = if (userSink.isEmpty) out.lastAppliedBatchId else -1L
       val st = DrainState.load(spark, dir, applied)
-      val cur = (left.allTables ++ right.allTables)
-        .map(t => t.path -> t.latestVersion).toMap
+      val tables = DrainState.distinctTables(left.allTables ++ right.allTables)
+      val cur = tables.map(t => t.path -> t.latestVersion).toMap
       if (cur == st.versions) return
       require(st.versions.nonEmpty || applied < 0,
         s"stage $name has checkpointed-run history; runIncremental needs " +
           "its own state from the pipeline's first run")
-      val after = (p: String) => st.versions.getOrElse(p, -1L)
-      DrainState.begin(spark, dir, DrainState.St(cur, st.next + 1))
-      mergeJoin(pack(left.changesBatch(after), right.changesBatch(after)), st.next)
-      DrainState.commit(spark, dir)
+      val budget = spark.conf.getOption("spark.graft.drain.maxBytes").map(_.toLong)
+      var versions = st.versions
+      var next = st.next
+      while (versions != cur) {
+        val step = DrainState.nextStep(tables, versions, cur, budget)
+        val after = (p: String) => versions.getOrElse(p, -1L)
+        val upTo = (p: String) => step.getOrElse(p, Long.MaxValue)
+        DrainState.begin(spark, dir, DrainState.St(step, next + 1))
+        mergeJoin(pack(left.changesBatch(after, upTo),
+          right.changesBatch(after, upTo)), next)
+        DrainState.commit(spark, dir)
+        versions = step
+        next += 1
+      }
     }
 
     val handle = StageHandle(name, wc => {

@@ -70,6 +70,58 @@ class IncrementalDrainSpec extends AnyFunSuite {
       "idle runIncremental must be a no-op")
   }
 
+  test("a byte budget splits a multi-commit backlog into bounded sub-batches") {
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val oT = KeyedTable.create(spark, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 4)
+    val pipe = Stream.fromKeyedTable(oT)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("total"))
+      .writeToPath(s"$root/out")
+    // 4-commit backlog, then ONE runIncremental under a 1-byte budget:
+    // every commit must become its own exactly-once merge
+    (0 until 4).foreach(i =>
+      oT.upsert(oDf.where(pmod(col("o_orderkey"), lit(4)) === i), uniqueKeys = true))
+    spark.conf.set("spark.graft.drain.maxBytes", "1")
+    try pipe.runIncremental()
+    finally spark.conf.unset("spark.graft.drain.maxBytes")
+    val out = KeyedTable.forPath(spark, s"$root/out")
+    assert(out.latestVersion == 4L,
+      s"want 4 budget-bounded merges, got ${out.latestVersion}")
+    val got = out.snapshot()
+    val want = oDf.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("total"))
+    assertSameRows(got, want, "budgeted agg drain")
+    // and an unbudgeted idle re-drain stays a no-op
+    pipe.runIncremental()
+    assert(KeyedTable.forPath(spark, s"$root/out").latestVersion == 4L)
+  }
+
+  test("byte-budgeted drain of a JOIN stage (two sources) stays correct") {
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(spark, s"$root/o", oDf.schema, Seq("o_orderkey"), numBuckets = 4)
+    val cT = KeyedTable.create(spark, s"$root/c", cDf.schema, Seq("c_custkey"), numBuckets = 4)
+    val pipe = Stream.fromKeyedTable(oT)
+      .join(Stream.fromKeyedTable(cT), "inner")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .writeToPath(s"$root/out")
+    cT.upsert(cDf, uniqueKeys = true)
+    (0 until 3).foreach(i =>
+      oT.upsert(oDf.where(pmod(col("o_orderkey"), lit(3)) === i), uniqueKeys = true))
+    spark.conf.set("spark.graft.drain.maxBytes", "1")
+    try pipe.runIncremental()
+    finally spark.conf.unset("spark.graft.drain.maxBytes")
+    val out = KeyedTable.forPath(spark, s"$root/out")
+    assert(out.latestVersion >= 3L, s"want >= 3 sub-batch merges, got ${out.latestVersion}")
+    assertSameRows(out.snapshot(),
+      oDf.join(cDf, col("o_custkey") === col("c_custkey"), "inner"),
+      "budgeted join drain")
+  }
+
   test("a stage with merge markers but no drain state refuses to drain") {
     // lost drain state (or a previously-checkpointed streaming run) is
     // indistinguishable from mode mixing: a naive full-range re-drain
