@@ -263,13 +263,30 @@ final class KeyedTable private (
     * marker → data write → commit → meta write → marker clear; a crash
     * anywhere is recovered on the next open ([[KeyedTable.forPath]]) by
     * rolling forward (commit present) or back (commit absent). */
-  def rebucket(newBuckets: Int): Long = synchronized { withMergeConf {
+  def rebucket(newBuckets: Int): Long = rewriteLayout(newBuckets, Nil)
+
+  /** Rewrites every bucket with rows CLUSTERED by `sortCols` (Delta's
+    * `OPTIMIZE ... ZORDER BY` role, lexicographic clustering): parquet
+    * row-group min/max stats on those columns become tight disjoint
+    * ranges, so predicate scans skip whole row groups. Layout-only
+    * like [[rebucket]] (no cdf rows, same crash-safe marker); bucket
+    * membership is unchanged, so merges before/after are identical.
+    * Clustering survives until enough merges rewrite the hot buckets —
+    * rerun periodically, like any OPTIMIZE. */
+  def optimize(sortCols: Seq[String]): Long = {
+    require(sortCols.nonEmpty && sortCols.forall(dataCols.contains),
+      s"sortCols must be existing columns, got ${sortCols.mkString(",")}")
+    rewriteLayout(meta.numBuckets, sortCols)
+  }
+
+  private def rewriteLayout(newBuckets: Int, sortCols: Seq[String]): Long =
+    synchronized { withMergeConf {
     require(newBuckets > 0, "newBuckets must be positive")
     recoverPendingRebucket()
-    if (newBuckets == meta.numBuckets) return latestVersion
+    if (newBuckets == meta.numBuckets && sortCols.isEmpty) return latestVersion
     val v = latestVersion
     val oldLive = bucketVersionsAt(v).keys.toSeq
-    def swapMeta(): Unit = {
+    def swapMeta(): Unit = if (newBuckets != metaVar.numBuckets) {
       val next = metaVar.copy(numBuckets = newBuckets)
       log.writeMeta(metaToJson(next))
       metaVar = next
@@ -281,7 +298,7 @@ final class KeyedTable private (
       pmod(xxhash64(meta.bucketKeys.map(col): _*), lit(newBuckets)).cast("int"))
     val emptyCdf = emptyDf.withColumn("_change_type", lit(null).cast(StringType))
     spark.sparkContext.setJobDescription("graft:rebucket:write")
-    writeFused(newVersion, content, emptyCdf)
+    writeFused(newVersion, content, emptyCdf, sortCols)
     spark.sparkContext.setJobDescription(null)
     val written = listWrittenBuckets(newVersion)
     log.commit(newVersion, written, oldLive.filterNot(written.contains))
@@ -496,7 +513,8 @@ final class KeyedTable private (
     * per-commit cost of incremental pipelines; the join both halves
     * derive from is persisted by the caller so it is computed once.
     */
-  private def writeFused(newVersion: Long, newContent: DataFrame, cdf: DataFrame): Unit = {
+  private def writeFused(newVersion: Long, newContent: DataFrame, cdf: DataFrame,
+      sortCols: Seq[String] = Nil): Unit = {
     // normalize to the declared schema: merge arithmetic can widen
     // types (e.g. decimal(28,6)+decimal(28,6) → decimal(29,6)), and a
     // widened file would break the explicit-schema bucket reads
@@ -519,9 +537,17 @@ final class KeyedTable private (
       .withColumn(BucketCol, pmod(bucketExpr(col), lit(cdfFiles)).cast("int"))
       .withColumn(SideCol, lit("c"))
     val tmp = s"$path/_tmp_v$newVersion"
-    dataSide.unionByName(cdfSide)
+    val shuffled = dataSide.unionByName(cdfSide)
       .withColumnRenamed(BucketCol, "b")
       .repartition(col(SideCol), col("b"))
+    // optimize() clusters rows inside each bucket file so row-group
+    // stats on sortCols become tight ranges (write tasks are per
+    // (side, b), so a within-partition sort orders each output file)
+    val ordered =
+      if (sortCols.isEmpty) shuffled
+      else shuffled.sortWithinPartitions(
+        (Seq(SideCol, "b") ++ sortCols).map(col): _*)
+    ordered
       .write.mode("overwrite")
       .partitionBy(SideCol, "b")
       .parquet(tmp)

@@ -51,6 +51,31 @@ class RebucketSpec extends AnyFunSuite {
     assert(kt.snapshot(1).count() == 300)
   }
 
+  test("optimize clusters rows within bucket files; contents unchanged") {
+    val t = tmp()
+    // shuffle insertion order so files start unclustered
+    val df = (1L to 400L).map(i => ((i * 131) % 400 + 1, ((i * 17) % 97).toDouble))
+      .toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 4)
+    kt.upsert(df, uniqueKeys = true)
+    val before = kt.snapshot().orderBy("id").collect()
+    val cdfBefore = kt.changesSince(0L).count()
+    val ver = kt.optimize(Seq("v"))
+    assert(kt.meta.numBuckets == 4)
+    assert(kt.snapshot().orderBy("id").collect().toSeq == before.toSeq)
+    assert(kt.changesSince(0L).count() == cdfBefore, "optimize is layout-only")
+    // every rewritten bucket file is sorted by the cluster column
+    val vdir = new org.apache.hadoop.fs.Path(s"$t/data/v=$ver")
+    val fs = vdir.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(vdir).flatMap(b => fs.listStatus(b.getPath))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val vals = spark.read.parquet(f).select("v").collect().map(_.getDouble(0))
+      assert(vals.sameElements(vals.sorted), s"file not clustered: $f")
+    }
+  }
+
   test("crash before commit rolls back; crash before meta swap rolls forward") {
     val t = tmp()
     val df = (1L to 100L).map(i => (i, i.toString)).toDF("id", "s")
