@@ -276,14 +276,42 @@ final class KeyedTable private (
   def optimize(sortCols: Seq[String]): Long = {
     require(sortCols.nonEmpty && sortCols.forall(dataCols.contains),
       s"sortCols must be existing columns, got ${sortCols.mkString(",")}")
-    rewriteLayout(meta.numBuckets, sortCols)
+    rewriteLayout(meta.numBuckets, sortCols.map(col))
   }
 
-  private def rewriteLayout(newBuckets: Int, sortCols: Seq[String]): Long =
+  /** True multi-column Z-ORDER variant of [[optimize]]: each column is
+    * rank-normalized to `bits` bits via approx-quantile cut points
+    * (one driver action, (2^bits−1)×|cols| doubles) and the bit-ranks
+    * INTERLEAVE into one z-value; sorting by it clusters rows into
+    * hyper-rectangles so row-group stats tighten on EVERY column at
+    * once — lexicographic [[optimize]] only helps prefix predicates
+    * (its trailing columns sweep their full range inside every leading
+    * run). Numeric columns only; nulls rank lowest. */
+  def optimizeZOrder(cols: Seq[String], bits: Int = 8): Long = {
+    require(cols.nonEmpty && cols.forall(dataCols.contains),
+      s"cols must be existing columns, got ${cols.mkString(",")}")
+    require(cols.size * bits <= 63, "cols.size * bits must fit in a long")
+    val qs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val snap = snapshot()
+    val n = cols.size
+    val z = cols.zipWithIndex.map { case (c, i) =>
+      val cut = snap.stat.approxQuantile(c, qs, 0.001).toSeq
+      // rank = #cut points ≤ value (0 .. 2^bits-1); codegen'd fold over
+      // the literal cut array — no join, no shuffle
+      val rank = aggregate(typedLit(cut), lit(0L), (acc, q) =>
+        acc + when(col(c).cast("double") >= q, 1L).otherwise(0L))
+      (0 until bits).map(b =>
+        shiftleft(shiftright(rank, b).bitwiseAND(1L), b * n + i))
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    rewriteLayout(meta.numBuckets, Seq(z))
+  }
+
+  private def rewriteLayout(newBuckets: Int, sortKeys: Seq[Column]): Long =
     synchronized { withMergeConf {
     require(newBuckets > 0, "newBuckets must be positive")
     recoverPendingRebucket()
-    if (newBuckets == meta.numBuckets && sortCols.isEmpty) return latestVersion
+    if (newBuckets == meta.numBuckets && sortKeys.isEmpty) return latestVersion
     val v = latestVersion
     val oldLive = bucketVersionsAt(v).keys.toSeq
     def swapMeta(): Unit = if (newBuckets != metaVar.numBuckets) {
@@ -298,7 +326,7 @@ final class KeyedTable private (
       pmod(xxhash64(meta.bucketKeys.map(col): _*), lit(newBuckets)).cast("int"))
     val emptyCdf = emptyDf.withColumn("_change_type", lit(null).cast(StringType))
     spark.sparkContext.setJobDescription("graft:rebucket:write")
-    writeFused(newVersion, content, emptyCdf, sortCols)
+    writeFused(newVersion, content, emptyCdf, sortKeys)
     spark.sparkContext.setJobDescription(null)
     val written = listWrittenBuckets(newVersion)
     log.commit(newVersion, written, oldLive.filterNot(written.contains))
@@ -514,7 +542,7 @@ final class KeyedTable private (
     * derive from is persisted by the caller so it is computed once.
     */
   private def writeFused(newVersion: Long, newContent: DataFrame, cdf: DataFrame,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortKeys: Seq[Column] = Nil): Unit = {
     // normalize to the declared schema: merge arithmetic can widen
     // types (e.g. decimal(28,6)+decimal(28,6) → decimal(29,6)), and a
     // widened file would break the explicit-schema bucket reads
@@ -540,13 +568,14 @@ final class KeyedTable private (
     val shuffled = dataSide.unionByName(cdfSide)
       .withColumnRenamed(BucketCol, "b")
       .repartition(col(SideCol), col("b"))
-    // optimize() clusters rows inside each bucket file so row-group
-    // stats on sortCols become tight ranges (write tasks are per
-    // (side, b), so a within-partition sort orders each output file)
+    // optimize()/optimizeZOrder() cluster rows inside each bucket file
+    // so row-group stats on the sort keys become tight ranges (write
+    // tasks are per (side, b), so a within-partition sort orders each
+    // output file)
     val ordered =
-      if (sortCols.isEmpty) shuffled
+      if (sortKeys.isEmpty) shuffled
       else shuffled.sortWithinPartitions(
-        (Seq(SideCol, "b") ++ sortCols).map(col): _*)
+        Seq(col(SideCol), col("b")) ++ sortKeys: _*)
     ordered
       .write.mode("overwrite")
       .partitionBy(SideCol, "b")

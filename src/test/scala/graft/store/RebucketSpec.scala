@@ -76,6 +76,37 @@ class RebucketSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order clusters BOTH columns; lexicographic only the prefix") {
+    // 64×64 grid in one bucket file; a "row group" of 256 consecutive
+    // rows under z-order covers a ~16×16 tile (y-range ≈ 16), while
+    // lexicographic (x, y) sweeps y's FULL range in every block
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      ((x * 64 + y).toLong, x.toDouble, y.toDouble)))
+    val df = grid.toDF("id", "x", "y")
+    def meanBlockRangeY(t: String, ver: Long): Double = {
+      val vdir = new org.apache.hadoop.fs.Path(s"$t/data/v=$ver")
+      val fs = vdir.getFileSystem(spark.sessionState.newHadoopConf())
+      val files = fs.listStatus(vdir).flatMap(b => fs.listStatus(b.getPath))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      val rows = files.flatMap(f =>
+        spark.read.parquet(f).select("y").collect().map(_.getDouble(0)))
+      val blocks = rows.grouped(256).filter(_.length > 1).toSeq
+      blocks.map(b => b.max - b.min).sum / blocks.size
+    }
+    val tLex = tmp()
+    val ktLex = KeyedTable.create(spark, tLex, df.schema, keys = Seq("id"), numBuckets = 1)
+    ktLex.upsert(df, uniqueKeys = true)
+    val vLex = ktLex.optimize(Seq("x", "y"))
+    val tZ = tmp()
+    val ktZ = KeyedTable.create(spark, tZ, df.schema, keys = Seq("id"), numBuckets = 1)
+    ktZ.upsert(df, uniqueKeys = true)
+    val vZ = ktZ.optimizeZOrder(Seq("x", "y"), bits = 6)
+    assert(ktZ.snapshot().count() == 4096)
+    val (lexY, zY) = (meanBlockRangeY(tLex, vLex), meanBlockRangeY(tZ, vZ))
+    assert(zY < lexY * 0.5,
+      s"z-order y-locality $zY must beat lexicographic $lexY by 2x+")
+  }
+
   test("crash before commit rolls back; crash before meta swap rolls forward") {
     val t = tmp()
     val df = (1L to 100L).map(i => (i, i.toString)).toDF("id", "s")
