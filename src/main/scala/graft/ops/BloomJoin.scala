@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Bloom-filter join pruning (SURVEY.md §2 B29): pre-filter a huge fact
   * side against a compact bit-set of the dimension side's join keys
@@ -15,25 +16,60 @@ import org.apache.spark.sql.functions._
   * the broadcast threshold but whose KEY SET still fits in a few MB of
   * bits).
   *
+  * Key handling: both sides are PREHASHED to one 64-bit value with
+  * integral types normalized to long first, so an `int` fact key probes
+  * the same bit positions an equal `bigint` dim key set (xxhash64 is
+  * type-sensitive — without normalization every probe would miss and the
+  * prefilter would silently drop all matches). The normalized type is
+  * recorded in the filter and re-checked at probe time.
+  *
   * Scale shape:
   *   - BUILD: one explode(k)+groupBy shuffle over the (small) dim side —
-  *     `k * |dim|` rows — then `mBits/64` longs collected to the driver.
-  *     At 10M dim keys and 16 bits/key the filter is 20 MB: broadcast as
-  *     a literal, never a shuffle.
-  *   - PROBE: a pure projection over the fact scan (xxhash64 + bit
-  *     tests, all codegen'd — no UDF), evaluated BEFORE the join
-  *     exchange, so ~`1 - fpp` of non-matching fact rows never enter the
-  *     shuffle. The subsequent real join removes false positives, so the
-  *     result is EXACTLY the plain join (full DuckDB oracle).
+  *     `k * |dim|` rows — then the non-zero words of an `mBits/64`-long
+  *     array collected to the driver. `mBits` is capped at 2^28 (32 MB of
+  *     longs) — past the cap fpp degrades (less pruning) but correctness
+  *     never does, because the real join removes false positives.
+  *   - PROBE: small filters (≤ `LiteralBitsMax` bits) embed the words as
+  *     a plan literal — fully codegen'd, zero extra distribution cost.
+  *     Larger filters are shipped ONCE PER EXECUTOR as a real Spark
+  *     broadcast variable (a plan literal is serialized with every task)
+  *     and probed by a long→boolean function over the codegen-computed
+  *     prehash column — the string/decimal hashing stays in codegen; only
+  *     the final k bit tests run in the lambda.
+  *   - The subsequent real join removes false positives, so the result
+  *     is EXACTLY the plain join (full DuckDB oracle).
   */
 object BloomJoin {
 
-  /** A built key filter: `mBits` bit positions packed into longs, probed
-    * with `k` seeded hashes per key. */
-  final case class KeyFilter(bits: Array[Long], mBits: Int, k: Int)
+  /** Bits a filter may embed as a plan literal before switching to a
+    * broadcast variable: 2^23 bits = 1 MB of longs. */
+  val LiteralBitsMax: Int = 1 << 23
 
-  private def positions(key: Column, mBits: Int, k: Int): Seq[Column] =
-    (0 until k).map(i => pmod(xxhash64(key, lit(i)), lit(mBits.toLong)))
+  /** Hard cap on filter size: 2^28 bits = 32 MB of longs (≈16M keys at
+    * 16 bits/key). Beyond it fpp rises but results stay exact. */
+  val BitsCap: Int = 1 << 28
+
+  /** A built key filter: `mBits` bit positions packed into longs, probed
+    * with `k` seeded hashes per key; `keyType` is the normalized type the
+    * prehash was computed over (probe side must normalize to the same). */
+  final case class KeyFilter(bits: Array[Long], mBits: Int, k: Int, keyType: DataType)
+
+  /** Integral types all hash as long so int/bigint key pairs agree;
+    * float narrows to double for the same reason. */
+  private def normalizedType(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType | DoubleType                        => DoubleType
+    case other                                         => other
+  }
+
+  /** The 64-bit prehash both sides derive bit positions from. */
+  private def prehash(df: DataFrame, key: String): Column = {
+    val dt = df.schema(key).dataType
+    xxhash64(col(key).cast(normalizedType(dt)))
+  }
+
+  private def positions(h0: Column, mBits: Int, k: Int): Seq[Column] =
+    (0 until k).map(i => pmod(xxhash64(h0, lit(i)), lit(mBits.toLong)))
 
   /** Builds the bit-set from the dim side's `key` column. `bitsPerKey`
     * sizes the filter from an exact dim count (one small action);
@@ -42,8 +78,8 @@ object BloomJoin {
     val n = math.max(1L, dim.select(key).distinct().count())
     // power-of-two sizing keeps pmod cheap and the array bounded
     val mBits = math.max(1024, java.lang.Long.highestOneBit(n * bitsPerKey * 2 - 1) << 1)
-      .min(1L << 30).toInt
-    val posCol = explode(array(positions(col(key), mBits, k): _*)).alias("__pos")
+      .min(BitsCap.toLong).toInt
+    val posCol = explode(array(positions(prehash(dim, key), mBits, k): _*)).alias("__pos")
     val words = dim.select(posCol)
       .groupBy((col("__pos") / 64).cast("int").alias("__w"))
       .agg(bit_or(call_function("shiftleft", lit(1L),
@@ -51,21 +87,60 @@ object BloomJoin {
       .collect()
     val bits = new Array[Long](mBits / 64)
     words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
-    KeyFilter(bits, mBits, k)
+    KeyFilter(bits, mBits, k, normalizedType(dim.schema(key).dataType))
   }
 
-  /** The membership test as a codegen'd Column — no UDF, no shuffle. */
-  def mightContain(key: Column, f: KeyFilter): Column = {
+  /** The membership test over the PREHASH column, as a codegen'd plan
+    * literal — right for filters up to ~1 MB. */
+  private def mightContainLiteral(h0: Column, f: KeyFilter): Column = {
     val bitsLit = typedLit(f.bits.toSeq)
-    positions(key, f.mBits, f.k).map { pos =>
+    positions(h0, f.mBits, f.k).map { pos =>
       call_function("shiftright", element_at(bitsLit, (pos / 64).cast("int") + 1),
         pmod(pos, lit(64L)).cast("int")).bitwiseAND(1L) === 1L
     }.reduce(_ && _)
   }
 
-  /** Fact rows that may have a dim match (plus fpp false positives). */
-  def prefilter(fact: DataFrame, factKey: String, f: KeyFilter): DataFrame =
-    fact.where(mightContain(col(factKey), f))
+  /** Replicates `pmod(xxhash64(h0, lit(i)), m)` on the JVM so the
+    * broadcast probe tests exactly the bits [[build]] set. Spark's
+    * XxHash64 folds children left-to-right with the running hash as
+    * seed: long child → hashLong, int literal → hashInt. */
+  private def jvmPosition(h0: Long, i: Int, mBits: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = XXH64.hashInt(i, XXH64.hashLong(h0, 42L))
+    java.lang.Math.floorMod(h, mBits.toLong).toInt
+  }
+
+  /** Fact rows that may have a dim match (plus fpp false positives).
+    * Rejects a probe column whose normalized type differs from the
+    * build side's — a silent all-miss prefilter otherwise. */
+  def prefilter(fact: DataFrame, factKey: String, f: KeyFilter,
+      literalBitsMax: Int = LiteralBitsMax): DataFrame = {
+    val factType = normalizedType(fact.schema(factKey).dataType)
+    require(factType == f.keyType,
+      s"bloom probe key type $factType does not match build key type ${f.keyType}; " +
+        "cast one side so both normalize to the same type")
+    val h0 = prehash(fact, factKey)
+    if (f.mBits <= literalBitsMax) fact.where(h0.isNotNull && mightContainLiteral(h0, f))
+    else {
+      // one copy per executor via torrent broadcast, not one per task
+      val bc = fact.sparkSession.sparkContext.broadcast(f.bits)
+      val (m, k) = (f.mBits, f.k)
+      val test = udf { h: java.lang.Long =>
+        h != null && {
+          val bits = bc.value
+          var i = 0
+          var ok = true
+          while (ok && i < k) {
+            val p = jvmPosition(h, i, m)
+            ok = (bits(p >>> 6) >>> (p & 63) & 1L) == 1L
+            i += 1
+          }
+          ok
+        }
+      }
+      fact.where(test(h0))
+    }
+  }
 
   /** The full pruned join: build on dim, prefilter fact, then the real
     * inner join (which removes false positives — result is EXACTLY

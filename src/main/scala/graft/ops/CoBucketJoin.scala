@@ -62,7 +62,7 @@ object CoBucketJoin {
         bv.get(b) match {
           case Some(v) =>
             spark.read.schema(t.schema)
-              .parquet(s"${t.path}/data/v=$v/b=$b")
+              .parquet(s"${t.path}/data/${t.dataDirOf(v)}/b=$b")
               .select(cols.map(org.apache.spark.sql.functions.col): _*)
               .coalesce(1).rdd // narrow: no shuffle
           // 1 explicit partition: emptyRDD has ZERO and would shift

@@ -114,7 +114,19 @@ object Dedup {
           (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") / numHashes)
       .where(col("__est") >= threshold - 0.05)
       .select("id_a", "id_b")
-    verifyJaccard(estFiltered, base.select(col(id), col("__sh")), id, threshold)
+    val out = verifyJaccard(estFiltered, base.select(col(id), col("__sh")), id, threshold)
+    materializeThenRelease(out, base, sigd)
+  }
+
+  /** Near-dup outputs are tiny (true pairs) while their intermediates
+    * (shingle/signature tables) are corpus-sized — eagerly materialize
+    * the small result and drop the big caches, so repeated calls in a
+    * long-lived session don't accumulate cached partitions. */
+  private def materializeThenRelease(out: DataFrame, caches: DataFrame*): DataFrame = {
+    val r = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    r.count()
+    caches.foreach(_.unpersist())
+    r
   }
 
   /** Exact shingle-Jaccard verification of candidate pairs against a
@@ -244,7 +256,7 @@ object Dedup {
       .cache()
     val cand = simhashPairs(df, text, id, maxHamming, bucketed = true, chunkBits)
       .select("id_a", "id_b")
-    verifyJaccard(cand, base, id, threshold)
+    materializeThenRelease(verifyJaccard(cand, base, id, threshold), base)
   }
 
   /** Near-dup CLUSTERING: connected components over a dup-pair edge
@@ -278,6 +290,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -549,6 +549,21 @@ object OpsQueries {
       .select(col("doc_id"), col("n_tokens"),
         round(col("log_ppl"), 6).alias("log_ppl"))
 
+  /** B36: hybrid BM25 + dense retrieval fused by reciprocal rank —
+    * the full-oracle composition of B25's lexical ranking and B6's
+    * cosine ranking (doc identity: doc_id == vec_id). */
+  def hybridRetrieval(s: SparkSession, d: String): DataFrame =
+    graft.ops.Retrieval.hybridRrf(
+      Tables.documents(s, d), Tables.embeddings(s, d),
+      terms = Seq("spark", "join", "filter"), queryVecId = 0L,
+      n = 100, k = 20)
+
+  /** B37: deterministic spherical k-means topic assignment (lowest-id
+    * seeds, 2 Lloyd iterations, engine-neutral centroid rounding) —
+    * the oracle replays the identical iterations as DuckDB CTEs. */
+  def clusterKmeans(s: SparkSession, d: String): DataFrame =
+    graft.ops.Clustering.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+
   // --- registration -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -597,7 +612,9 @@ object OpsQueries {
     "range_join"        -> (rangeJoin _),
     "text_perplexity"   -> (textPerplexity _),
     "ann_index_incremental" -> (annIndexIncremental _),
-    "chunk_documents"   -> (chunkDocuments _))
+    "chunk_documents"   -> (chunkDocuments _),
+    "hybrid_retrieval"  -> (hybridRetrieval _),
+    "cluster_kmeans"    -> (clusterKmeans _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -906,6 +923,76 @@ object OpsQueries {
              r.purchase_value, r.ts AS purchase_ts
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    // B36: identical BM25 formula to rank_bm25 + cosine ranks, fused
+    "hybrid_retrieval" -> """
+         WITH tok AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+         tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+             WHERE term IN ('spark', 'join', 'filter') GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         lex AS (SELECT tf.doc_id,
+             round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                 tf * (1.2 + 1.0) /
+                 (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id),
+         lexr AS (SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM lex),
+         lexn AS (SELECT doc_id, lex_rank FROM lexr WHERE lex_rank <= 100),
+         q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         vec AS (SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim
+           FROM embeddings e, q WHERE e.vec_id <> 0),
+         vecr AS (SELECT doc_id,
+             row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rank FROM vec),
+         vecn AS (SELECT doc_id, vec_rank FROM vecr WHERE vec_rank <= 100),
+         f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             round(coalesce(1.0 / (60 + l.lex_rank), 0.0) +
+                   coalesce(1.0 / (60 + v.vec_rank), 0.0), 6) AS rrf
+           FROM lexn l FULL OUTER JOIN vecn v ON l.doc_id = v.doc_id)
+         SELECT doc_id, lex_rank, vec_rank, rrf FROM f
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
+    // B37: the same 2 Lloyd iterations graft runs, as CTEs — lowest-id
+    // seeds, argmax cosine (ties -> lowest cluster), per-dim means
+    // rounded by the engine-neutral floor(x*1e6+0.5)/1e6
+    "cluster_kmeans" -> """
+         WITH c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+         a0 AS (SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                 c.cid) AS rn
+           FROM embeddings e CROSS JOIN c0 c),
+         s0 AS (SELECT vec_id, cid FROM a0 WHERE rn = 1),
+         x0 AS (SELECT s.cid, generate_subscripts(e.embedding, 1) AS i,
+             unnest(e.embedding::DOUBLE[]) AS v
+           FROM embeddings e JOIN s0 s USING (vec_id)),
+         m0 AS (SELECT cid, i, floor(avg(v) * 1e6 + 0.5) / 1e6 AS m
+           FROM x0 GROUP BY cid, i),
+         u0 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m0 GROUP BY cid),
+         c1 AS (SELECT c0.cid, coalesce(u0.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u0 USING (cid)),
+         a1 AS (SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                 c.cid) AS rn
+           FROM embeddings e CROSS JOIN c1 c),
+         s1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+         x1 AS (SELECT s.cid, generate_subscripts(e.embedding, 1) AS i,
+             unnest(e.embedding::DOUBLE[]) AS v
+           FROM embeddings e JOIN s1 s USING (vec_id)),
+         m1 AS (SELECT cid, i, floor(avg(v) * 1e6 + 0.5) / 1e6 AS m
+           FROM x1 GROUP BY cid, i),
+         u1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid),
+         c2 AS (SELECT c1.cid, coalesce(u1.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u1 USING (cid)),
+         a2 AS (SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                 c.cid) AS rn
+           FROM embeddings e CROSS JOIN c2 c)
+         SELECT vec_id, cid AS cluster_id FROM a2 WHERE rn = 1""",
     "rank_bm25" -> """
          WITH tok AS (SELECT doc_id,
              unnest(string_split_regex(text, '\s+')) AS term FROM documents),

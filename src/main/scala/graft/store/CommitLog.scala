@@ -5,24 +5,48 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import java.nio.charset.StandardCharsets
 
+/** One parsed commit. `dir` is the data/cdf directory name the commit's
+  * files live under (`data/<dir>/b=<bucket>`, `cdf/<dir>/`) — unique per
+  * commit ATTEMPT so concurrent optimistic writers never collide on the
+  * filesystem before the commit rename decides the winner (SURVEY §6g-1).
+  * Commits written before multi-writer support default to `v=<version>`. */
+final case class CommitInfo(
+    version: Long,
+    buckets: Seq[Int],
+    emptied: Seq[Int],
+    batchId: Long,
+    cdfBytes: Long,
+    dir: String)
+
 /** Minimal JSON commit log for a [[KeyedTable]].
   *
   * Layout under `<table>/_log/`:
   *   - `_meta.json`                 — table definition (written once)
-  *   - `%020d.json` per commit      — `{"version":N,"buckets":[...]}`
+  *   - `%020d.json` per commit      — `{"version":N,"buckets":[...],"dir":...}`
   *
   * Replay folds commits in version order into `bucket -> last version
   * that rewrote it`; a snapshot at version V reads, for every bucket,
   * the newest rewrite ≤ V. Commit files are written to a temp name and
-  * renamed, so readers never observe a partial commit (same recovery
-  * contract as Delta's `_delta_log`, re-expressed on raw Hadoop FS).
+  * renamed, so readers never observe a partial commit, and the rename's
+  * refuse-to-clobber semantics arbitrate concurrent writers — exactly
+  * one caller of [[commit]] per version sees `true` (same recovery and
+  * OCC contract as Delta's `_delta_log`, re-expressed on raw Hadoop FS;
+  * on stores without atomic rename — plain S3 — a commit service is
+  * required, the same caveat Delta documents).
   *
-  * Uses the Hadoop FileSystem API throughout so the same code runs on
-  * HDFS/S3A on a real cluster, not just local fs.
+  * Commit files are immutable once visible, so parses are cached: a
+  * drain loop that slices an n-commit backlog into m sub-batches reads
+  * each commit file once, not O(n·m) times.
   */
 final class CommitLog(rootPath: String, conf: Configuration) {
   private val logDir = new Path(rootPath, "_log")
   private def fs: FileSystem = logDir.getFileSystem(conf)
+
+  // commit files are write-once (losers back off, nobody rewrites), so a
+  // parse cached per version can never go stale; external writers only
+  // ADD versions, which listing picks up
+  private val commitCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, CommitInfo]()
 
   def exists: Boolean = fs.exists(new Path(logDir, "_meta.json"))
 
@@ -38,12 +62,36 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     if (!fs.exists(logDir)) return Nil
     fs.listStatus(logDir).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.startsWith("_"))
+      .filter(n => n.endsWith(".json") && !n.startsWith("_") && !n.startsWith("."))
       .map(_.stripSuffix(".json").toLong)
       .sorted
   }
 
   def latestVersion(): Long = versions().lastOption.getOrElse(0L)
+
+  /** Cached parse of one commit file. */
+  def readCommit(v: Long): CommitInfo = {
+    val cached = commitCache.get(v)
+    if (cached != null) cached
+    else {
+      val json = readFully(commitPath(v))
+      val info = CommitInfo(
+        version = v,
+        buckets = parseIntArray(json, "buckets"),
+        emptied = parseIntArray(json, "emptied"),
+        batchId = """"batchId":(-?\d+)""".r.findFirstMatchIn(json)
+          .map(_.group(1).toLong).getOrElse(-1L),
+        cdfBytes = """"cdfBytes":(-?\d+)""".r.findFirstMatchIn(json)
+          .map(_.group(1).toLong).getOrElse(-1L),
+        dir = """"dir":"([^"]+)"""".r.findFirstMatchIn(json)
+          .map(_.group(1)).getOrElse(s"v=$v"))
+      commitCache.put(v, info)
+      info
+    }
+  }
+
+  /** Directory name (under `data/` and `cdf/`) of a commit's files. */
+  def dirOf(v: Long): String = readCommit(v).dir
 
   /** bucket -> newest version ≤ `upTo` that rewrote it; buckets whose
     * latest action emptied them are absent. Replays from the newest
@@ -55,9 +103,9 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     var acc = ck.map(_._2).getOrElse(Map.empty[Int, Long])
     val from = ck.map(_._1).getOrElse(-1L)
     versions().iterator.filter(v => v > from && v <= upTo).foreach { v =>
-      val json = readFully(commitPath(v))
-      parseIntArray(json, "buckets").foreach(b => acc += b -> v)
-      parseIntArray(json, "emptied").foreach(b => acc -= b)
+      val info = readCommit(v)
+      info.buckets.foreach(b => acc += b -> v)
+      info.emptied.foreach(b => acc -= b)
     }
     acc
   }
@@ -93,29 +141,35 @@ final class CommitLog(rootPath: String, conf: Configuration) {
 
   private def ckptPath(v: Long) = new Path(logDir, f"_ckpt_$v%020d.json")
 
-  /** `batchId` ≥ 0 marks this commit as the effect of a streaming
+  /** Attempts to claim `version`. Returns true iff THIS caller's rename
+    * won — the optimistic-concurrency arbiter: a false return means a
+    * concurrent writer committed this version first and the caller must
+    * re-read the new latest state and replay its batch.
+    *
+    * `batchId` ≥ 0 marks this commit as the effect of a streaming
     * microbatch — replayed batches (failure recovery re-runs the last
     * foreachBatch) are detected via [[maxBatchIdAt]] and skipped, which
     * is what makes incremental agg merges exactly-once. */
   def commit(version: Long, buckets: Seq[Int], emptied: Seq[Int] = Nil,
-      batchId: Long = -1L, cdfBytes: Long = -1L): Unit = {
+      batchId: Long = -1L, cdfBytes: Long = -1L, dir: String = null): Boolean = {
+    val d = if (dir == null) s"v=$version" else dir
     val bid = if (batchId >= 0) s""","batchId":$batchId""" else ""
     val cb = if (cdfBytes >= 0) s""","cdfBytes":$cdfBytes""" else ""
     val json = s"""{"version":$version,"buckets":[${buckets.mkString(",")}],""" +
-      s""""emptied":[${emptied.mkString(",")}]$bid$cb}"""
-    writeAtomic(commitPath(version), json)
+      s""""emptied":[${emptied.mkString(",")}]$bid$cb,"dir":"$d"}"""
+    val won = writeAtomicClaiming(commitPath(version), json)
+    if (won) commitCache.put(version,
+      CommitInfo(version, buckets, emptied, batchId, cdfBytes, d))
+    won
   }
 
   /** (version, cdf byte size) for commits in `(fromExclusive, upTo]`,
     * ascending; -1 for commits that predate size recording. Feeds the
-    * size-aware incremental drain (a month of backlog must not become
-    * one giant merge). */
+    * size-aware incremental drain; served from the commit cache so a
+    * budgeted drain loop is O(n) over the backlog, not O(n·m). */
   def cdfBytesByVersion(fromExclusive: Long, upTo: Long): Seq[(Long, Long)] =
-    versions().filter(v => v > fromExclusive && v <= upTo).map { v =>
-      val json = readFully(commitPath(v))
-      v -> """"cdfBytes":(-?\d+)""".r.findFirstMatchIn(json)
-        .map(_.group(1).toLong).getOrElse(-1L)
-    }
+    versions().filter(v => v > fromExclusive && v <= upTo)
+      .map(v => v -> readCommit(v).cdfBytes)
 
   /** Highest streaming batchId recorded at or below `upTo`; -1 if none.
     * Replays from the newest checkpoint like [[bucketVersions]]. */
@@ -124,16 +178,15 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     val from = ck.map(_._1).getOrElse(-1L)
     var acc = ck.map(_._3).getOrElse(-1L)
     versions().iterator.filter(v => v > from && v <= upTo).foreach { v =>
-      val json = readFully(commitPath(v))
-      """"batchId":(-?\d+)""".r.findFirstMatchIn(json)
-        .foreach(m => acc = math.max(acc, m.group(1).toLong))
+      acc = math.max(acc, readCommit(v).batchId)
     }
     acc
   }
 
   private def commitPath(v: Long) = new Path(logDir, f"$v%020d.json")
 
-  def hasCommit(v: Long): Boolean = fs.exists(commitPath(v))
+  def hasCommit(v: Long): Boolean =
+    commitCache.containsKey(v) || fs.exists(commitPath(v))
 
   // --- rebucket two-phase marker (SURVEY §6f-7) ---------------------------
   // A rebucket changes the hash modulus every future merge prunes with;
@@ -145,18 +198,21 @@ final class CommitLog(rootPath: String, conf: Configuration) {
   // NEW-modulus bucket map — silently merging into the wrong buckets.
   private def rebucketPath = new Path(logDir, "_rebucket.json")
 
-  def writeRebucketMarker(version: Long, numBuckets: Int): Unit =
+  def writeRebucketMarker(version: Long, numBuckets: Int, dir: String): Unit =
     writeAtomic(rebucketPath,
-      s"""{"version":$version,"numBuckets":$numBuckets}""", overwrite = true)
+      s"""{"version":$version,"numBuckets":$numBuckets,"dir":"$dir"}""",
+      overwrite = true)
 
-  def readRebucketMarker(): Option[(Long, Int)] =
+  /** (version, numBuckets, dir name of the in-flight rewrite). */
+  def readRebucketMarker(): Option[(Long, Int, String)] =
     if (!fs.exists(rebucketPath)) None
     else {
       val json = readFully(rebucketPath)
       for {
         v <- """"version":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
         n <- """"numBuckets":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
-      } yield (v, n)
+      } yield (v, n, """"dir":"([^"]+)"""".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse(s"v=$v"))
     }
 
   def clearRebucketMarker(): Unit =
@@ -168,24 +224,35 @@ final class CommitLog(rootPath: String, conf: Configuration) {
       .getOrElse(Nil)
   }
 
-  private def writeAtomic(target: Path, content: String,
-      overwrite: Boolean = false): Unit = {
-    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+  /** Atomic create-if-absent: writes a temp file and renames it onto
+    * `target`. Hadoop rename refuses to clobber an existing target, so
+    * under concurrent attempts exactly one rename succeeds — that
+    * property IS the commit arbiter. Returns whether THIS call won. */
+  private def writeAtomicClaiming(target: Path, content: String): Boolean = {
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    var ok = fs.rename(tmp, target)
-    if (!ok && overwrite && fs.exists(target)) {
-      // Hadoop rename refuses to clobber an existing target, but a meta
-      // REWRITE (schema evolution) must replace it. Commit files keep
-      // overwrite=false: there a failed rename means a concurrent
-      // writer won, and backing off is the correct race semantics.
-      fs.delete(target, false)
-      ok = fs.rename(tmp, target)
-    }
+    val ok = fs.rename(tmp, target)
     if (!ok) {
       fs.delete(tmp, false)
-      // a concurrent writer won the rename — single-writer tables never hit this
+      // a concurrent writer won the rename — caller replays; anything
+      // else (no winner present) is a real FS failure
       if (!fs.exists(target)) sys.error(s"commit rename failed: $target")
+    }
+    ok
+  }
+
+  private def writeAtomic(target: Path, content: String,
+      overwrite: Boolean = false): Unit = {
+    if (!writeAtomicClaiming(target, content) && overwrite) {
+      // a meta REwrite (schema evolution / rebucket) must replace the
+      // existing file; commit files never take this path — there a
+      // failed rename means a concurrent writer won, and backing off is
+      // the correct race semantics
+      fs.delete(target, false)
+      if (!writeAtomicClaiming(target, content))
+        sys.error(s"atomic overwrite failed: $target")
     }
   }
 

@@ -62,9 +62,14 @@ object TableMeta {
   * {{{
   *   <path>/_log/_meta.json           table definition
   *   <path>/_log/<version>.json       commit: which buckets were rewritten
-  *   <path>/data/v=<V>/b=<B>/         full parquet contents of bucket B as of V
-  *   <path>/cdf/v=<V>/                parquet change rows of commit V
+  *   <path>/data/<dir>/b=<B>/         full parquet contents of bucket B as of
+  *                                    the commit whose attempt-unique dir name
+  *                                    (`v=<V>-<token>`, recorded in the commit)
+  *                                    this is
+  *   <path>/cdf/<dir>/                parquet change rows of that commit
   *                                    (_change_type, _commit_version)
+  *   <path>/_cdf_pending/<dir>/       change rows of a not-yet-won attempt
+  *                                    (published into cdf/ after the claim)
   * }}}
   *
   * Scale design: `bucket = pmod(xxhash64(bucketKeys), numBuckets)`, and a
@@ -123,6 +128,10 @@ final class KeyedTable private (
   def dataCols: Seq[String] = schema.fieldNames.toSeq
   def latestVersion: Long = log.latestVersion()
 
+  /** Name of the directory (under `data/` and `cdf/`) holding commit
+    * `v`'s files — attempt-unique since OCC (SURVEY §6g-1). */
+  private[graft] def dataDirOf(v: Long): String = log.dirOf(v)
+
   private def autoMergeOn: Boolean =
     spark.conf.getOption("spark.graft.schema.autoMerge").contains("true")
 
@@ -157,7 +166,7 @@ final class KeyedTable private (
   }
 
   private def readBuckets(bv: Seq[(Int, Long)]): DataFrame = {
-    val paths = bv.map { case (b, ver) => s"$path/data/v=$ver/b=$b" }
+    val paths = bv.map { case (b, ver) => s"$path/data/${log.dirOf(ver)}/b=$b" }
     // explicit schema: skips the footer-sampling schema-inference job
     // that would otherwise run on EVERY snapshot/merge read (data files
     // may carry extra all-null cdf columns from the fused write; the
@@ -195,6 +204,101 @@ final class KeyedTable private (
   def upsert(batch: DataFrame, uniqueKeys: Boolean = false): Long =
     merge(batch, MergeSpec(), uniqueKeys)
 
+  // --- optimistic concurrency (SURVEY §6g-1) ------------------------------
+  // Writers never coordinate: each attempt computes against the latest
+  // version it can see, writes its files under an attempt-unique dir
+  // name, and claims `latest + 1` by commit-file rename. Exactly one
+  // claimant wins; a loser re-reads the new latest and replays. When the
+  // winner's bucket set was DISJOINT from the loser's, the loser's data
+  // files are still exactly right (none of its buckets moved) — it only
+  // re-stamps the commit version baked into its pending cdf rows and
+  // re-claims, never re-reading a bucket. Overlapping writers re-merge.
+
+  /** Commit-claim losses this handle has survived (observability/spec). */
+  @volatile private[graft] var occRetries: Int = 0
+
+  /** Lost claims recovered by the cheap cdf re-stamp (disjoint winner)
+    * instead of a full re-merge (observability/spec). */
+  @volatile private[graft] var occRestamps: Int = 0
+
+  // test seam: runs after files are written, immediately before the
+  // commit claim — lets a spec deterministically interleave two writers
+  private[store] var preCommitHook: () => Unit = () => ()
+
+  private def occMaxRetries: Int = spark.conf
+    .getOption("spark.graft.occ.maxRetries").map(_.toInt).getOrElse(20)
+
+  private def attemptDir(version: Long): String =
+    s"v=$version-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  private def hfs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  // pending change rows live OUTSIDE cdf/ (not dot-hidden inside it —
+  // Hadoop globs, unlike shell globs, match leading-dot names), so the
+  // downstream `cdf/*` readers structurally cannot observe an attempt
+  // that hasn't won its commit claim yet
+  private def pendingCdfPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_cdf_pending/$dir")
+
+  /** Makes a winning commit's change rows visible: one rename from the
+    * pending area into `cdf/` after the claim wins. */
+  private def publishCdf(dir: String): Unit = {
+    val fs = hfs
+    val pending = pendingCdfPath(dir)
+    if (fs.exists(pending)) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/cdf"))
+      fs.rename(pending, new org.apache.hadoop.fs.Path(s"$path/cdf/$dir"))
+    }
+  }
+
+  /** Rewrites a pending cdf dir's `_commit_version` after a lost claim
+    * whose bucket set stayed untouched — the files are batch-sized (≤
+    * `spark.graft.merge.cdfFiles`), so this is one small job instead of
+    * a full re-merge. */
+  private def restampCdf(dir: String, newVersion: Long): Unit = {
+    val fs = hfs
+    val pending = pendingCdfPath(dir)
+    if (!fs.exists(pending)) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_tmp_restamp_$dir")
+    spark.read.schema(cdfSchema).parquet(pending.toString)
+      .withColumn("_commit_version", lit(newVersion))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(pending, true)
+    fs.mkdirs(pending)
+    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(pending, f.getPath.getName)))
+    fs.delete(tmp, true)
+  }
+
+  /** Drops a lost attempt's files (data dir + hidden pending cdf). */
+  private def discardAttempt(dir: String): Unit = {
+    val fs = hfs
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/data/$dir"), true)
+    fs.delete(pendingCdfPath(dir), true)
+  }
+
+  /** Rolls forward commits whose cdf publish rename was interrupted by a
+    * crash (commit present, change rows still under the pending area).
+    * Pending dirs of LOST attempts whose version is already taken are
+    * dropped; pending dirs targeting versions beyond the latest may
+    * belong to an in-flight writer and are left alone. Run on open. */
+  private[store] def recoverPendingCdf(): Unit = {
+    val fs = hfs
+    val pendingRoot = new org.apache.hadoop.fs.Path(s"$path/_cdf_pending")
+    if (!fs.exists(pendingRoot)) return
+    val latest = latestVersion
+    fs.listStatus(pendingRoot).map(_.getPath).foreach { p =>
+      val dir = p.getName
+      val v = dir.stripPrefix("v=").takeWhile(_.isDigit)
+      if (v.nonEmpty && v.toLong <= latest) {
+        if (log.hasCommit(v.toLong) && log.dirOf(v.toLong) == dir) publishCdf(dir)
+        else fs.delete(p, true)
+      }
+    }
+  }
+
   /** Deletes rows matching the given keys; emits `delete` CDF rows.
     * `keys` may carry the FULL key (bucket-pruned scan) or any subset
     * of key columns (partial-key delete — e.g. retract every join
@@ -204,6 +308,7 @@ final class KeyedTable private (
     * `Stream.handleDeletes(true)` opts downstream stages into
     * retraction instead. */
   def delete(keys: DataFrame): Long = synchronized { withMergeConf {
+    recoverPendingRebucket(onlyDead = true) // settle dead rewrites before claiming
     val keyCols = meta.keys.filter(keys.columns.contains)
     require(keyCols.nonEmpty,
       s"delete keys must include at least one of ${meta.keys.mkString(",")}")
@@ -213,40 +318,61 @@ final class KeyedTable private (
                   else staged0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val bvAll = bucketVersionsAt(latestVersion)
-      val affected: Seq[Int] =
+      // bucket set from the batch alone (stable across claim retries);
+      // partial-key deletes resolve to "all live buckets" per attempt
+      val batchBuckets: Option[Seq[Int]] =
         if (fullKey) {
           spark.sparkContext.setJobDescription("graft:merge:plan")
-          staged.agg(collect_set(col(BucketCol))).collect().head.getSeq[Int](0)
-        } else if (staged.isEmpty) Nil
-        else bvAll.keys.toSeq
-      if (affected.isEmpty) return latestVersion
-      val newVersion = latestVersion + 1
-      val bv = bvAll.filter { case (b, _) => affected.contains(b) }
-      if (bv.isEmpty) return latestVersion
-      val current = readBuckets(bv.toSeq).withColumn(BucketCol, bucketExpr(col))
-      val eq = keyCols.map(k => col(s"u.$k") <=> col(s"d.$k")).reduce(_ && _)
-      val u = current.alias("u")
-      val d = staged.alias("d")
-      val remaining = u.join(d, eq, "left_anti")
-        .select(dataCols.map(c => col(s"u.$c").alias(c)) :+
-          col(s"u.$BucketCol").alias(BucketCol): _*)
-      val removed = u.join(d, eq, "left_semi")
-        .select(dataCols.map(c => col(s"u.$c").alias(c)): _*)
-        .withColumn("_change_type", lit("delete"))
-      spark.sparkContext.setJobDescription("graft:merge:write")
-      writeFused(newVersion, remaining, removed)
-      spark.sparkContext.setJobDescription(null)
-      // buckets the delete emptied entirely get tombstoned; the rest
-      // point at their rewritten files
-      val written = listWrittenBuckets(newVersion)
-      val emptied = affected.filterNot(written.contains)
-      log.commit(newVersion, written, emptied, cdfBytes = cdfBytesOf(newVersion))
-      bvCache = (newVersion,
-        bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
-          -- emptied)
-      maybeCheckpoint(newVersion)
-      newVersion
+          Some(staged.agg(collect_set(col(BucketCol))).collect().head.getSeq[Int](0))
+        } else if (staged.isEmpty) Some(Nil)
+        else None
+      var attempt = 0
+      var out = -1L
+      while (out < 0) {
+        val base = latestVersion
+        val bvAll = bucketVersionsAt(base)
+        val affected = batchBuckets.getOrElse(bvAll.keys.toSeq)
+        val bv = bvAll.filter { case (b, _) => affected.contains(b) }
+        if (affected.isEmpty || bv.isEmpty) out = base
+        else {
+          val newVersion = base + 1
+          val dir = attemptDir(newVersion)
+          val current = readBuckets(bv.toSeq).withColumn(BucketCol, bucketExpr(col))
+          val eq = keyCols.map(k => col(s"u.$k") <=> col(s"d.$k")).reduce(_ && _)
+          val u = current.alias("u")
+          val d = staged.alias("d")
+          val remaining = u.join(d, eq, "left_anti")
+            .select(dataCols.map(c => col(s"u.$c").alias(c)) :+
+              col(s"u.$BucketCol").alias(BucketCol): _*)
+          val removed = u.join(d, eq, "left_semi")
+            .select(dataCols.map(c => col(s"u.$c").alias(c)): _*)
+            .withColumn("_change_type", lit("delete"))
+          spark.sparkContext.setJobDescription("graft:merge:write")
+          writeFused(dir, newVersion, remaining, removed)
+          spark.sparkContext.setJobDescription(null)
+          // buckets the delete emptied entirely get tombstoned; the rest
+          // point at their rewritten files
+          val written = listWrittenBuckets(dir)
+          val emptied = affected.filterNot(written.contains)
+          preCommitHook()
+          if (log.commit(newVersion, written, emptied, cdfBytes = cdfBytesOf(dir), dir = dir)) {
+            publishCdf(dir)
+            bvCache = (newVersion,
+              bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
+                -- emptied)
+            maybeCheckpoint(newVersion)
+            out = newVersion
+          } else {
+            occRetries += 1
+            attempt += 1
+            discardAttempt(dir)
+            require(attempt <= occMaxRetries,
+              s"delete lost $attempt optimistic commit claims on $path; " +
+                "raise spark.graft.occ.maxRetries or reduce writer contention")
+          }
+        }
+      }
+      out
     } finally staged.unpersist()
   } }
 
@@ -312,49 +438,72 @@ final class KeyedTable private (
     require(newBuckets > 0, "newBuckets must be positive")
     recoverPendingRebucket()
     if (newBuckets == meta.numBuckets && sortKeys.isEmpty) return latestVersion
-    val v = latestVersion
-    val oldLive = bucketVersionsAt(v).keys.toSeq
-    def swapMeta(): Unit = if (newBuckets != metaVar.numBuckets) {
-      val next = metaVar.copy(numBuckets = newBuckets)
-      log.writeMeta(metaToJson(next))
-      metaVar = next
+    var attempt = 0
+    while (true) {
+      val v = latestVersion
+      val oldLive = bucketVersionsAt(v).keys.toSeq
+      def swapMeta(): Unit = if (newBuckets != metaVar.numBuckets) {
+        val next = metaVar.copy(numBuckets = newBuckets)
+        log.writeMeta(metaToJson(next))
+        metaVar = next
+      }
+      if (oldLive.isEmpty) { swapMeta(); return v } // empty table: meta-only
+      val newVersion = v + 1
+      val dir = attemptDir(newVersion)
+      log.writeRebucketMarker(newVersion, newBuckets, dir)
+      val content = snapshot(v).withColumn(BucketCol,
+        pmod(xxhash64(meta.bucketKeys.map(col): _*), lit(newBuckets)).cast("int"))
+      val emptyCdf = emptyDf.withColumn("_change_type", lit(null).cast(StringType))
+      spark.sparkContext.setJobDescription("graft:rebucket:write")
+      writeFused(dir, newVersion, content, emptyCdf, sortKeys)
+      spark.sparkContext.setJobDescription(null)
+      val written = listWrittenBuckets(dir)
+      if (log.commit(newVersion, written, oldLive.filterNot(written.contains),
+          dir = dir)) {
+        swapMeta()
+        log.clearRebucketMarker()
+        bvCache = (newVersion, written.map(_ -> newVersion).toMap)
+        maybeCheckpoint(newVersion)
+        return newVersion
+      }
+      // a concurrent merge claimed the version first: the rewrite is a
+      // whole-snapshot op, so re-run it against the new latest
+      occRetries += 1
+      attempt += 1
+      discardAttempt(dir)
+      log.clearRebucketMarker()
+      require(attempt <= occMaxRetries,
+        s"layout rewrite lost $attempt optimistic commit claims on $path")
     }
-    if (oldLive.isEmpty) { swapMeta(); return v } // empty table: meta-only
-    val newVersion = v + 1
-    log.writeRebucketMarker(newVersion, newBuckets)
-    val content = snapshot(v).withColumn(BucketCol,
-      pmod(xxhash64(meta.bucketKeys.map(col): _*), lit(newBuckets)).cast("int"))
-    val emptyCdf = emptyDf.withColumn("_change_type", lit(null).cast(StringType))
-    spark.sparkContext.setJobDescription("graft:rebucket:write")
-    writeFused(newVersion, content, emptyCdf, sortKeys)
-    spark.sparkContext.setJobDescription(null)
-    val written = listWrittenBuckets(newVersion)
-    log.commit(newVersion, written, oldLive.filterNot(written.contains))
-    swapMeta()
-    log.clearRebucketMarker()
-    bvCache = (newVersion, written.map(_ -> newVersion).toMap)
-    maybeCheckpoint(newVersion)
-    newVersion
+    -1L // unreachable
   } }
 
   /** Completes or rolls back an interrupted [[rebucket]] (run on every
-    * open): marker + its commit ⇒ finish the meta swap; marker without
-    * the commit ⇒ delete the orphan data dir. Idempotent. */
-  private[store] def recoverPendingRebucket(): Unit =
-    log.readRebucketMarker().foreach { case (v, n) =>
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      if (log.hasCommit(v)) {
-        if (meta.numBuckets != n) {
-          val next = metaVar.copy(numBuckets = n)
-          log.writeMeta(metaToJson(next))
-          metaVar = next
+    * open and before every merge/delete claim): marker whose commit is
+    * present under the marker's dir ⇒ finish the meta swap; marker whose
+    * version was claimed by a DIFFERENT dir ⇒ the attempt definitively
+    * lost, discard its orphan files. With `onlyDead = true` (the
+    * merge/delete path) an uncommitted marker is left alone — it may
+    * belong to a rebucket still in flight on another handle, and attempt
+    * dirs are unique so it cannot collide with us; the next full
+    * recovery resolves it once its version is settled. Idempotent, and a
+    * no-op stat when no marker exists. */
+  private[store] def recoverPendingRebucket(onlyDead: Boolean = false): Unit =
+    log.readRebucketMarker().foreach { case (v, n, dir) =>
+      val committed = log.hasCommit(v)
+      if (committed || !onlyDead) {
+        if (committed && log.dirOf(v) == dir) {
+          if (meta.numBuckets != n) {
+            val next = metaVar.copy(numBuckets = n)
+            log.writeMeta(metaToJson(next))
+            metaVar = next
+          }
+        } else {
+          discardAttempt(dir)
+          hfs.delete(new org.apache.hadoop.fs.Path(s"$path/_tmp_$dir"), true)
         }
-      } else {
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/data/v=$v"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tmp_v$v"), true)
+        log.clearRebucketMarker()
       }
-      log.clearRebucketMarker()
     }
 
   /** Every [[KeyedTable.CheckpointInterval]] commits, persist the full
@@ -369,30 +518,45 @@ final class KeyedTable private (
     * tables (Delta's VACUUM analog). Time travel before the cutoff
     * stops working. */
   def vacuum(retainVersions: Int = 1): Unit = synchronized {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = hfs
     val versions = log.versions()
     if (versions.isEmpty) return
     val cutoff = versions.takeRight(retainVersions).head
-    // data dirs still referenced by the bucket map of ANY retained version
-    val reachable: Set[Long] = versions.filter(_ >= cutoff)
-      .flatMap(v => bucketVersionsAt(v).values).toSet
+    // dir version prefix: names are `v=<N>` or `v=<N>-<attempt token>`
+    def dirVersion(n: String): Option[Long] = {
+      val digits = n.stripPrefix("v=").takeWhile(_.isDigit)
+      if (n.startsWith("v=") && digits.nonEmpty) Some(digits.toLong) else None
+    }
+    // data dirs still referenced by the bucket map of ANY retained
+    // version (by NAME — a version's files live under its commit's
+    // attempt-unique dir)
+    val reachableDirs: Set[String] = versions.filter(_ >= cutoff)
+      .flatMap(v => bucketVersionsAt(v).values).toSet[Long].map(log.dirOf)
     val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("v=")) {
-          val v = n.stripPrefix("v=").toLong
-          if (v < cutoff && !reachable.contains(v)) fs.delete(st.getPath, true)
+        dirVersion(n).foreach { v =>
+          if (v < cutoff && !reachableDirs.contains(n)) fs.delete(st.getPath, true)
         }
       }
     }
     val cdfRoot = new org.apache.hadoop.fs.Path(s"$path/cdf")
     if (fs.exists(cdfRoot)) {
       fs.listStatus(cdfRoot).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("v=") && n.stripPrefix("v=").toLong < cutoff)
+        if (dirVersion(st.getPath.getName).exists(_ < cutoff))
           fs.delete(st.getPath, true)
+      }
+    }
+    // pending dirs of attempts that definitively lost their claim
+    val pendingRoot = new org.apache.hadoop.fs.Path(s"$path/_cdf_pending")
+    if (fs.exists(pendingRoot)) {
+      fs.listStatus(pendingRoot).foreach { st =>
+        val d = st.getPath.getName
+        dirVersion(d).foreach { v =>
+          if (v <= versions.last && (!log.hasCommit(v) || log.dirOf(v) != d))
+            fs.delete(st.getPath, true)
+        }
       }
     }
   }
@@ -418,6 +582,10 @@ final class KeyedTable private (
     // a replayed microbatch (foreachBatch re-run after failure) must not
     // re-apply its deltas — that would double-count incremental aggs
     if (batchId >= 0 && batchId <= lastAppliedBatchId) return latestVersion
+    // a rewriteLayout that threw mid-flight leaves a marker + possibly an
+    // orphan data dir; settle any definitively-dead marker before
+    // claiming a version
+    recoverPendingRebucket(onlyDead = true)
     if (sys.env.contains("GRAFT_DEBUG_MERGE"))
       println(s"[merge] ${new org.apache.hadoop.fs.Path(path).getName} batchId=$batchId v=${latestVersion + 1}")
     // generated columns (Delta's GENERATED ALWAYS AS analog,
@@ -453,8 +621,6 @@ final class KeyedTable private (
       val affected = planRow.getSeq[Int](0)
       if (affected.isEmpty) latestVersion
       else {
-        val newVersion = latestVersion + 1
-        val bv = bucketVersionsAt(latestVersion).filter { case (b, _) => affected.contains(b) }
         // static partition pruning (the reference's `prune(col)`,
         // joins.py:619-632): restrict the target-side scan to the
         // pruned columns' values present in this batch — at scale this
@@ -465,40 +631,102 @@ final class KeyedTable private (
             col(pc).isNull || col(pc).isin(vals: _*)
           }.reduce(_ && _)
         }
-        val currentRaw =
-          (if (bv.isEmpty) emptyDf else readBuckets(bv.toSeq))
-        val current = pruneFilter.fold(currentRaw)(currentRaw.where)
-            .withColumn(BucketCol, bucketExpr(col))
-        val (merged, cdf, cleanup) =
-          if (bv.isEmpty) mergeIntoEmpty(staged0, spec)
-          else if (meta.nullableKeys.isEmpty) mergeExact(current, staged0, spec)
-          else mergeWithPlaceholders(current, staged0, spec)
-        // bucket rewrite must carry pruned-out rows through unchanged —
-        // pruning narrows the MATCHING scan, not the bucket contents
-        val newContent = pruneFilter.fold(merged) { f =>
-          merged.unionByName(
-            currentRaw.where(!f).withColumn(BucketCol, bucketExpr(col)))
+        // state a lost claim leaves behind for the next attempt
+        var prevDir: String = null
+        var prevBv: Map[Int, Long] = null
+        var prevWritten: Seq[Int] = null
+        var prevEmptied: Seq[Int] = null
+        var attempt = 0
+        var out = -1L
+        while (out < 0) {
+          val base = latestVersion
+          if (batchId >= 0 && attempt > 0) {
+            // a competitor may have applied this very microbatch while we
+            // were racing (two recovering handles of one stage) — re-check
+            batchIdCache = log.maxBatchIdAt(base)
+            if (batchId <= batchIdCache) {
+              if (prevDir != null) discardAttempt(prevDir)
+              return base
+            }
+          }
+          val newVersion = base + 1
+          val bv = bucketVersionsAt(base).filter { case (b, _) => affected.contains(b) }
+          if (prevDir != null && bv == prevBv) {
+            // the winner's bucket set was DISJOINT from ours: every file
+            // we wrote is still exactly right — only the commit version
+            // baked into the pending cdf rows is stale. Re-stamp those
+            // few small files and re-claim; no bucket re-read, no merge.
+            occRestamps += 1
+            restampCdf(prevDir, newVersion)
+            preCommitHook()
+            if (log.commit(newVersion, prevWritten, prevEmptied, batchId,
+                cdfBytesOf(prevDir), prevDir)) {
+              publishCdf(prevDir)
+              bvCache = (newVersion,
+                bucketVersionsAt(newVersion - 1) ++ prevWritten.map(_ -> newVersion)
+                  -- prevEmptied)
+              if (batchId >= 0) batchIdCache = math.max(lastAppliedBatchId, batchId)
+              maybeCheckpoint(newVersion)
+              out = newVersion
+            } else {
+              occRetries += 1
+              attempt += 1
+              require(attempt <= occMaxRetries,
+                s"merge lost $attempt optimistic commit claims on $path; " +
+                  "raise spark.graft.occ.maxRetries or reduce writer contention")
+            }
+          } else {
+            if (prevDir != null) { discardAttempt(prevDir); prevDir = null }
+            val dir = attemptDir(newVersion)
+            val currentRaw =
+              (if (bv.isEmpty) emptyDf else readBuckets(bv.toSeq))
+            val current = pruneFilter.fold(currentRaw)(currentRaw.where)
+                .withColumn(BucketCol, bucketExpr(col))
+            val (merged, cdf, cleanup) =
+              if (bv.isEmpty) mergeIntoEmpty(staged0, spec)
+              else if (meta.nullableKeys.isEmpty) mergeExact(current, staged0, spec)
+              else mergeWithPlaceholders(current, staged0, spec)
+            // bucket rewrite must carry pruned-out rows through unchanged —
+            // pruning narrows the MATCHING scan, not the bucket contents
+            val newContent = pruneFilter.fold(merged) { f =>
+              merged.unionByName(
+                currentRaw.where(!f).withColumn(BucketCol, bucketExpr(col)))
+            }
+            try {
+              spark.sparkContext.setJobDescription("graft:merge:write")
+              writeFused(dir, newVersion, newContent, cdf)
+              spark.sparkContext.setJobDescription(null)
+              // commit the buckets that actually produced files; affected
+              // buckets with no output file were empty before AND after
+              // (e.g. every staged row lost its sequence race against an
+              // empty bucket) — tombstone them so the map never points at
+              // a missing dir
+              val written = listWrittenBuckets(dir)
+              val emptied = affected.filterNot(written.contains)
+              preCommitHook()
+              if (log.commit(newVersion, written, emptied, batchId,
+                  cdfBytesOf(dir), dir)) {
+                publishCdf(dir)
+                // advance the replay cache incrementally
+                bvCache = (newVersion,
+                  bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
+                    -- emptied)
+                if (batchId >= 0) batchIdCache = math.max(lastAppliedBatchId, batchId)
+                maybeCheckpoint(newVersion)
+                out = newVersion
+              } else {
+                occRetries += 1
+                attempt += 1
+                prevDir = dir; prevBv = bv
+                prevWritten = written; prevEmptied = emptied
+                require(attempt <= occMaxRetries,
+                  s"merge lost $attempt optimistic commit claims on $path; " +
+                    "raise spark.graft.occ.maxRetries or reduce writer contention")
+              }
+            } finally cleanup()
+          }
         }
-        try {
-          spark.sparkContext.setJobDescription("graft:merge:write")
-          writeFused(newVersion, newContent, cdf)
-          spark.sparkContext.setJobDescription(null)
-          // commit the buckets that actually produced files; affected
-          // buckets with no output file were empty before AND after
-          // (e.g. every staged row lost its sequence race against an
-          // empty bucket) — tombstone them so the map never points at
-          // a missing dir
-          val written = listWrittenBuckets(newVersion)
-          val emptied = affected.filterNot(written.contains)
-          log.commit(newVersion, written, emptied, batchId, cdfBytesOf(newVersion))
-          // advance the replay cache incrementally (single-writer)
-          bvCache = (newVersion,
-            bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
-              -- emptied)
-          if (batchId >= 0) batchIdCache = math.max(lastAppliedBatchId, batchId)
-          maybeCheckpoint(newVersion)
-          newVersion
-        } finally cleanup()
+        out
       }
     } finally staged0.unpersist()
   } }
@@ -534,15 +762,21 @@ final class KeyedTable private (
     }
   }
 
-  /** Writes a commit's data buckets AND its cdf rows in ONE Spark job:
-    * both halves are unioned, tagged by a side column, written to a tmp
-    * dir partitioned by (side, bucket), and moved into place with
-    * filesystem renames. Halving the write jobs halves the dominant
-    * per-commit cost of incremental pipelines; the join both halves
-    * derive from is persisted by the caller so it is computed once.
-    */
-  private def writeFused(newVersion: Long, newContent: DataFrame, cdf: DataFrame,
-      sortKeys: Seq[Column] = Nil): Unit = {
+  /** Writes a commit attempt's data buckets AND its cdf rows in ONE
+    * Spark job: both halves are unioned, tagged by a side column,
+    * written to a tmp dir partitioned by (side, bucket), and moved into
+    * place with filesystem renames. Halving the write jobs halves the
+    * dominant per-commit cost of incremental pipelines; the join both
+    * halves derive from is persisted by the caller so it is computed
+    * once.
+    *
+    * Everything lands under the attempt-unique `dir`: data at
+    * `data/<dir>/b=*` (unreferenced until the commit claim wins) and
+    * change rows at the HIDDEN `cdf/.pending_<dir>` (published by
+    * rename only after the claim wins, so no reader ever sees rows of a
+    * losing attempt). */
+  private def writeFused(dir: String, newVersion: Long, newContent: DataFrame,
+      cdf: DataFrame, sortKeys: Seq[Column] = Nil): Unit = {
     // normalize to the declared schema: merge arithmetic can widen
     // types (e.g. decimal(28,6)+decimal(28,6) → decimal(29,6)), and a
     // widened file would break the explicit-schema bucket reads
@@ -564,7 +798,7 @@ final class KeyedTable private (
       .withColumn("_commit_version", lit(newVersion))
       .withColumn(BucketCol, pmod(bucketExpr(col), lit(cdfFiles)).cast("int"))
       .withColumn(SideCol, lit("c"))
-    val tmp = s"$path/_tmp_v$newVersion"
+    val tmp = s"$path/_tmp_$dir"
     val shuffled = dataSide.unionByName(cdfSide)
       .withColumnRenamed(BucketCol, "b")
       .repartition(col(SideCol), col("b"))
@@ -586,11 +820,11 @@ final class KeyedTable private (
     val dataTmp = P(s"$tmp/$SideCol=d")
     if (fs.exists(dataTmp)) {
       fs.mkdirs(P(s"$path/data"))
-      fs.rename(dataTmp, P(s"$path/data/v=$newVersion"))
+      fs.rename(dataTmp, P(s"$path/data/$dir"))
     }
     val cdfTmp = P(s"$tmp/$SideCol=c")
     if (fs.exists(cdfTmp)) {
-      val dest = P(s"$path/cdf/v=$newVersion")
+      val dest = pendingCdfPath(dir)
       fs.mkdirs(dest)
       // flatten b=* so the cdf stream's glob sees plain files
       fs.listStatus(cdfTmp).filter(_.getPath.getName.startsWith("b=")).foreach { bDir =>
@@ -774,10 +1008,11 @@ final class KeyedTable private (
       () => { ranked.unpersist(); () })
   }
 
-  /** Total size of a commit's change files (one FS listing). */
-  private def cdfBytesOf(version: Long): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/cdf/v=$version")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+  /** Total size of an attempt's (still-pending) change files — measured
+    * before the claim so the commit can record it (one FS listing). */
+  private def cdfBytesOf(dir: String): Long = {
+    val p = pendingCdfPath(dir)
+    val fs = hfs
     if (!fs.exists(p)) 0L else fs.listStatus(p).map(_.getLen).sum
   }
 
@@ -803,9 +1038,9 @@ final class KeyedTable private (
     hi
   }
 
-  private def listWrittenBuckets(version: Long): Seq[Int] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/data/v=$version")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+  private def listWrittenBuckets(dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/data/$dir")
+    val fs = hfs
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("b=")).map(_.stripPrefix("b=").toInt)
@@ -862,6 +1097,7 @@ object KeyedTable {
     require(log.exists, s"no KeyedTable at $path")
     val kt = new KeyedTable(spark, path, metaFromJson(log.readMeta()))
     kt.recoverPendingRebucket() // finish/undo an interrupted rebucket
+    kt.recoverPendingCdf()      // publish change rows a crash left pending
     kt
   }
 

@@ -37,4 +37,30 @@ class BloomJoinSpec extends AnyFunSuite {
     // fpp at 16 bits/key, k=7 is ~1%; allow generous slack
     assert(survivors < 5000, s"bloom pruned too little: $survivors of 100000")
   }
+
+  test("int fact key probes a bigint-built filter without false negatives") {
+    val dim = (1L to 3000L).toDF("k") // bigint build side
+    val factInt = (1 to 3000).toDF("k") // int probe side
+    val f = BloomJoin.build(dim, "k", bitsPerKey = 16, k = 7)
+    assert(BloomJoin.prefilter(factInt, "k", f).count() == 3000)
+  }
+
+  test("non-normalizable type mismatch is rejected, not silently empty") {
+    val dim = (1L to 100L).toDF("k")
+    val factStr = (1 to 100).map(_.toString).toDF("k")
+    val f = BloomJoin.build(dim, "k")
+    assertThrows[IllegalArgumentException] {
+      BloomJoin.prefilter(factStr, "k", f).count()
+    }
+  }
+
+  test("broadcast probe path selects the same rows as the literal path") {
+    val dim = (1L to 2000L).toDF("k")
+    val fact = (1L to 50000L).toDF("k")
+    val f = BloomJoin.build(dim, "k", bitsPerKey = 16, k = 7)
+    val lit = BloomJoin.prefilter(fact, "k", f).collect().map(_.getLong(0)).sorted
+    val bc = BloomJoin.prefilter(fact, "k", f, literalBitsMax = 0)
+      .collect().map(_.getLong(0)).sorted
+    assert(lit.sameElements(bc), "broadcast and literal probes disagree")
+  }
 }

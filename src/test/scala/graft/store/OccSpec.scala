@@ -1,0 +1,124 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import java.nio.file.Files
+
+/** Optimistic multi-writer concurrency (SURVEY §6g-1): two handles of
+  * the same table race on the commit-file rename; the loser replays.
+  * Deterministic interleavings are forced through the `preCommitHook`
+  * test seam (the hook fires after an attempt's files are written,
+  * immediately before its commit claim). */
+class OccSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("occ").toString
+
+  private def freshTable(path: String, numBuckets: Int = 8): KeyedTable = {
+    val df = (1L to 200L).map(i => (i, 0.0, 0L)).toDF("id", "v", "seq")
+    val kt = KeyedTable.create(spark, path, df.schema,
+      keys = Seq("id"), seqCols = Seq("seq"), numBuckets = numBuckets)
+    kt.upsert(df, uniqueKeys = true)
+    kt
+  }
+
+  test("loser of a commit race replays; both batches land (overlapping keys)") {
+    val t = tmp()
+    val h1 = freshTable(t)
+    val h2 = KeyedTable.forPath(spark, t)
+    val b1 = Seq((5L, 100.0, 1L), (6L, 101.0, 1L)).toDF("id", "v", "seq")
+    val b2 = Seq((5L, 200.0, 2L), (7L, 202.0, 2L)).toDF("id", "v", "seq")
+    var fired = false
+    h2.preCommitHook = () => if (!fired) { fired = true; h1.upsert(b1, uniqueKeys = true) }
+    val v2 = h2.upsert(b2, uniqueKeys = true)
+    h2.preCommitHook = () => ()
+    assert(h2.occRetries == 1, s"expected exactly one lost claim, got ${h2.occRetries}")
+    assert(v2 == h1.latestVersion && v2 == 3L, s"loser must land at the next version, got $v2")
+    val m = KeyedTable.forPath(spark, t).snapshot()
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // key 5 was written by both: seq 2 (h2) wins the re-merge
+    assert(m(5L) == 200.0, s"latest-wins re-merge broke: ${m(5L)}")
+    assert(m(6L) == 101.0 && m(7L) == 202.0)
+    assert(m.size == 200) // keys 5-7 all existed in the seed: no inserts
+  }
+
+  test("disjoint-bucket loser re-stamps its cdf instead of re-merging") {
+    val t = tmp()
+    val h1 = freshTable(t, numBuckets = 4)
+    val h2 = KeyedTable.forPath(spark, t)
+    // split keys by the table's own bucket assignment so the two
+    // batches provably touch disjoint buckets
+    val buckets = (1L to 200L).toDF("id")
+      .withColumn("b", pmod(xxhash64(col("id")), lit(4)).cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val keys1 = (1L to 200L).filter(k => buckets(k) == 0).take(5)
+    val keys2 = (1L to 200L).filter(k => buckets(k) == 1).take(5)
+    assert(keys1.nonEmpty && keys2.nonEmpty)
+    val b1 = keys1.map(k => (k, 111.0, 1L)).toDF("id", "v", "seq")
+    val b2 = keys2.map(k => (k, 222.0, 1L)).toDF("id", "v", "seq")
+    var fired = false
+    h2.preCommitHook = () => if (!fired) { fired = true; h1.upsert(b1, uniqueKeys = true) }
+    val v2 = h2.upsert(b2, uniqueKeys = true)
+    h2.preCommitHook = () => ()
+    assert(h2.occRetries == 1 && h2.occRestamps == 1,
+      s"disjoint loser must take the re-stamp path (retries=${h2.occRetries}, restamps=${h2.occRestamps})")
+    // the re-stamped change rows must carry the FINAL commit version
+    val fresh = KeyedTable.forPath(spark, t)
+    val cdfRows = fresh.changesSince(v2 - 1)
+      .where(col("_change_type") === "update_postimage")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(4)))
+    assert(cdfRows.nonEmpty && cdfRows.forall(_._3 == v2),
+      s"re-stamped cdf rows carry a stale version: ${cdfRows.toSeq}")
+    assert(cdfRows.map(_._1).toSet == keys2.toSet)
+    val m = fresh.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    keys1.foreach(k => assert(m(k) == 111.0))
+    keys2.foreach(k => assert(m(k) == 222.0))
+  }
+
+  test("pending change rows are invisible until the claim wins") {
+    val t = tmp()
+    val h1 = freshTable(t)
+    val h2 = KeyedTable.forPath(spark, t)
+    val base = h1.latestVersion
+    var pendingSeen = -1L
+    h2.preCommitHook = () => if (pendingSeen < 0) {
+      // files are written, commit not yet claimed: a reader must see nothing
+      pendingSeen = KeyedTable.forPath(spark, t).changesSince(base).count()
+    }
+    h2.upsert(Seq((9L, 9.0, 1L)).toDF("id", "v", "seq"), uniqueKeys = true)
+    h2.preCommitHook = () => ()
+    assert(pendingSeen == 0L,
+      s"uncommitted attempt leaked $pendingSeen change rows to a reader")
+    assert(KeyedTable.forPath(spark, t).changesSince(base).count() == 2L) // pre+post image
+  }
+
+  test("two threads × five merges race to a consistent table") {
+    val t = tmp()
+    freshTable(t)
+    def writer(offset: Long): Thread = new Thread {
+      override def run(): Unit = {
+        val h = KeyedTable.forPath(spark, t)
+        (1 to 5).foreach { i =>
+          val keys = (offset until offset + 10)
+          h.upsert(keys.map(k => (k, i.toDouble, i.toLong)).toDF("id", "v", "seq"),
+            uniqueKeys = true)
+        }
+      }
+    }
+    val (w1, w2) = (writer(1L), writer(101L))
+    w1.start(); w2.start(); w1.join(); w2.join()
+    val kt = KeyedTable.forPath(spark, t)
+    assert(kt.latestVersion == 11L, s"10 merges after seed must land 10 versions, got ${kt.latestVersion}")
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 200)
+    (1L to 10L).foreach(k => assert(m(k) == 5.0, s"key $k = ${m(k)}"))
+    (101L to 110L).foreach(k => assert(m(k) == 5.0, s"key $k = ${m(k)}"))
+    // every version's change rows are stamped with their own commit id
+    val cdf = kt.changesSince(1L).select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(cdf.sameElements(2L to 11L), s"cdf versions: ${cdf.toSeq}")
+  }
+}

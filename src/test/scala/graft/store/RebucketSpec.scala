@@ -13,7 +13,8 @@ class RebucketSpec extends AnyFunSuite {
   private def tmp(): String = Files.createTempDirectory("rb").toString
 
   private def dataDirs(path: String, v: Long): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/data/v=$v")
+    val log = new CommitLog(path, spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(s"$path/data/${log.dirOf(v)}")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.map(_.getPath.getName).filter(_.startsWith("b="))
@@ -65,7 +66,8 @@ class RebucketSpec extends AnyFunSuite {
     assert(kt.snapshot().orderBy("id").collect().toSeq == before.toSeq)
     assert(kt.changesSince(0L).count() == cdfBefore, "optimize is layout-only")
     // every rewritten bucket file is sorted by the cluster column
-    val vdir = new org.apache.hadoop.fs.Path(s"$t/data/v=$ver")
+    val lg = new CommitLog(t, spark.sessionState.newHadoopConf())
+    val vdir = new org.apache.hadoop.fs.Path(s"$t/data/${lg.dirOf(ver)}")
     val fs = vdir.getFileSystem(spark.sessionState.newHadoopConf())
     val files = fs.listStatus(vdir).flatMap(b => fs.listStatus(b.getPath))
       .map(_.getPath.toString).filter(_.endsWith(".parquet"))
@@ -84,7 +86,8 @@ class RebucketSpec extends AnyFunSuite {
       ((x * 64 + y).toLong, x.toDouble, y.toDouble)))
     val df = grid.toDF("id", "x", "y")
     def meanBlockRangeY(t: String, ver: Long): Double = {
-      val vdir = new org.apache.hadoop.fs.Path(s"$t/data/v=$ver")
+      val lg = new CommitLog(t, spark.sessionState.newHadoopConf())
+      val vdir = new org.apache.hadoop.fs.Path(s"$t/data/${lg.dirOf(ver)}")
       val fs = vdir.getFileSystem(spark.sessionState.newHadoopConf())
       val files = fs.listStatus(vdir).flatMap(b => fs.listStatus(b.getPath))
         .map(_.getPath.toString).filter(_.endsWith(".parquet"))
@@ -115,7 +118,7 @@ class RebucketSpec extends AnyFunSuite {
     val log = new CommitLog(t, spark.sessionState.newHadoopConf())
 
     // (a) marker written, no commit (crash mid data-write) → roll back
-    log.writeRebucketMarker(99L, 4)
+    log.writeRebucketMarker(99L, 4, "v=99-deadbeef")
     val kt2 = KeyedTable.forPath(spark, t)
     assert(log.readRebucketMarker().isEmpty)
     assert(kt2.meta.numBuckets == 16)
@@ -129,7 +132,7 @@ class RebucketSpec extends AnyFunSuite {
     log.writeMeta(
       // re-serialize via a fresh create round-trip: simplest is direct edit
       log.readMeta().replace("\"numBuckets\":4", "\"numBuckets\":16"))
-    log.writeRebucketMarker(v, 4)
+    log.writeRebucketMarker(v, 4, log.dirOf(v))
     val kt3 = KeyedTable.forPath(spark, t)
     assert(kt3.meta.numBuckets == 4, "recovery must roll the meta swap forward")
     assert(log.readRebucketMarker().isEmpty)

@@ -180,7 +180,8 @@ class StreamSurfaceSpec extends AnyFunSuite {
       val out2 = KeyedTable.forPath(spark, s"$root/out")
       assert(out2.snapshot().count() == before - 1)
       val v = out2.latestVersion
-      val dir = new org.apache.hadoop.fs.Path(s"$root/out/data/v=$v")
+      val lg = new graft.store.CommitLog(s"$root/out", spark.sessionState.newHadoopConf())
+      val dir = new org.apache.hadoop.fs.Path(s"$root/out/data/${lg.dirOf(v)}")
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       val bucketDirs =
         if (!fs.exists(dir)) Seq.empty
