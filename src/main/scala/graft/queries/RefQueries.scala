@@ -313,9 +313,63 @@ object RefQueries {
         r2(sum(col("o_totalprice").cast("decimal(18,6)")))
           .cast("double").as("revenue"))
 
+  /** Q18-like: large-volume orders — HAVING over a fact aggregate, then
+    * the qualifying (small) key set joins BACK against orders+customer.
+    * The agg side reduces before any join, so the join input is the
+    * handful of qualifying orders, not the fact table. */
+  def tpchQ18Like(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(r2(sum(col("l_quantity").cast("decimal(18,6)")))
+        .cast("double").as("sum_qty"))
+      .where(col("sum_qty") > 300)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+  }
+
+  /** Q14-like: promo revenue share — conditional aggregation to ONE
+    * scalar row (the case-when folds into the same partial agg pass;
+    * no second scan, no join fan-out). */
+  def tpchQ14Like(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1995-07-01").cast("timestamp_ntz"))
+    val rev = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1.0).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    // the exact decimal sums cast to double BEFORE the ratio: decimal
+    // division precision rules differ across engines, double division
+    // of identical operands doesn't
+    l.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(r2(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,6)")))
+            .cast("double") * 100 / sum(rev).cast("double")).as("promo_pct"),
+        r2(sum(rev)).cast("double").as("total_rev"))
+  }
+
+  /** Q10-like: revenue lost to returns per customer, top 20 — join +
+    * agg + deterministic top-k (rank prunes before the final output). */
+  def tpchQ10Like(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+    val rev = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1.0).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(r2(sum(rev)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   // --- registration ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q18_like"          -> (tpchQ18Like _),
+    "tpch_q14_like"          -> (tpchQ14Like _),
+    "tpch_q10_like"          -> (tpchQ10Like _),
     "tpch_q3_like"           -> (tpchQ3Like _),
     "tpch_q5_like"           -> (tpchQ5Like _),
     "tpch_q7_like"           -> (tpchQ7Like _),
@@ -343,6 +397,34 @@ object RefQueries {
     "union_all"              -> (unionAll _))
 
   val oracleSql: Map[String, String] = Map(
+    "tpch_q18_like" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2)::DOUBLE AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2)::DOUBLE > 300)
+         SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+    "tpch_q14_like" ->
+      """SELECT
+           round(CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100 /
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS promo_pct,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)::DOUBLE AS total_rev
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-07-01'""",
+    "tpch_q10_like" ->
+      """SELECT c_custkey, c_name, n_name,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)::DOUBLE AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "tpch_q3_like" ->
       """SELECT o_orderkey, o_orderdate,
          round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)::DOUBLE AS revenue
