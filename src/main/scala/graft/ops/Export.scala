@@ -34,6 +34,41 @@ object Export {
       .drop("__h")
   }
 
+  /** B38: temperature-weighted source mixing — the standard recipe for
+    * balancing a multi-source/multilingual corpus: source `s` with
+    * `n_s` rows is sampled toward `target · n_s^α / Σ n^α` rows
+    * (α = 1 preserves natural proportions, α = 0 equalizes sources,
+    * 0 < α < 1 up-samples the tail — the "sampling temperature").
+    * Row selection is a seeded md5 threshold, so the mix is
+    * engine-reproducible (same trick as [[shardForTraining]]); keep
+    * rates round via the engine-neutral floor(x·10⁶+½)/10⁶ so a `pow`
+    * ulp difference can never flip a row across the threshold.
+    *
+    * Scale shape: per-source counts are one map-side-combinable
+    * shuffle to a |sources|-row frame, rates broadcast back, and the
+    * keep decision is a pure projection over the corpus scan — no
+    * second shuffle, no driver state beyond the tiny rate table. */
+  def temperatureMix(df: DataFrame, source: String, id: String, alpha: Double,
+      targetRows: Long, seed: Long): DataFrame = {
+    require(alpha >= 0, "alpha must be >= 0")
+    val counts = df.groupBy(col(source)).agg(count(lit(1)).alias("__n"))
+      .withColumn("__w", pow(col("__n").cast("double"), lit(alpha)))
+    val tot = counts.agg(sum("__w").alias("__tw"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("keep_rate", least(lit(1.0),
+        floor(lit(targetRows.toDouble) * col("__w") / col("__tw") / col("__n")
+          * 1e6 + 0.5) / 1e6))
+      .select(col(source), col("keep_rate"))
+    val keyed = df.withColumn("__h",
+      md5(concat_ws("|", col(id).cast("string"), lit(seed.toString))))
+    def nib(i: Int): Column =
+      expr(s"locate(substr(__h, $i, 1), '0123456789abcdef') - 1")
+    val frac = (1 to 6).map(nib).reduce(_ * 16 + _).cast("double") / (1 << 24)
+    keyed.join(broadcast(rates), source)
+      .where(frac < col("keep_rate"))
+      .drop("__h")
+  }
+
   /** @param numShards ≤ 65536 (bins = first 4 md5 hex chars) */
   def shardForTraining(df: DataFrame, id: String, numShards: Int,
       seed: Long): DataFrame = {

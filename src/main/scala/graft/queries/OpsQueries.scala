@@ -564,6 +564,13 @@ object OpsQueries {
   def clusterKmeans(s: SparkSession, d: String): DataFrame =
     graft.ops.Clustering.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
 
+  /** B38: temperature-weighted source mixing (α = 0.5 up-samples tail
+    * sources) toward a 300-row mix, seeded md5 row selection. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame =
+    graft.ops.Export.temperatureMix(Tables.documents(s, d), "source", "doc_id",
+      alpha = 0.5, targetRows = 300L, seed = 7L)
+      .select("doc_id", "source", "keep_rate")
+
   // --- registration -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -614,7 +621,8 @@ object OpsQueries {
     "ann_index_incremental" -> (annIndexIncremental _),
     "chunk_documents"   -> (chunkDocuments _),
     "hybrid_retrieval"  -> (hybridRetrieval _),
-    "cluster_kmeans"    -> (clusterKmeans _))
+    "cluster_kmeans"    -> (clusterKmeans _),
+    "mix_temperature"   -> (mixTemperature _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -1054,6 +1062,28 @@ object OpsQueries {
                 WHEN NOT canonical THEN 'duplicate' END AS reason
            FROM q JOIN l USING (doc_id) JOIN cn USING (doc_id))
          SELECT doc_id, reason IS NULL AS keep, reason FROM r""",
+    // B38: per-source counts -> temperature weights -> engine-neutral
+    // rounded keep rates -> seeded md5 row threshold
+    "mix_temperature" -> """
+         WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM c),
+         t AS (SELECT sum(w) AS tw FROM w),
+         r AS (SELECT source,
+             least(1.0, floor(300.0 * w / tw / n * 1e6 + 0.5) / 1e6) AS keep_rate
+           FROM w CROSS JOIN t),
+         h AS (SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR) || '|' || '7') AS hx FROM documents),
+         b AS (SELECT doc_id, source,
+             (((((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 16
+               + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) * 16
+               + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) * 16
+               + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1)) * 16
+               + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) AS bin
+           FROM h)
+         SELECT doc_id, b.source, keep_rate
+         FROM b JOIN r ON b.source = r.source
+         WHERE CAST(bin AS DOUBLE) / 16777216 < keep_rate""",
     "export_shards" -> """
          WITH h AS (SELECT doc_id, n_chars,
              md5(CAST(doc_id AS VARCHAR) || '|' || '42') AS hx
