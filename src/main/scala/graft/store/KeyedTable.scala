@@ -391,6 +391,27 @@ final class KeyedTable private (
     * rolling forward (commit present) or back (commit absent). */
   def rebucket(newBuckets: Int): Long = rewriteLayout(newBuckets, Nil)
 
+  /** Growth policy around [[rebucket]]: when the table's live bytes
+    * imply an average bucket above `targetBucketBytes`, rewrite to the
+    * smallest power-of-two bucket count that brings it back under
+    * (capped at `maxBuckets`). Run it from a maintenance job the way
+    * Delta deployments schedule OPTIMIZE — the check itself is one FS
+    * listing over the live bucket dirs, no Spark job. Returns the new
+    * version when a rewrite happened. */
+  def autoRebucket(targetBucketBytes: Long, maxBuckets: Int = 1 << 14): Option[Long] = {
+    require(targetBucketBytes > 0, "targetBucketBytes must be positive")
+    val fs = hfs
+    val bv = bucketVersionsAt(latestVersion)
+    if (bv.isEmpty) return None
+    val liveBytes = bv.toSeq.map { case (b, v) =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/data/${log.dirOf(v)}/b=$b")
+      if (!fs.exists(p)) 0L else fs.listStatus(p).map(_.getLen).sum
+    }.sum
+    var n = meta.numBuckets
+    while (n < maxBuckets && liveBytes / n > targetBucketBytes) n *= 2
+    if (n > meta.numBuckets) Some(rebucket(n)) else None
+  }
+
   /** Rewrites every bucket with rows CLUSTERED by `sortCols` (Delta's
     * `OPTIMIZE ... ZORDER BY` role, lexicographic clustering): parquet
     * row-group min/max stats on those columns become tight disjoint

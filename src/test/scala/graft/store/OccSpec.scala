@@ -95,6 +95,29 @@ class OccSpec extends AnyFunSuite {
     assert(KeyedTable.forPath(spark, t).changesSince(base).count() == 2L) // pre+post image
   }
 
+  test("crash between claim and publish rolls forward on next open") {
+    val t = tmp()
+    val h = freshTable(t)
+    val base = h.latestVersion
+    h.upsert(Seq((3L, 33.0, 1L)).toDF("id", "v", "seq"), uniqueKeys = true)
+    val v = h.latestVersion
+    // simulate the crash window: the commit exists but its change rows
+    // are still in the pending area
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lg = new CommitLog(t, spark.sessionState.newHadoopConf())
+    val dir = lg.dirOf(v)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/_cdf_pending"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$t/cdf/$dir"),
+      new org.apache.hadoop.fs.Path(s"$t/_cdf_pending/$dir")))
+    // readers that don't run recovery can't see the stranded rows
+    assert(h.changesSince(base).count() == 0L)
+    // re-open publishes the stranded rows
+    val recovered = KeyedTable.forPath(spark, t)
+    assert(recovered.changesSince(base).count() == 2L) // pre+post image
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/_cdf_pending/$dir")))
+  }
+
   test("two threads × five merges race to a consistent table") {
     val t = tmp()
     freshTable(t)

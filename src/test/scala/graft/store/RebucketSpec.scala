@@ -110,6 +110,22 @@ class RebucketSpec extends AnyFunSuite {
       s"z-order y-locality $zY must beat lexicographic $lexY by 2x+")
   }
 
+  test("autoRebucket grows to the smallest sufficient power of two") {
+    val t = tmp()
+    val df = (1L to 2000L).map(i => (i, s"payload_$i" * 10)).toDF("id", "s")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 2)
+    kt.upsert(df, uniqueKeys = true)
+    // a tiny per-bucket target forces growth; contents must be intact
+    assert(kt.autoRebucket(targetBucketBytes = 8 * 1024, maxBuckets = 64).nonEmpty)
+    assert(kt.meta.numBuckets > 2 && Integer.bitCount(kt.meta.numBuckets) == 1)
+    assert(kt.meta.numBuckets <= 64)
+    assert(kt.snapshot().count() == 2000)
+    // already sized: second call is a no-op
+    val before = kt.latestVersion
+    assert(kt.autoRebucket(targetBucketBytes = Long.MaxValue / 2).isEmpty)
+    assert(kt.latestVersion == before)
+  }
+
   test("crash before commit rolls back; crash before meta swap rolls forward") {
     val t = tmp()
     val df = (1L to 100L).map(i => (i, i.toString)).toDF("id", "s")
