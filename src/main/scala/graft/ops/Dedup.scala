@@ -129,6 +129,60 @@ object Dedup {
     r
   }
 
+  /** B39: CROSS-corpus near-dedup — flag NEW documents that are
+    * near-dups of an EXISTING corpus (the ingestion guard: don't re-add
+    * what the training set already contains). The same banded-minhash
+    * candidates → signature-estimate prefilter → exact-jaccard verify
+    * pipeline as [[minhashLsh]], across two frames: only (new ×
+    * existing) band collisions become candidates, so the work is
+    * bounded by collisions, never |new| × |existing| — at 100 TB the
+    * existing side's signatures are a persisted table and each
+    * ingestion batch probes it with one band-bucket join.
+    * Output (new_id, old_id, jaccard ≥ threshold). */
+  def crossDedup(newDocs: DataFrame, existing: DataFrame, text: String = "text",
+      id: String = "doc_id", n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def prep(df: DataFrame): (DataFrame, DataFrame) = {
+      val base = df.select(col(id), col(text))
+        .withColumn("__sh", Shingles.wordShingles(col(text), n)).cache()
+      val sigd = base.withColumn("__sig",
+          graft.functions.HashExpressions.minhashShingles(col("__sh"), numHashes))
+        .select(col(id), col("__sig")).cache()
+      (base, sigd)
+    }
+    def banded(sigd: DataFrame): DataFrame =
+      sigd.select(col(id), explode(array((0 until bands).map { b =>
+        struct(lit(b).alias("band"),
+          xxhash64((0 until rows).map(r =>
+            element_at(col("__sig"), b * rows + r + 1)) :+ lit(b): _*).alias("bhash"))
+      }: _*)).alias("bk")).select(col(id), col("bk.band"), col("bk.bhash"))
+    val (baseN, sigN) = prep(newDocs)
+    val (baseO, sigO) = prep(existing)
+    val cand = banded(sigN).alias("x").join(banded(sigO).alias("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash"))
+      .select(col(s"x.$id").alias("new_id"), col(s"y.$id").alias("old_id"))
+      .distinct()
+    val est = cand
+      .join(sigN.select(col(id).alias("new_id"), col("__sig").alias("__siga")), "new_id")
+      .join(sigO.select(col(id).alias("old_id"), col("__sig").alias("__sigb")), "old_id")
+      .withColumn("__est",
+        size(filter(zip_with(col("__siga"), col("__sigb"),
+          (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") / numHashes)
+      .where(col("__est") >= threshold - 0.05)
+      .select("new_id", "old_id")
+    val out = est
+      .join(baseN.select(col(id).alias("new_id"), col("__sh").alias("__sa")), "new_id")
+      .join(baseO.select(col(id).alias("old_id"), col("__sh").alias("__sb")), "old_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))), 4))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+    materializeThenRelease(out, baseN, sigN, baseO, sigO)
+  }
+
   /** Exact shingle-Jaccard verification of candidate pairs against a
     * precomputed (id, __sh) shingle table. */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame,

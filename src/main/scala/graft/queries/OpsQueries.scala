@@ -94,6 +94,19 @@ object OpsQueries {
       .select("id_a", "id_b")
   }
 
+  /** B39: cross-corpus dedup — "new" = docs ≥ 400 plus verbatim copies
+    * of docs 0-49 (re-ingestion simulation); "existing" = docs < 400.
+    * bands=32 makes candidate recall total on this corpus, so the gate
+    * carries the full cross-set all-pairs jaccard oracle. */
+  def dedupCross(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val existing = docs.where(col("doc_id") < 400)
+    val newDocs = docs.where(col("doc_id") >= 400)
+      .unionByName(docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + lit(1000000L)).alias("doc_id"), col("text")))
+    Dedup.crossDedup(newDocs, existing)
+  }
+
   // --- §2B similarity search ---------------------------------------------
 
   def annBruteforce(s: SparkSession, d: String): DataFrame = {
@@ -622,7 +635,8 @@ object OpsQueries {
     "chunk_documents"   -> (chunkDocuments _),
     "hybrid_retrieval"  -> (hybridRetrieval _),
     "cluster_kmeans"    -> (clusterKmeans _),
-    "mix_temperature"   -> (mixTemperature _))
+    "mix_temperature"   -> (mixTemperature _),
+    "dedup_cross"       -> (dedupCross _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -694,6 +708,26 @@ object OpsQueries {
                len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    // B39: cross-set all-pairs jaccard (quadratic oracle — sf0.01-only
+    // by the standing policy, like the other jaccard oracles)
+    "dedup_cross" -> """
+         WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50),
+         old AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         shn AS (SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') w FROM newd)),
+         sho AS (SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') w FROM old)),
+         p AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+           FROM shn a CROSS JOIN sho b)
+         SELECT new_id, old_id, jaccard FROM p WHERE jaccard >= 0.5""",
     // the LSH pipeline at bands=32 provably recovers every J >= 0.5
     // pair on this corpus, so its verified output IS the all-pairs
     // jaccard result — the same oracle asserts full recall+precision

@@ -30,6 +30,28 @@ class OpsSpec extends AnyFunSuite {
       s"bands=32 output differs from exact: missing ${truth -- found32}, extra ${found32 -- truth}")
   }
 
+  test("cross-corpus dedup flags re-ingested copies against the existing set") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val existing = docs.where(col("doc_id") < 300)
+    val newDocs = docs.where(col("doc_id") >= 300)
+      .unionByName(docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + lit(1000000L)).alias("doc_id"), col("text")))
+    val out = Dedup.crossDedup(newDocs, existing)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every verbatim copy must pair with its original at jaccard 1.0
+    (0L until 20L).foreach { i =>
+      assert(out.exists(p => p._1 == i + 1000000L && p._2 == i && p._3 == 1.0),
+        s"re-ingested copy of doc $i not flagged")
+    }
+    // pairs are strictly (new side, existing side)
+    out.foreach { case (n, o, _) =>
+      assert((n >= 300 || n >= 1000000L) && o < 300, s"pair ($n, $o) crosses wrong sides")
+    }
+    out // drop the persisted result reference
+    ()
+  }
+
   test("simhash of identical texts is identical, near-dup pairs have low hamming") {
     val docs = Tables.documents(spark, sf).limit(100)
     val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 5000))
