@@ -42,6 +42,33 @@ object CdcQueries {
     kt.changesSince(1)
   }
 
+  /** A31: optimistic multi-writer — two INDEPENDENT handles of one
+    * table race three merges each from two threads, no coordination.
+    * Each writer owns one key parity and its merges are ordered within
+    * the thread, so every interleaving converges to the same final
+    * state (which the oracle recomputes) — but only if every lost
+    * commit claim was detected and correctly replayed. */
+  def occMultiWriter(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val path = freshDir()
+    val kt = KeyedTable.create(s, path, o.schema, keys = Seq("o_orderkey"), numBuckets = 16)
+    kt.upsert(o, uniqueKeys = true)
+    def writer(mod: Int): Thread = new Thread {
+      override def run(): Unit = {
+        val h = KeyedTable.forPath(s, path)
+        (1 to 3).foreach { i =>
+          h.upsert(o.where(col("o_orderkey") % 2 === mod)
+            .withColumn("o_orderstatus", lit(s"W$mod$i"))
+            .withColumn("o_totalprice", col("o_totalprice") + (mod * 1000 + i * 10)),
+            uniqueKeys = true)
+        }
+      }
+    }
+    val (t0, t1) = (writer(0), writer(1))
+    t0.start(); t1.start(); t0.join(); t1.join()
+    KeyedTable.forPath(s, path).snapshot()
+  }
+
   /** A1: two upsert commits (inserts, then mixed update+insert batch);
     * snapshot must reflect the latest state of every key. */
   def cdcUpsertSnapshot(s: SparkSession, d: String): DataFrame = {
@@ -371,9 +398,17 @@ object CdcQueries {
     "cdc_agg_reduce_incremental" -> (cdcAggReduceIncremental _),
     "cdc_upsert_snapshot" -> (cdcUpsertSnapshot _),
     "cdc_seq_latest_wins" -> (cdcSeqLatestWins _),
-    "cdc_agg_incremental" -> (cdcAggIncremental _))
+    "cdc_agg_incremental" -> (cdcAggIncremental _),
+    "occ_multi_writer" -> (occMultiWriter _))
 
   val oracleSql: Map[String, String] = Map(
+    // every interleaving of the two racing writers converges here —
+    // each parity's LAST merge (i=3) wins its keys
+    "occ_multi_writer" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'W03' ELSE 'W13' END AS o_orderstatus,
+           o_totalprice + CASE WHEN o_orderkey % 2 = 0 THEN 30 ELSE 1030 END AS o_totalprice
+         FROM orders""",
     "join_complex1" ->
       """WITH li0 AS (
            SELECT l_orderkey AS o_orderkey, l_linenumber, l_partkey, l_quantity,
