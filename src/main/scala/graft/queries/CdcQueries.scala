@@ -69,6 +69,16 @@ object CdcQueries {
     KeyedTable.forPath(s, path).snapshot()
   }
 
+  /** Bucket-pruned point reads (reader-side counterpart of merge's
+    * affected-bucket pruning): look up a sparse key set; only those
+    * keys' buckets are read. Oracle = the plain filter. */
+  def keyedLookup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val kt = KeyedTable.create(s, freshDir(), o.schema, keys = Seq("o_orderkey"), numBuckets = 16)
+    kt.upsert(o, uniqueKeys = true)
+    kt.snapshotForKeys(o.where(col("o_orderkey") % 150 === 7).select("o_orderkey"))
+  }
+
   /** A1: two upsert commits (inserts, then mixed update+insert batch);
     * snapshot must reflect the latest state of every key. */
   def cdcUpsertSnapshot(s: SparkSession, d: String): DataFrame = {
@@ -399,7 +409,8 @@ object CdcQueries {
     "cdc_upsert_snapshot" -> (cdcUpsertSnapshot _),
     "cdc_seq_latest_wins" -> (cdcSeqLatestWins _),
     "cdc_agg_incremental" -> (cdcAggIncremental _),
-    "occ_multi_writer" -> (occMultiWriter _))
+    "occ_multi_writer" -> (occMultiWriter _),
+    "keyed_lookup" -> (keyedLookup _))
 
   val oracleSql: Map[String, String] = Map(
     // every interleaving of the two racing writers converges here —
@@ -409,6 +420,9 @@ object CdcQueries {
            CASE WHEN o_orderkey % 2 = 0 THEN 'W03' ELSE 'W13' END AS o_orderstatus,
            o_totalprice + CASE WHEN o_orderkey % 2 = 0 THEN 30 ELSE 1030 END AS o_totalprice
          FROM orders""",
+    "keyed_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey % 150 = 7""",
     "join_complex1" ->
       """WITH li0 AS (
            SELECT l_orderkey AS o_orderkey, l_linenumber, l_partkey, l_quantity,

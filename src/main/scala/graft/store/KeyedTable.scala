@@ -100,6 +100,12 @@ final class KeyedTable private (
     * wins — `writeFused` casts batches to it). Metadata-only: no data
     * rewrite at any scale. */
   def evolveSchema(newFields: Seq[StructField]): Unit = synchronized {
+    // re-read persisted meta first so the widening applies to the
+    // LATEST schema — another handle may have evolved it since this
+    // one opened (narrows, but cannot fully close, the lost-update
+    // window of concurrent evolveSchema calls; concurrent widenings of
+    // DISJOINT fields should be serialized by the caller)
+    refreshMeta()
     val existing = schema.fieldNames.toSet
     val adds = newFields.filterNot(f => existing.contains(f.name))
     if (adds.isEmpty) return
@@ -172,6 +178,26 @@ final class KeyedTable private (
     // may carry extra all-null cdf columns from the fused write; the
     // projection below ignores them)
     spark.read.schema(schema).parquet(paths: _*).select(dataCols.map(col): _*)
+  }
+
+  /** Bucket-pruned point reads: rows whose bucket keys appear in
+    * `keys`. The keys hash to a bucket set (one tiny action), ONLY
+    * those buckets' files are read, and a broadcast semi-join filters
+    * within-bucket rows — at 100 TB a point lookup reads one ~GB
+    * bucket, not the table (the reader-side counterpart of merge's
+    * affected-bucket pruning). */
+  def snapshotForKeys(keys: DataFrame): DataFrame = {
+    require(meta.bucketKeys.forall(keys.columns.contains),
+      s"keys must carry all bucket key columns ${meta.bucketKeys.mkString(",")}")
+    if (autoMergeOn) refreshMeta()
+    val k = keys.select(meta.bucketKeys.map(col): _*).distinct()
+      .withColumn(BucketCol, bucketExpr(col))
+    val buckets = k.agg(collect_set(col(BucketCol))).collect().head.getSeq[Int](0)
+    val bv = bucketVersionsAt(latestVersion)
+      .filter { case (b, _) => buckets.contains(b) }
+    if (bv.isEmpty) emptyDf
+    else readBuckets(bv.toSeq)
+      .join(broadcast(k.drop(BucketCol)), meta.bucketKeys, "left_semi")
   }
 
   /** Change rows with `_commit_version > sinceVersion`, batch form. */

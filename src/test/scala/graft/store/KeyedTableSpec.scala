@@ -13,6 +13,22 @@ class KeyedTableSpec extends AnyFunSuite {
   private def tmp(): String =
     Files.createTempDirectory("kt").toString
 
+  test("snapshotForKeys reads ONLY the keys' buckets and equals the filter") {
+    val t = tmp()
+    val df = (1L to 1000L).map(i => (i, i * 1.5)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 16)
+    kt.upsert(df, uniqueKeys = true)
+    val wanted = Seq(7L, 8L).toDF("id")
+    val got = kt.snapshotForKeys(wanted)
+    assert(got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(7L -> 10.5, 8L -> 12.0))
+    // point reads must prune at the FILE level, not post-scan
+    val full = kt.snapshot().inputFiles.length
+    val pruned = got.inputFiles.length
+    assert(full == 16 && pruned <= 2,
+      s"lookup read $pruned of $full bucket files — pruning failed")
+  }
+
   test("upsert inserts then updates, snapshot reflects latest") {
     val t = tmp()
     val df1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
