@@ -148,9 +148,15 @@ object Similarity {
       .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the top-k result is tiny; materialize it and release the
+    // corpus-sized cache so repeated calls don't accumulate storage
+    out.count()
+    c.unpersist()
+    out
   }
 
   /** B7: LSH-bucketed approximate top-k — queries join only their own
