@@ -79,6 +79,25 @@ object CdcQueries {
     kt.snapshotForKeys(o.where(col("o_orderkey") % 150 === 7).select("o_orderkey"))
   }
 
+  /** A33: secondary index as a derived table — non-key lookups via two
+    * bucket-pruned reads, index maintained incrementally from the CDF
+    * through an update wave (moved values) and a delete wave. Oracle
+    * recomputes the final state + filter directly. */
+  def indexLookup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val base = KeyedTable.create(s, freshDir(), o.schema, keys = Seq("o_orderkey"), numBuckets = 16)
+    base.upsert(o, uniqueKeys = true)
+    val idx = graft.ops.SecondaryIndex.create(s, freshDir(), base, "o_custkey", numBuckets = 16)
+    val v0 = base.latestVersion
+    base.upsert(o.where(col("o_orderkey") % 100 === 0)
+      .withColumn("o_custkey", col("o_custkey") + 100000L), uniqueKeys = true)
+    base.delete(o.where(col("o_orderkey") % 97 === 0).select("o_orderkey"))
+    graft.ops.SecondaryIndex.refresh(idx, base, v0)
+    val values = base.snapshot().select("o_custkey")
+      .where(col("o_custkey") % 211 === 5).distinct()
+    graft.ops.SecondaryIndex.lookup(idx, base, values)
+  }
+
   /** A1: two upsert commits (inserts, then mixed update+insert batch);
     * snapshot must reflect the latest state of every key. */
   def cdcUpsertSnapshot(s: SparkSession, d: String): DataFrame = {
@@ -410,7 +429,8 @@ object CdcQueries {
     "cdc_seq_latest_wins" -> (cdcSeqLatestWins _),
     "cdc_agg_incremental" -> (cdcAggIncremental _),
     "occ_multi_writer" -> (occMultiWriter _),
-    "keyed_lookup" -> (keyedLookup _))
+    "keyed_lookup" -> (keyedLookup _),
+    "index_lookup" -> (indexLookup _))
 
   val oracleSql: Map[String, String] = Map(
     // every interleaving of the two racing writers converges here —
@@ -423,6 +443,13 @@ object CdcQueries {
     "keyed_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderkey % 150 = 7""",
+    "index_lookup" ->
+      """WITH fin0 AS (SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 100000 ELSE o_custkey END AS o_custkey,
+             o_totalprice FROM orders),
+         fin AS (SELECT * FROM fin0 WHERE o_orderkey % 97 <> 0)
+         SELECT o_orderkey, o_custkey, o_totalprice FROM fin
+         WHERE o_custkey % 211 = 5""",
     "join_complex1" ->
       """WITH li0 AS (
            SELECT l_orderkey AS o_orderkey, l_linenumber, l_partkey, l_quantity,

@@ -227,8 +227,9 @@ final class KeyedTable private (
   /** Plain latest-wins upsert (the bronze-table write path).
     * `uniqueKeys = true` asserts the batch has at most one row per key,
     * skipping the within-batch latest-wins window (one shuffle less). */
-  def upsert(batch: DataFrame, uniqueKeys: Boolean = false): Long =
-    merge(batch, MergeSpec(), uniqueKeys)
+  def upsert(batch: DataFrame, uniqueKeys: Boolean = false,
+      batchId: Long = -1L): Long =
+    merge(batch, MergeSpec(), uniqueKeys, batchId)
 
   // --- optimistic concurrency (SURVEY §6g-1) ------------------------------
   // Writers never coordinate: each attempt computes against the latest
