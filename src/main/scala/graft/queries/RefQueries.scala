@@ -364,9 +364,32 @@ object RefQueries {
       .limit(20)
   }
 
+  /** Q19-like: disjunctive brand/size/quantity predicates — one scalar
+    * revenue over an OR-of-ANDs that references BOTH join sides; the
+    * join-key conjunct still pushes, the disjunction evaluates once
+    * post-join inside the same codegen stage. */
+  def tpchQ19Like(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val rev = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1.0).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 40) &&
+        col("l_quantity").between(20, 30))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(cond)
+      .agg(r2(sum(rev)).cast("double").as("revenue"),
+        count(lit(1)).as("line_cnt"))
+  }
+
   // --- registration ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q19_like"          -> (tpchQ19Like _),
     "tpch_q18_like"          -> (tpchQ18Like _),
     "tpch_q14_like"          -> (tpchQ14Like _),
     "tpch_q10_like"          -> (tpchQ10Like _),
@@ -397,6 +420,14 @@ object RefQueries {
     "union_all"              -> (unionAll _))
 
   val oracleSql: Map[String, String] = Map(
+    "tpch_q19_like" ->
+      """SELECT
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)::DOUBLE AS revenue,
+           count(*) AS line_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 30)""",
     "tpch_q18_like" ->
       """WITH big AS (
            SELECT l_orderkey,
