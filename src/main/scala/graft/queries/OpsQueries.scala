@@ -107,6 +107,23 @@ object OpsQueries {
     Dedup.crossDedup(newDocs, existing)
   }
 
+  /** B39 persisted form: the signature store seeded with docs < 300,
+    * grown to < 400 through the incremental admit path, then probed by
+    * the same batch as `dedup_cross` — identical expected pairs, so
+    * the SAME oracle checks the persisted store end-to-end. */
+  def dedupIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val store = graft.ops.SignatureStore.create(s,
+      java.nio.file.Files.createTempDirectory("graft_sigstore").toString + "/st",
+      docs.where(col("doc_id") < 300))
+    graft.ops.SignatureStore.admit(store,
+      docs.where(col("doc_id") >= 300 && col("doc_id") < 400), batchId = 1L)
+    val batch = docs.where(col("doc_id") >= 400)
+      .unionByName(docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + lit(1000000L)).alias("doc_id"), col("text")))
+    graft.ops.SignatureStore.check(store, batch)
+  }
+
   // --- §2B similarity search ---------------------------------------------
 
   def annBruteforce(s: SparkSession, d: String): DataFrame = {
@@ -636,7 +653,8 @@ object OpsQueries {
     "hybrid_retrieval"  -> (hybridRetrieval _),
     "cluster_kmeans"    -> (clusterKmeans _),
     "mix_temperature"   -> (mixTemperature _),
-    "dedup_cross"       -> (dedupCross _))
+    "dedup_cross"       -> (dedupCross _),
+    "dedup_ingest"      -> (dedupIngest _))
 
   private val stop10 = "['the','a','of','and','to','in','is','on','for','with']"
 
@@ -711,6 +729,27 @@ object OpsQueries {
     // B39: cross-set all-pairs jaccard (quadratic oracle — sf0.01-only
     // by the standing policy, like the other jaccard oracles)
     "dedup_cross" -> """
+         WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50),
+         old AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         shn AS (SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') w FROM newd)),
+         sho AS (SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') w FROM old)),
+         p AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+           FROM shn a CROSS JOIN sho b)
+         SELECT new_id, old_id, jaccard FROM p WHERE jaccard >= 0.5""",
+    // B39 persisted form: the store holds docs < 400 (seed + admit),
+    // probed by the same batch — the SAME cross-set expectation as
+    // dedup_cross (quadratic oracle, sf0.01-only by standing policy)
+    "dedup_ingest" -> """
          WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
            UNION ALL
            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50),
