@@ -52,7 +52,26 @@ object BloomJoin {
   /** A built key filter: `mBits` bit positions packed into longs, probed
     * with `k` seeded hashes per key; `keyType` is the normalized type the
     * prehash was computed over (probe side must normalize to the same). */
-  final case class KeyFilter(bits: Array[Long], mBits: Int, k: Int, keyType: DataType)
+  final case class KeyFilter(bits: Array[Long], mBits: Int, k: Int, keyType: DataType) {
+    // one torrent broadcast per filter, created on first large-probe use
+    // and reused by every later prefilter of the same filter — a fresh
+    // broadcast per call would pin up to 32 MB per join in a long-lived
+    // session with nothing ever releasing it
+    @transient private[ops] var bcVar: org.apache.spark.broadcast.Broadcast[Array[Long]] = _
+
+    private[ops] def broadcastBits(sc: org.apache.spark.SparkContext)
+        : org.apache.spark.broadcast.Broadcast[Array[Long]] = synchronized {
+      if (bcVar == null) bcVar = sc.broadcast(bits)
+      bcVar
+    }
+
+    /** Releases the executor-side copies of a large filter's bits. Call
+      * once every join built from this filter has MATERIALIZED (the probe
+      * is lazy — destroying earlier fails those jobs). */
+    def destroy(): Unit = synchronized {
+      if (bcVar != null) { bcVar.destroy(); bcVar = null }
+    }
+  }
 
   /** Integral types all hash as long so int/bigint key pairs agree;
     * float narrows to double for the same reason. */
@@ -122,8 +141,10 @@ object BloomJoin {
     val h0 = prehash(fact, factKey)
     if (f.mBits <= literalBitsMax) fact.where(h0.isNotNull && mightContainLiteral(h0, f))
     else {
-      // one copy per executor via torrent broadcast, not one per task
-      val bc = fact.sparkSession.sparkContext.broadcast(f.bits)
+      // one copy per executor via torrent broadcast, not one per task —
+      // and ONE broadcast per filter across repeated probes (f.destroy()
+      // releases it once the joins have materialized)
+      val bc = f.broadcastBits(fact.sparkSession.sparkContext)
       val (m, k) = (f.mBits, f.k)
       val test = udf { h: java.lang.Long =>
         h != null && {

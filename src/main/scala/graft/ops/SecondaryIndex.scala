@@ -54,6 +54,14 @@ object SecondaryIndex {
   def refresh(idx: KeyedTable, base: KeyedTable, sinceVersion: Long,
       batchId: Long = -1L): Long = {
     val upTo = base.latestVersion
+    // replay guard covers BOTH halves: a completed refresh re-run with
+    // the same batchId must not re-delete stale entries (a key whose
+    // value went A→B→A in the range has (A, key) both live and present
+    // as a pre-image — re-deleting it while the batchId guard skips the
+    // re-asserting upsert would lose the live entry). A replay after a
+    // crash BETWEEN the two commits re-runs both: the delete half is
+    // idempotent, and the upsert's own guard hasn't fired yet.
+    if (batchId >= 0 && batchId <= idx.lastAppliedBatchId) return upTo
     val cols = idx.dataCols // (column, baseKeys…)
     val ch = base.changesSince(sinceVersion)
       .where(col("_commit_version") <= upTo)

@@ -5,18 +5,35 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import java.nio.charset.StandardCharsets
 
+/** One data file of a bucket, as recorded in a commit manifest.
+  *
+  * @param path    table-root-relative path (`data/<dir>/b=<B>/part-…`) —
+  *                a commit may reference files under OLDER commits' dirs
+  *                (carried forward untouched by a pruned merge)
+  * @param minHash lowest `xxhash64(bucketKeys)` of any row in the file
+  * @param maxHash highest; files are written key-hash-sorted, so within
+  *                one commit a bucket's files cover disjoint ranges
+  */
+final case class FileEntry(path: String, minHash: Long, maxHash: Long)
+
 /** One parsed commit. `dir` is the data/cdf directory name the commit's
   * files live under (`data/<dir>/b=<bucket>`, `cdf/<dir>/`) — unique per
   * commit ATTEMPT so concurrent optimistic writers never collide on the
   * filesystem before the commit rename decides the winner (SURVEY §6g-1).
-  * Commits written before multi-writer support default to `v=<version>`. */
+  * Commits written before multi-writer support default to `v=<version>`.
+  *
+  * `files` is the file-granular manifest: for every bucket this commit
+  * touched, the COMPLETE current file list (new files + carried-forward
+  * references) — the role of Delta's add actions. `None` on commits that
+  * predate manifests; readers fall back to listing `data/<dir>/b=<B>`. */
 final case class CommitInfo(
     version: Long,
     buckets: Seq[Int],
     emptied: Seq[Int],
     batchId: Long,
     cdfBytes: Long,
-    dir: String)
+    dir: String,
+    files: Option[Map[Int, Seq[FileEntry]]] = None)
 
 /** Minimal JSON commit log for a [[KeyedTable]].
   *

@@ -306,23 +306,46 @@ final class KeyedTable private (
     fs.delete(pendingCdfPath(dir), true)
   }
 
+  /** The committed version (if any) whose files live under `dir`. A dir
+    * named `v=<M>-<token>` normally belongs to commit M, but a writer
+    * that lost the claim for M and won a later version N by cdf re-stamp
+    * commits the SAME dir at N > M — so ownership is decided by the
+    * commit records, never by the name prefix alone. One cached read in
+    * the common case; a committed-versions scan from M only when M's
+    * claim went to a competitor. */
+  private def ownerVersionOf(dir: String): Option[Long] = {
+    val digits = dir.stripPrefix("v=").takeWhile(_.isDigit)
+    if (!dir.startsWith("v=") || digits.isEmpty) None
+    else {
+      val m = digits.toLong
+      if (log.hasCommit(m) && log.dirOf(m) == dir) Some(m)
+      else log.versions().find(v => v > m && log.dirOf(v) == dir)
+    }
+  }
+
+  /** An UNOWNED pending dir is only provably dead once it has sat
+    * unmodified past the grace period — a younger one may belong to an
+    * in-flight attempt on another handle that is about to re-stamp and
+    * claim a HIGHER version than its name prefix suggests, and deleting
+    * it would lose that commit's change rows. */
+  private def deadPending(st: org.apache.hadoop.fs.FileStatus): Boolean =
+    System.currentTimeMillis() - st.getModificationTime >
+      spark.conf.getOption("spark.graft.pendingGraceMs").map(_.toLong)
+        .getOrElse(KeyedTable.DefaultPendingGraceMs)
+
   /** Rolls forward commits whose cdf publish rename was interrupted by a
-    * crash (commit present, change rows still under the pending area).
-    * Pending dirs of LOST attempts whose version is already taken are
-    * dropped; pending dirs targeting versions beyond the latest may
-    * belong to an in-flight writer and are left alone. Run on open. */
+    * crash (some commit references the dir, change rows still under the
+    * pending area). Unreferenced pending dirs are dropped only once
+    * provably dead (grace period) — they may belong to an attempt still
+    * in flight on another handle. Run on open. */
   private[store] def recoverPendingCdf(): Unit = {
     val fs = hfs
     val pendingRoot = new org.apache.hadoop.fs.Path(s"$path/_cdf_pending")
     if (!fs.exists(pendingRoot)) return
-    val latest = latestVersion
-    fs.listStatus(pendingRoot).map(_.getPath).foreach { p =>
-      val dir = p.getName
-      val v = dir.stripPrefix("v=").takeWhile(_.isDigit)
-      if (v.nonEmpty && v.toLong <= latest) {
-        if (log.hasCommit(v.toLong) && log.dirOf(v.toLong) == dir) publishCdf(dir)
-        else fs.delete(p, true)
-      }
+    fs.listStatus(pendingRoot).foreach { st =>
+      val dir = st.getPath.getName
+      if (ownerVersionOf(dir).isDefined) publishCdf(dir)
+      else if (deadPending(st)) fs.delete(st.getPath, true)
     }
   }
 
@@ -589,22 +612,28 @@ final class KeyedTable private (
         }
       }
     }
+    // cdf dirs are retained by the version of the commit that OWNS the
+    // dir name — a re-stamped commit N's dir is named v=<M>-<token> with
+    // M < N, so the name prefix must not decide retention
+    val keepCdf: Set[String] = versions.filter(_ >= cutoff).map(log.dirOf).toSet
     val cdfRoot = new org.apache.hadoop.fs.Path(s"$path/cdf")
     if (fs.exists(cdfRoot)) {
       fs.listStatus(cdfRoot).foreach { st =>
-        if (dirVersion(st.getPath.getName).exists(_ < cutoff))
+        val n = st.getPath.getName
+        if (!keepCdf.contains(n) && ownerVersionOf(n).forall(_ < cutoff))
           fs.delete(st.getPath, true)
       }
     }
-    // pending dirs of attempts that definitively lost their claim
+    // pending dirs: commit-referenced ⇒ an interrupted publish, roll it
+    // forward; unreferenced ⇒ delete only once provably dead — a young
+    // one may be an in-flight attempt about to re-stamp to a higher
+    // version than its name prefix suggests
     val pendingRoot = new org.apache.hadoop.fs.Path(s"$path/_cdf_pending")
     if (fs.exists(pendingRoot)) {
       fs.listStatus(pendingRoot).foreach { st =>
         val d = st.getPath.getName
-        dirVersion(d).foreach { v =>
-          if (v <= versions.last && (!log.hasCommit(v) || log.dirOf(v) != d))
-            fs.delete(st.getPath, true)
-        }
+        if (ownerVersionOf(d).isDefined) publishCdf(d)
+        else if (deadPending(st)) fs.delete(st.getPath, true)
       }
     }
   }
@@ -1099,6 +1128,10 @@ object KeyedTable {
   private[store] val BucketCol = "__bucket"
   private[store] val SideCol = "__side"
   private[store] val CheckpointInterval = 10L
+  // how long an unreferenced _cdf_pending dir must sit unmodified before
+  // recovery/vacuum may treat its attempt as dead (override with
+  // spark.graft.pendingGraceMs)
+  private[store] val DefaultPendingGraceMs = 15 * 60 * 1000L
   private[store] val UExists = "__u_exists"
   private[store] val SExists = "__s_exists"
 

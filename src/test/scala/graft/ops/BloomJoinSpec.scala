@@ -63,4 +63,18 @@ class BloomJoinSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted
     assert(lit.sameElements(bc), "broadcast and literal probes disagree")
   }
+
+  test("repeated large-filter probes reuse one broadcast; destroy releases it") {
+    val dim = (1L to 2000L).toDF("k")
+    val fact = (1L to 10000L).toDF("k")
+    val f = BloomJoin.build(dim, "k", bitsPerKey = 16, k = 7)
+    val n1 = BloomJoin.prefilter(fact, "k", f, literalBitsMax = 0).count()
+    val first = f.bcVar
+    assert(first != null, "large-filter probe did not create a broadcast")
+    val n2 = BloomJoin.prefilter(fact, "k", f, literalBitsMax = 0).count()
+    assert(n1 == n2)
+    assert(f.bcVar eq first, "second probe created a fresh broadcast instead of reusing")
+    f.destroy()
+    assert(f.bcVar == null)
+  }
 }

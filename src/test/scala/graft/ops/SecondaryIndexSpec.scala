@@ -57,4 +57,24 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(idx.snapshot().where(col("cat") === "cNew").count() == 1)
     assert(idx.latestVersion <= after + 1)
   }
+
+  test("replayed refresh keeps an entry whose value went A→B→A in the range") {
+    val df = (1L to 100L).map(i => (i, s"c${i % 5}", 1.0)).toDF("id", "cat", "v")
+    val base = KeyedTable.create(spark, tmp(), df.schema, keys = Seq("id"), numBuckets = 4)
+    base.upsert(df, uniqueKeys = true)
+    val idx = SecondaryIndex.create(spark, tmp(), base, "cat", numBuckets = 4)
+    val v0 = base.latestVersion
+    // id 7: c2 → cB → c2 within one refresh range, so (c2, 7) is BOTH the
+    // live entry and a pre-image of the range — a replay that re-runs the
+    // stale delete while the batchId guard skips the upsert would lose it
+    base.upsert(Seq((7L, "cB", 2.0)).toDF("id", "cat", "v"), uniqueKeys = true)
+    base.upsert(Seq((7L, "c2", 3.0)).toDF("id", "cat", "v"), uniqueKeys = true)
+    SecondaryIndex.refresh(idx, base, v0, batchId = 5L)
+    def c2ids: Set[Long] =
+      SecondaryIndex.lookup(idx, base, Seq("c2").toDF("cat"))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(c2ids.contains(7L))
+    SecondaryIndex.refresh(idx, base, v0, batchId = 5L) // completed refresh, replayed
+    assert(c2ids.contains(7L), "replayed refresh deleted the live A→B→A entry")
+  }
 }

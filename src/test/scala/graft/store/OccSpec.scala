@@ -118,6 +118,76 @@ class OccSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/_cdf_pending/$dir")))
   }
 
+  /** Drives the disjoint-bucket race so the surviving loser COMMITS a
+    * version whose dir name prefix is LOWER than the version (the cdf
+    * re-stamp path) — the layout both recovery fixes are about. Returns
+    * (winning version, its dir name). */
+  private def restampedCommit(t: String): (Long, String) = {
+    val h1 = freshTable(t, numBuckets = 4)
+    val h2 = KeyedTable.forPath(spark, t)
+    val buckets = (1L to 200L).toDF("id")
+      .withColumn("b", pmod(xxhash64(col("id")), lit(4)).cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val keys1 = (1L to 200L).filter(k => buckets(k) == 0).take(5)
+    val keys2 = (1L to 200L).filter(k => buckets(k) == 1).take(5)
+    val b1 = keys1.map(k => (k, 111.0, 1L)).toDF("id", "v", "seq")
+    val b2 = keys2.map(k => (k, 222.0, 1L)).toDF("id", "v", "seq")
+    var fired = false
+    h2.preCommitHook = () => if (!fired) { fired = true; h1.upsert(b1, uniqueKeys = true) }
+    val v2 = h2.upsert(b2, uniqueKeys = true)
+    h2.preCommitHook = () => ()
+    assert(h2.occRestamps == 1)
+    val lg = new CommitLog(t, spark.sessionState.newHadoopConf())
+    val dir = lg.dirOf(v2)
+    // precondition of the whole scenario: name prefix < commit version
+    assert(dir.stripPrefix("v=").takeWhile(_.isDigit).toLong < v2)
+    (v2, dir)
+  }
+
+  test("restamped commit's stranded cdf rolls forward on open, not deleted") {
+    val t = tmp()
+    val (v2, dir) = restampedCommit(t)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // crash window: commit v2 exists, change rows stranded under pending.
+    // The dir name parses to a LOWER version owned by the competitor, so
+    // prefix-based recovery would wrongly delete committed v2's rows.
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$t/cdf/$dir"),
+      new org.apache.hadoop.fs.Path(s"$t/_cdf_pending/$dir")))
+    val recovered = KeyedTable.forPath(spark, t)
+    assert(recovered.changesSince(v2 - 1).count() == 10L, // 5 keys × pre+post
+      "restamped commit's change rows were lost by open recovery")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/_cdf_pending/$dir")))
+  }
+
+  test("vacuum retains a restamped commit's cdf within the retention window") {
+    val t = tmp()
+    val (v2, dir) = restampedCommit(t)
+    val kt = KeyedTable.forPath(spark, t)
+    kt.vacuum(retainVersions = 1) // cutoff == v2; dir prefix < v2
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/cdf/$dir")),
+      "vacuum deleted a retained commit's cdf dir by its stale name prefix")
+    assert(kt.changesSince(v2 - 1).count() == 10L)
+  }
+
+  test("vacuum spares young unowned pending dirs, reaps them past the grace period") {
+    val t = tmp()
+    val kt = freshTable(t)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(s"$t/_cdf_pending/v=99-deadbeef")
+    fs.mkdirs(orphan)
+    kt.vacuum(retainVersions = 1)
+    assert(fs.exists(orphan), "vacuum reaped an in-flight attempt's pending dir")
+    spark.conf.set("spark.graft.pendingGraceMs", "-1")
+    try {
+      kt.vacuum(retainVersions = 1)
+      assert(!fs.exists(orphan), "vacuum never reaps dead pending dirs")
+    } finally spark.conf.unset("spark.graft.pendingGraceMs")
+  }
+
   test("two threads × five merges race to a consistent table") {
     val t = tmp()
     freshTable(t)
