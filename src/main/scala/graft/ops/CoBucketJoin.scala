@@ -59,10 +59,12 @@ object CoBucketJoin {
       val bv = t.bucketVersionsAt(t.latestVersion)
       val cols = t.dataCols
       val rdds = (0 until n).map { b =>
-        bv.get(b) match {
-          case Some(v) =>
+        // resolve through the commit manifest: a pruned merge may have
+        // carried some of the bucket's files forward under OLDER dirs
+        bv.get(b).map(v => t.bucketFilePaths(b, v)).filter(_.nonEmpty) match {
+          case Some(paths) =>
             spark.read.schema(t.schema)
-              .parquet(s"${t.path}/data/${t.dataDirOf(v)}/b=$b")
+              .parquet(paths: _*)
               .select(cols.map(org.apache.spark.sql.functions.col): _*)
               .coalesce(1).rdd // narrow: no shuffle
           // 1 explicit partition: emptyRDD has ZERO and would shift

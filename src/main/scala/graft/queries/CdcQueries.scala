@@ -69,6 +69,29 @@ object CdcQueries {
     KeyedTable.forPath(s, path).snapshot()
   }
 
+  /** A34: file-granular commit manifests — seed under a tiny
+    * `targetFileRows` so every bucket splits into many hash-range
+    * files, then two sparse update waves and a delete wave rewrite
+    * ONLY the files whose key-hash range intersects each batch,
+    * carrying the rest forward by reference. The snapshot then reads
+    * carried + rewritten files together; the oracle recomputes the
+    * final state, so a manifest that dropped or duplicated any carried
+    * file hash-mismatches. */
+  def manifestPointMerge(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    s.conf.set("spark.graft.targetFileRows", "500")
+    try {
+      val kt = KeyedTable.create(s, freshDir(), o.schema, keys = Seq("o_orderkey"), numBuckets = 4)
+      kt.upsert(o, uniqueKeys = true)
+      kt.upsert(o.where(col("o_orderkey") % 151 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0), uniqueKeys = true)
+      kt.upsert(o.where(col("o_orderkey") % 211 === 3)
+        .withColumn("o_custkey", col("o_custkey") + 500000L), uniqueKeys = true)
+      kt.delete(o.where(col("o_orderkey") % 163 === 1).select("o_orderkey"))
+      kt.snapshot()
+    } finally s.conf.unset("spark.graft.targetFileRows")
+  }
+
   /** Bucket-pruned point reads (reader-side counterpart of merge's
     * affected-bucket pruning): look up a sparse key set; only those
     * keys' buckets are read. Oracle = the plain filter. */
@@ -430,7 +453,8 @@ object CdcQueries {
     "cdc_agg_incremental" -> (cdcAggIncremental _),
     "occ_multi_writer" -> (occMultiWriter _),
     "keyed_lookup" -> (keyedLookup _),
-    "index_lookup" -> (indexLookup _))
+    "index_lookup" -> (indexLookup _),
+    "manifest_point_merge" -> (manifestPointMerge _))
 
   val oracleSql: Map[String, String] = Map(
     // every interleaving of the two racing writers converges here —
@@ -443,6 +467,11 @@ object CdcQueries {
     "keyed_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderkey % 150 = 7""",
+    "manifest_point_merge" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 211 = 3 THEN o_custkey + 500000 ELSE o_custkey END AS o_custkey,
+           o_totalprice + CASE WHEN o_orderkey % 151 = 0 THEN 1000.0 ELSE 0 END AS o_totalprice
+         FROM orders WHERE o_orderkey % 163 <> 1""",
     "index_lookup" ->
       """WITH fin0 AS (SELECT o_orderkey,
              CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 100000 ELSE o_custkey END AS o_custkey,

@@ -33,7 +33,8 @@ final case class CommitInfo(
     batchId: Long,
     cdfBytes: Long,
     dir: String,
-    files: Option[Map[Int, Seq[FileEntry]]] = None)
+    files: Option[Map[Int, Seq[FileEntry]]] = None,
+    epoch: Int = -1)
 
 /** Minimal JSON commit log for a [[KeyedTable]].
   *
@@ -101,11 +102,32 @@ final class CommitLog(rootPath: String, conf: Configuration) {
         cdfBytes = """"cdfBytes":(-?\d+)""".r.findFirstMatchIn(json)
           .map(_.group(1).toLong).getOrElse(-1L),
         dir = """"dir":"([^"]+)"""".r.findFirstMatchIn(json)
-          .map(_.group(1)).getOrElse(s"v=$v"))
+          .map(_.group(1)).getOrElse(s"v=$v"),
+        files = parseFiles(json),
+        epoch = """"epoch":(-?\d+)""".r.findFirstMatchIn(json)
+          .map(_.group(1).toInt).getOrElse(-1))
       commitCache.put(v, info)
       info
     }
   }
+
+  // manifest entries are flat strings "bucket|relpath|minHash|maxHash" —
+  // parquet part names contain no '|', which keeps the log's regex-level
+  // parser sound without a JSON library
+  private def encodeFiles(files: Map[Int, Seq[FileEntry]]): String =
+    files.toSeq.sortBy(_._1).flatMap { case (b, es) =>
+      es.map(e => s""""$b|${e.path}|${e.minHash}|${e.maxHash}"""")
+    }.mkString(""","files":[""", ",", "]")
+
+  private def parseFiles(json: String): Option[Map[Int, Seq[FileEntry]]] =
+    """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json).map { m =>
+      m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+        .map(_.stripPrefix("\"").stripSuffix("\""))
+        .map { s =>
+          val p = s.split('|')
+          p(0).toInt -> FileEntry(p(1), p(2).toLong, p(3).toLong)
+        }.toSeq.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+    }
 
   /** Directory name (under `data/` and `cdf/`) of a commit's files. */
   def dirOf(v: Long): String = readCommit(v).dir
@@ -167,16 +189,24 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     * microbatch — replayed batches (failure recovery re-runs the last
     * foreachBatch) are detected via [[maxBatchIdAt]] and skipped, which
     * is what makes incremental agg merges exactly-once. */
+  /** `epoch` is the bucket modulus the commit's files were hashed with —
+    * a writer whose plan predates a concurrent rebucket detects the
+    * mismatch against its claim base's epoch and replays (SURVEY §6f-7:
+    * the crash-marker protects a SINGLE writer's rebucket; the epoch
+    * stamp protects racing writers). */
   def commit(version: Long, buckets: Seq[Int], emptied: Seq[Int] = Nil,
-      batchId: Long = -1L, cdfBytes: Long = -1L, dir: String = null): Boolean = {
+      batchId: Long = -1L, cdfBytes: Long = -1L, dir: String = null,
+      files: Option[Map[Int, Seq[FileEntry]]] = None, epoch: Int = -1): Boolean = {
     val d = if (dir == null) s"v=$version" else dir
     val bid = if (batchId >= 0) s""","batchId":$batchId""" else ""
     val cb = if (cdfBytes >= 0) s""","cdfBytes":$cdfBytes""" else ""
+    val ep = if (epoch >= 0) s""","epoch":$epoch""" else ""
+    val fl = files.map(encodeFiles).getOrElse("")
     val json = s"""{"version":$version,"buckets":[${buckets.mkString(",")}],""" +
-      s""""emptied":[${emptied.mkString(",")}]$bid$cb,"dir":"$d"}"""
+      s""""emptied":[${emptied.mkString(",")}]$bid$cb$ep$fl,"dir":"$d"}"""
     val won = writeAtomicClaiming(commitPath(version), json)
     if (won) commitCache.put(version,
-      CommitInfo(version, buckets, emptied, batchId, cdfBytes, d))
+      CommitInfo(version, buckets, emptied, batchId, cdfBytes, d, files, epoch))
     won
   }
 
@@ -187,6 +217,13 @@ final class CommitLog(rootPath: String, conf: Configuration) {
   def cdfBytesByVersion(fromExclusive: Long, upTo: Long): Seq[(Long, Long)] =
     versions().filter(v => v > fromExclusive && v <= upTo)
       .map(v => v -> readCommit(v).cdfBytes)
+
+  /** Highest batchId among commits in `(fromExclusive, upTo]`; -1 if
+    * none — the incremental freshening step for a batchId cache that
+    * must see commits landed by CONCURRENT writers. */
+  def maxBatchIdIn(fromExclusive: Long, upTo: Long): Long =
+    versions().iterator.filter(v => v > fromExclusive && v <= upTo)
+      .foldLeft(-1L)((acc, v) => math.max(acc, readCommit(v).batchId))
 
   /** Highest streaming batchId recorded at or below `upTo`; -1 if none.
     * Replays from the newest checkpoint like [[bucketVersions]]. */

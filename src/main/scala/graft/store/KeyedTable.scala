@@ -156,8 +156,15 @@ final class KeyedTable private (
       StructField("_change_type", StringType),
       StructField("_commit_version", LongType)))
 
+  /** The 64-bit key hash bucketing derives from — ALSO the per-file
+    * pruning order: data files are written sorted by it and a commit
+    * manifest records each file's [min,max], so point merges/reads
+    * touch only the files a key hash can live in. */
+  private def keyHashExpr(qual: String => Column): Column =
+    xxhash64(meta.bucketKeys.map(qual): _*)
+
   private def bucketExpr(qual: String => Column): Column =
-    pmod(xxhash64(meta.bucketKeys.map(qual): _*), lit(meta.numBuckets)).cast("int")
+    pmod(keyHashExpr(qual), lit(meta.numBuckets)).cast("int")
 
   private def emptyDf: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -171,46 +178,87 @@ final class KeyedTable private (
     else readBuckets(bv.toSeq)
   }
 
-  private def readBuckets(bv: Seq[(Int, Long)]): DataFrame = {
-    val paths = bv.map { case (b, ver) => s"$path/data/${log.dirOf(ver)}/b=$b" }
+  /** Current file paths of bucket `b` whose owning commit is `v`:
+    * manifest entries when the commit records them (possibly referencing
+    * OLDER commits' dirs — files a pruned merge carried forward), else
+    * the legacy whole-dir path. */
+  private[graft] def bucketFilePaths(b: Int, v: Long): Seq[String] =
+    log.readCommit(v).files match {
+      case Some(m) => m.getOrElse(b, Nil).map(e => s"$path/${e.path}")
+      case None    => Seq(s"$path/data/${log.dirOf(v)}/b=$b")
+    }
+
+  private def readBuckets(bv: Seq[(Int, Long)]): DataFrame =
+    readPaths(bv.flatMap { case (b, ver) => bucketFilePaths(b, ver) })
+
+  private def readPaths(paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) emptyDf
     // explicit schema: skips the footer-sampling schema-inference job
     // that would otherwise run on EVERY snapshot/merge read (data files
     // may carry extra all-null cdf columns from the fused write; the
     // projection below ignores them)
-    spark.read.schema(schema).parquet(paths: _*).select(dataCols.map(col): _*)
-  }
+    else spark.read.schema(schema).parquet(paths: _*).select(dataCols.map(col): _*)
 
-  /** Bucket-pruned point reads: rows whose bucket keys appear in
-    * `keys`. The keys hash to a bucket set (one tiny action), ONLY
-    * those buckets' files are read, and a broadcast semi-join filters
-    * within-bucket rows — at 100 TB a point lookup reads one ~GB
+  /** Bucket- AND file-pruned point reads: rows whose bucket keys appear
+    * in `keys`. The keys hash to a bucket set (one tiny action), only
+    * those buckets' files whose manifest [min,max] hash range contains a
+    * probe hash are read, and a broadcast semi-join filters within-file
+    * rows — at 100 TB a point lookup reads a few files of one ~GB
     * bucket, not the table (the reader-side counterpart of merge's
-    * affected-bucket pruning). */
+    * file pruning). `keys` is assumed point-lookup-sized: its distinct
+    * hashes are collected to the driver. */
   def snapshotForKeys(keys: DataFrame): DataFrame = {
     require(meta.bucketKeys.forall(keys.columns.contains),
       s"keys must carry all bucket key columns ${meta.bucketKeys.mkString(",")}")
     if (autoMergeOn) refreshMeta()
     val k = keys.select(meta.bucketKeys.map(col): _*).distinct()
-      .withColumn(BucketCol, bucketExpr(col))
-    val buckets = k.agg(collect_set(col(BucketCol))).collect().head.getSeq[Int](0)
+      .withColumn(KHashCol, keyHashExpr(col))
+    val hashes = k.agg(collect_set(col(KHashCol))).collect().head
+      .getSeq[Long](0).sorted.toArray
+    val buckets = hashes
+      .map(h => java.lang.Math.floorMod(h, meta.numBuckets.toLong).toInt).toSet
     val bv = bucketVersionsAt(latestVersion)
       .filter { case (b, _) => buckets.contains(b) }
     if (bv.isEmpty) emptyDf
-    else readBuckets(bv.toSeq)
-      .join(broadcast(k.drop(BucketCol)), meta.bucketKeys, "left_semi")
+    else {
+      def anyProbeIn(mn: Long, mx: Long): Boolean = {
+        var i = java.util.Arrays.binarySearch(hashes, mn)
+        if (i < 0) i = -i - 1
+        i < hashes.length && hashes(i) <= mx
+      }
+      val paths = bv.toSeq.flatMap { case (b, v) =>
+        log.readCommit(v).files match {
+          case Some(m) => m.getOrElse(b, Nil)
+            .filter(e => anyProbeIn(e.minHash, e.maxHash))
+            .map(e => s"$path/${e.path}")
+          case None => Seq(s"$path/data/${log.dirOf(v)}/b=$b")
+        }
+      }
+      readPaths(paths)
+        .join(broadcast(k.drop(KHashCol)), meta.bucketKeys, "left_semi")
+    }
   }
 
-  /** Change rows with `_commit_version > sinceVersion`, batch form. */
+  /** Change rows with `_commit_version > sinceVersion`, batch form.
+    * Version-pruned: the pending commits' dir names come from the
+    * (cached) log, so a drain of a 1-commit tail on a 10k-commit table
+    * touches ONE directory — a glob over the whole cdf root would list
+    * and read every retained commit's changes only to filter them back
+    * out. */
   def changesSince(sinceVersion: Long): DataFrame = {
     if (autoMergeOn) refreshMeta() // evolved cdf columns must appear
-    // `cdf/*` globs per-commit dirs; with zero commits the batch reader
-    // throws where the stream source would just wait — return empty
-    val cdfPath = new org.apache.hadoop.fs.Path(s"$path/cdf")
-    val fs = cdfPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(cdfPath) || fs.listStatus(cdfPath).isEmpty)
+    val fs = hfs
+    val paths = log.versions().filter(_ > sinceVersion)
+      .map(v => new org.apache.hadoop.fs.Path(s"$path/cdf/${log.dirOf(v)}"))
+      // a commit may have produced no change files (layout-only rewrite)
+      .filter(fs.exists)
+    if (paths.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), cdfSchema)
     else
-      spark.read.schema(cdfSchema).parquet(s"$path/cdf/*")
+      spark.read.schema(cdfSchema).parquet(paths.map(_.toString): _*)
+        // rows below the floor can still appear: recovery may publish a
+        // pending dir whose rows were superseded — the version column
+        // stays authoritative
         .where(col("_commit_version") > sinceVersion)
   }
 
@@ -349,6 +397,11 @@ final class KeyedTable private (
     }
   }
 
+  /** Bucket modulus of the commit at version `v`; -1 for pre-epoch
+    * commits and empty tables (no mismatch detectable — assume ours). */
+  private def epochAt(v: Long): Int =
+    if (v <= 0) -1 else log.readCommit(v).epoch
+
   /** Deletes rows matching the given keys; emits `delete` CDF rows.
     * `keys` may carry the FULL key (bucket-pruned scan) or any subset
     * of key columns (partial-key delete — e.g. retract every join
@@ -363,31 +416,56 @@ final class KeyedTable private (
     require(keyCols.nonEmpty,
       s"delete keys must include at least one of ${meta.keys.mkString(",")}")
     val fullKey = meta.bucketKeys.forall(keyCols.contains)
+    val planEpoch = meta.numBuckets
     val staged0 = keys.select(keyCols.map(col): _*).distinct()
-    val staged = (if (fullKey) staged0.withColumn(BucketCol, bucketExpr(col))
-                  else staged0)
+    val staged = (if (fullKey)
+        staged0.withColumn(KHashCol, keyHashExpr(col))
+          .withColumn(BucketCol, pmod(col(KHashCol), lit(meta.numBuckets)).cast("int"))
+      else staged0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // bucket set from the batch alone (stable across claim retries);
-      // partial-key deletes resolve to "all live buckets" per attempt
-      val batchBuckets: Option[Seq[Int]] =
+      // bucket set + per-bucket staged hash range from the batch alone
+      // (stable across claim retries); partial-key deletes resolve to
+      // "all live buckets, all files" per attempt
+      val plan: Option[Array[Row]] =
         if (fullKey) {
           spark.sparkContext.setJobDescription("graft:merge:plan")
-          Some(staged.agg(collect_set(col(BucketCol))).collect().head.getSeq[Int](0))
-        } else if (staged.isEmpty) Some(Nil)
+          Some(staged.groupBy(col(BucketCol)).agg(count(lit(1)).alias("__n"),
+            min(col(KHashCol)).alias("__mn"), max(col(KHashCol)).alias("__mx"))
+            .collect())
+        } else if (staged.isEmpty) Some(Array.empty)
         else None
+      val batchBuckets: Option[Seq[Int]] = plan.map(_.map(_.getInt(0)).toSeq)
+      val stagedRange: Map[Int, (Long, Long)] = plan
+        .map(_.map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap)
+        .getOrElse(Map.empty)
+      val stagedCount: Long = plan.map(_.map(_.getLong(1)).sum).getOrElse(Long.MaxValue)
       var attempt = 0
       var out = -1L
       while (out < 0) {
         val base = latestVersion
+        // racing rebucket: the staged bucket ids are under the old
+        // modulus — replay the delete against the new layout
+        if (epochAt(base) >= 0 && epochAt(base) != planEpoch) {
+          staged.unpersist()
+          refreshMeta()
+          return delete(keys)
+        }
         val bvAll = bucketVersionsAt(base)
         val affected = batchBuckets.getOrElse(bvAll.keys.toSeq)
         val bv = bvAll.filter { case (b, _) => affected.contains(b) }
-        if (affected.isEmpty || bv.isEmpty) out = base
+        // full-key deletes read only the files a deleted key's hash can
+        // live in; files out of range carry forward by reference
+        val (readablePaths, carriedFiles) =
+          if (bv.isEmpty) (Nil, Map.empty[Int, Seq[FileEntry]])
+          else if (fullKey) splitByHashRange(staged, bv.toSeq, stagedRange, stagedCount)
+          else (bv.toSeq.flatMap { case (b, v) => bucketFilePaths(b, v) },
+            Map.empty[Int, Seq[FileEntry]])
+        if (affected.isEmpty || readablePaths.isEmpty) out = base
         else {
           val newVersion = base + 1
           val dir = attemptDir(newVersion)
-          val current = readBuckets(bv.toSeq).withColumn(BucketCol, bucketExpr(col))
+          val current = readPaths(readablePaths).withColumn(BucketCol, bucketExpr(col))
           val eq = keyCols.map(k => col(s"u.$k") <=> col(s"d.$k")).reduce(_ && _)
           val u = current.alias("u")
           val d = staged.alias("d")
@@ -401,11 +479,17 @@ final class KeyedTable private (
           writeFused(dir, newVersion, remaining, removed)
           spark.sparkContext.setJobDescription(null)
           // buckets the delete emptied entirely get tombstoned; the rest
-          // point at their rewritten files
-          val written = listWrittenBuckets(dir)
-          val emptied = affected.filterNot(written.contains)
+          // point at carried + rewritten files
+          val newFiles = writtenFileStats(dir)
+          val touched = bv.keys.toSeq
+          val manifest = touched.map { b =>
+            b -> (carriedFiles.getOrElse(b, Nil) ++ newFiles.getOrElse(b, Nil))
+          }.filter(_._2.nonEmpty).toMap
+          val written = manifest.keys.toSeq
+          val emptied = touched.filterNot(manifest.contains)
           preCommitHook()
-          if (log.commit(newVersion, written, emptied, cdfBytes = cdfBytesOf(dir), dir = dir)) {
+          if (log.commit(newVersion, written, emptied, cdfBytes = cdfBytesOf(dir),
+              dir = dir, files = Some(manifest), epoch = planEpoch)) {
             publishCdf(dir)
             bvCache = (newVersion,
               bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
@@ -528,9 +612,10 @@ final class KeyedTable private (
       spark.sparkContext.setJobDescription("graft:rebucket:write")
       writeFused(dir, newVersion, content, emptyCdf, sortKeys)
       spark.sparkContext.setJobDescription(null)
-      val written = listWrittenBuckets(dir)
-      if (log.commit(newVersion, written, oldLive.filterNot(written.contains),
-          dir = dir)) {
+      val manifest = writtenFileStats(dir)
+      val written = manifest.keys.toSeq
+      if (log.commit(newVersion, written, oldLive.filterNot(manifest.contains),
+          dir = dir, files = Some(manifest), epoch = newBuckets)) {
         swapMeta()
         log.clearRebucketMarker()
         bvCache = (newVersion, written.map(_ -> newVersion).toMap)
@@ -599,10 +684,18 @@ final class KeyedTable private (
       if (n.startsWith("v=") && digits.nonEmpty) Some(digits.toLong) else None
     }
     // data dirs still referenced by the bucket map of ANY retained
-    // version (by NAME — a version's files live under its commit's
-    // attempt-unique dir)
-    val reachableDirs: Set[String] = versions.filter(_ >= cutoff)
-      .flatMap(v => bucketVersionsAt(v).values).toSet[Long].map(log.dirOf)
+    // version — a retained bucket's manifest may reference files CARRIED
+    // from much older commits' dirs, so reachability walks the
+    // manifests, falling back to the owning commit's dir for
+    // pre-manifest commits
+    val reachableDirs: Set[String] = versions.filter(_ >= cutoff).flatMap { v =>
+      bucketVersionsAt(v).toSeq.flatMap { case (b, ver) =>
+        log.readCommit(ver).files match {
+          case Some(m) => m.getOrElse(b, Nil).map(_.path.split('/')(1))
+          case None    => Seq(log.dirOf(ver))
+        }
+      }
+    }.toSet
     val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { st =>
@@ -645,13 +738,27 @@ final class KeyedTable private (
     */
   // highest streaming batchId ever merged (exactly-once replay guard);
   // initialized lazily from the log so a recovered stage handle sees
-  // markers written before the crash
-  @volatile private var batchIdCache: Long = Long.MinValue
+  // markers written before the crash. Tracked WITH the version it was
+  // computed at: a concurrent drainer's commits (multi-drainer races,
+  // §6h-2) advance the log behind this handle's back, and a stale cache
+  // would let the same microbatch apply TWICE — double-counting every
+  // incremental-agg delta. Freshening folds only the commit tail
+  // (cached parses), so the steady-state cost is one log listing.
+  @volatile private var batchIdCache: (Long, Long) = (-1L, Long.MinValue)
 
-  private[graft] def lastAppliedBatchId: Long = {
-    if (batchIdCache == Long.MinValue)
-      batchIdCache = log.maxBatchIdAt(latestVersion)
-    batchIdCache
+  private[graft] def lastAppliedBatchId: Long = lastAppliedBatchIdAt(latestVersion)
+
+  private def lastAppliedBatchIdAt(v: Long): Long = {
+    val (at, bid) = batchIdCache
+    if (bid == Long.MinValue) {
+      val fresh = log.maxBatchIdAt(v)
+      batchIdCache = (v, fresh)
+      fresh
+    } else if (v > at) {
+      val fresh = math.max(bid, log.maxBatchIdIn(at, v))
+      batchIdCache = (v, fresh)
+      fresh
+    } else bid
   }
 
   def merge(batch: DataFrame, spec: MergeSpec, uniqueKeys: Boolean = false,
@@ -681,30 +788,42 @@ final class KeyedTable private (
       if (df.columns.contains(n)) df else df.withColumn(n, expr(sql))
     }
     val dataOnly = withGen.select(dataCols.map(col): _*)
+    // the bucket modulus this whole plan is hashed with — stamped into
+    // the commit and compared against the claim base's epoch, so a
+    // rebucket racing this merge forces a replay instead of silently
+    // landing old-modulus buckets (§6f-7)
+    val planEpoch = meta.numBuckets
     // incremental stages produce key-unique batches by construction
     // (join deltas are outer-merged per key, agg deltas are groupBy
     // output) — the within-batch dedup window would be a no-op shuffle
     val staged0 = (if (uniqueKeys) dataOnly else dedupByKey(dataOnly))
-      .withColumn(BucketCol, bucketExpr(col))
+      .withColumn(KHashCol, keyHashExpr(col))
+      .withColumn(BucketCol, pmod(col(KHashCol), lit(meta.numBuckets)).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // ONE action materializes the staged batch AND collects everything
-      // the planner needs from it: the affected bucket set plus the
+      // the planner needs from it: per affected bucket the row count and
+      // the staged key-hash [min,max] (file-granular pruning), plus the
       // distinct values of each pruned column
-      val planCols = collect_set(col(BucketCol)).alias("__b") +:
+      val aggCols = Seq(count(lit(1)).alias("__n"),
+        min(col(KHashCol)).alias("__mn"), max(col(KHashCol)).alias("__mx")) ++
         meta.prunedCols.map(pc => collect_set(col(pc)).alias(s"__p_$pc"))
       spark.sparkContext.setJobDescription("graft:merge:plan")
-      val planRow = staged0.agg(planCols.head, planCols.tail: _*).collect().head
-      val affected = planRow.getSeq[Int](0)
+      val planRows = staged0.groupBy(col(BucketCol))
+        .agg(aggCols.head, aggCols.tail: _*).collect()
+      val affected = planRows.map(_.getInt(0)).toSeq
       if (affected.isEmpty) latestVersion
       else {
+        val stagedRange = planRows
+          .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+        val stagedCount = planRows.map(_.getLong(1)).sum
         // static partition pruning (the reference's `prune(col)`,
         // joins.py:619-632): restrict the target-side scan to the
         // pruned columns' values present in this batch — at scale this
         // skips whole partitions/row-groups of the target
         val pruneFilter: Option[Column] = meta.prunedCols.headOption.map { _ =>
           meta.prunedCols.zipWithIndex.map { case (pc, i) =>
-            val vals = planRow.getSeq[Any](i + 1).filter(_ != null)
+            val vals = planRows.flatMap(_.getSeq[Any](4 + i)).distinct.filter(_ != null)
             col(pc).isNull || col(pc).isin(vals: _*)
           }.reduce(_ && _)
         }
@@ -713,18 +832,27 @@ final class KeyedTable private (
         var prevBv: Map[Int, Long] = null
         var prevWritten: Seq[Int] = null
         var prevEmptied: Seq[Int] = null
+        var prevManifest: Map[Int, Seq[FileEntry]] = null
         var attempt = 0
         var out = -1L
         while (out < 0) {
           val base = latestVersion
-          if (batchId >= 0 && attempt > 0) {
-            // a competitor may have applied this very microbatch while we
-            // were racing (two recovering handles of one stage) — re-check
-            batchIdCache = log.maxBatchIdAt(base)
-            if (batchId <= batchIdCache) {
-              if (prevDir != null) discardAttempt(prevDir)
-              return base
-            }
+          // a competitor may have applied this very microbatch while we
+          // were staging or racing (two drainers of one stage) — the
+          // version-aware cache re-folds the commit tail whenever the
+          // log moved past it, so this check is fresh on EVERY attempt
+          if (batchId >= 0 && batchId <= lastAppliedBatchIdAt(base)) {
+            if (prevDir != null) discardAttempt(prevDir)
+            return base
+          }
+          // a concurrent rebucket changed the hash modulus after this
+          // plan staged: every bucket id and file range in it is wrong —
+          // drop the attempt and replay against the new layout
+          if (epochAt(base) >= 0 && epochAt(base) != planEpoch) {
+            if (prevDir != null) discardAttempt(prevDir)
+            staged0.unpersist()
+            refreshMeta()
+            return merge(batch, spec, uniqueKeys, batchId)
           }
           val newVersion = base + 1
           val bv = bucketVersionsAt(base).filter { case (b, _) => affected.contains(b) }
@@ -737,12 +865,13 @@ final class KeyedTable private (
             restampCdf(prevDir, newVersion)
             preCommitHook()
             if (log.commit(newVersion, prevWritten, prevEmptied, batchId,
-                cdfBytesOf(prevDir), prevDir)) {
+                cdfBytesOf(prevDir), prevDir, Option(prevManifest), planEpoch)) {
               publishCdf(prevDir)
               bvCache = (newVersion,
                 bucketVersionsAt(newVersion - 1) ++ prevWritten.map(_ -> newVersion)
                   -- prevEmptied)
-              if (batchId >= 0) batchIdCache = math.max(lastAppliedBatchId, batchId)
+              if (batchId >= 0) batchIdCache =
+                (newVersion, math.max(lastAppliedBatchIdAt(base), batchId))
               maybeCheckpoint(newVersion)
               out = newVersion
             } else {
@@ -755,12 +884,16 @@ final class KeyedTable private (
           } else {
             if (prevDir != null) { discardAttempt(prevDir); prevDir = null }
             val dir = attemptDir(newVersion)
-            val currentRaw =
-              (if (bv.isEmpty) emptyDf else readBuckets(bv.toSeq))
+            // file-granular target scan: only files whose key-hash range
+            // intersects the staged batch are read and rewritten; the
+            // rest of each bucket's files carry forward by reference
+            val (readablePaths, carriedFiles) =
+              splitByHashRange(staged0, bv.toSeq, stagedRange, stagedCount)
+            val currentRaw = readPaths(readablePaths)
             val current = pruneFilter.fold(currentRaw)(currentRaw.where)
                 .withColumn(BucketCol, bucketExpr(col))
             val (merged, cdf, cleanup) =
-              if (bv.isEmpty) mergeIntoEmpty(staged0, spec)
+              if (readablePaths.isEmpty) mergeIntoEmpty(staged0, spec)
               else if (meta.nullableKeys.isEmpty) mergeExact(current, staged0, spec)
               else mergeWithPlaceholders(current, staged0, spec)
             // bucket rewrite must carry pruned-out rows through unchanged —
@@ -773,22 +906,27 @@ final class KeyedTable private (
               spark.sparkContext.setJobDescription("graft:merge:write")
               writeFused(dir, newVersion, newContent, cdf)
               spark.sparkContext.setJobDescription(null)
-              // commit the buckets that actually produced files; affected
-              // buckets with no output file were empty before AND after
+              // manifest = carried references + the attempt's new files;
+              // affected buckets with neither were empty before AND after
               // (e.g. every staged row lost its sequence race against an
               // empty bucket) — tombstone them so the map never points at
-              // a missing dir
-              val written = listWrittenBuckets(dir)
-              val emptied = affected.filterNot(written.contains)
+              // missing files
+              val newFiles = writtenFileStats(dir)
+              val manifest = affected.map { b =>
+                b -> (carriedFiles.getOrElse(b, Nil) ++ newFiles.getOrElse(b, Nil))
+              }.filter(_._2.nonEmpty).toMap
+              val written = manifest.keys.toSeq
+              val emptied = affected.filterNot(manifest.contains)
               preCommitHook()
               if (log.commit(newVersion, written, emptied, batchId,
-                  cdfBytesOf(dir), dir)) {
+                  cdfBytesOf(dir), dir, Some(manifest), planEpoch)) {
                 publishCdf(dir)
                 // advance the replay cache incrementally
                 bvCache = (newVersion,
                   bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
                     -- emptied)
-                if (batchId >= 0) batchIdCache = math.max(lastAppliedBatchId, batchId)
+                if (batchId >= 0) batchIdCache =
+                  (newVersion, math.max(lastAppliedBatchIdAt(base), batchId))
                 maybeCheckpoint(newVersion)
                 out = newVersion
               } else {
@@ -796,6 +934,7 @@ final class KeyedTable private (
                 attempt += 1
                 prevDir = dir; prevBv = bv
                 prevWritten = written; prevEmptied = emptied
+                prevManifest = manifest
                 require(attempt <= occMaxRetries,
                   s"merge lost $attempt optimistic commit claims on $path; " +
                     "raise spark.graft.occ.maxRetries or reduce writer contention")
@@ -860,7 +999,12 @@ final class KeyedTable private (
     def normalized(df: DataFrame, extra: Seq[Column]): DataFrame =
       df.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).alias(f.name)) ++
         extra: _*)
+    // __khash is stored in the data files: the write sorts by it (so one
+    // commit's files per bucket cover disjoint hash ranges), the commit
+    // manifest records per-file [min,max] straight from the parquet
+    // footer stats, and future merges prune against those ranges
     val dataSide = normalized(newContent, Seq(col(BucketCol)))
+      .withColumn(KHashCol, keyHashExpr(col))
       .withColumn("_change_type", lit(null).cast(StringType))
       .withColumn("_commit_version", lit(null).cast(LongType))
       .withColumn(SideCol, lit("d"))
@@ -872,6 +1016,7 @@ final class KeyedTable private (
     val cdfFiles = math.max(1, spark.conf
       .getOption("spark.graft.merge.cdfFiles").map(_.toInt).getOrElse(4))
     val cdfSide = normalized(cdf, Seq(col("_change_type")))
+      .withColumn(KHashCol, lit(null).cast(LongType))
       .withColumn("_commit_version", lit(newVersion))
       .withColumn(BucketCol, pmod(bucketExpr(col), lit(cdfFiles)).cast("int"))
       .withColumn(SideCol, lit("c"))
@@ -879,16 +1024,23 @@ final class KeyedTable private (
     val shuffled = dataSide.unionByName(cdfSide)
       .withColumnRenamed(BucketCol, "b")
       .repartition(col(SideCol), col("b"))
-    // optimize()/optimizeZOrder() cluster rows inside each bucket file
-    // so row-group stats on the sort keys become tight ranges (write
-    // tasks are per (side, b), so a within-partition sort orders each
-    // output file)
+    // data rows sort by key hash so maxRecordsPerFile splits each bucket
+    // into files with DISJOINT hash ranges — the geometry file-granular
+    // merge pruning depends on. optimize()/optimizeZOrder() override the
+    // order to cluster by their sort keys instead (row-group stats on
+    // those columns tighten; hash ranges then overlap and merge pruning
+    // degrades gracefully to whole-bucket until the next hash-ordered
+    // rewrite). Write tasks are per (side, b), so a within-partition
+    // sort orders each output file.
     val ordered =
-      if (sortKeys.isEmpty) shuffled
+      if (sortKeys.isEmpty)
+        shuffled.sortWithinPartitions(col(SideCol), col("b"), col(KHashCol))
       else shuffled.sortWithinPartitions(
         Seq(col(SideCol), col("b")) ++ sortKeys: _*)
     ordered
       .write.mode("overwrite")
+      .option("maxRecordsPerFile", spark.conf
+        .getOption("spark.graft.targetFileRows").map(_.toLong).getOrElse(1L << 23))
       .partitionBy(SideCol, "b")
       .parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
@@ -1115,18 +1267,117 @@ final class KeyedTable private (
     hi
   }
 
-  private def listWrittenBuckets(dir: String): Seq[Int] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/data/$dir")
+  /** Manifest entries of a freshly written data dir: per-file key-hash
+    * [min,max] read DRIVER-SIDE from the parquet footer statistics of
+    * the `__khash` column writeFused stored — no Spark job, a few
+    * footer reads per commit (the attempt only wrote batch-affected
+    * files). A file without usable stats gets the full range (never
+    * pruned — correct, just not skippable). */
+  private def writtenFileStats(dir: String): Map[Int, Seq[FileEntry]] = {
     val fs = hfs
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("b=")).map(_.stripPrefix("b=").toInt)
+    val root = new org.apache.hadoop.fs.Path(s"$path/data/$dir")
+    if (!fs.exists(root)) return Map.empty
+    val conf = spark.sessionState.newHadoopConf()
+    val files = fs.listStatus(root).filter(_.getPath.getName.startsWith("b="))
+      .flatMap { bDir =>
+        val b = bDir.getPath.getName.stripPrefix("b=").toInt
+        fs.listStatus(bDir.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet")).map(f => (b, f.getPath))
+      }.toSeq
+    def statOne(b: Int, p: org.apache.hadoop.fs.Path): (Int, FileEntry) = {
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var any = false
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try rd.getFooter.getBlocks.forEach { blk =>
+        blk.getColumns.forEach { c =>
+          if (c.getPath.toDotString == KHashCol) {
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              mn = math.min(mn, st.genericGetMin.asInstanceOf[java.lang.Long])
+              mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long])
+              any = true
+            }
+          }
+        }
+      } finally rd.close()
+      val rel = s"data/$dir/b=$b/${p.getName}"
+      b -> (if (any) FileEntry(rel, mn, mx)
+            else FileEntry(rel, Long.MinValue, Long.MaxValue))
+    }
+    // a bulk load writes one file per bucket — dozens of footers; read
+    // them concurrently (each is one ~KB tail read) so manifest
+    // assembly never becomes the per-commit bottleneck
+    val out =
+      if (files.size <= 2) files.map { case (b, p) => statOne(b, p) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, files.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(files.map { case (b, p) =>
+            new java.util.concurrent.Callable[(Int, FileEntry)] {
+              def call(): (Int, FileEntry) = statOne(b, p)
+            }
+          }.asJava).asScala.toSeq.map(_.get())
+        } finally pool.shutdown()
+      }
+    out.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sortBy(_.minHash) }
+  }
+
+  /** Splits the affected buckets' current files into files the merge
+    * must READ (their key-hash range intersects the staged batch, so a
+    * stored row this batch can match may live there) and entries CARRIED
+    * forward by reference into the new manifest. Two levels: the
+    * per-bucket staged [min,max] from the planning aggregate prunes for
+    * free; when several candidate files per bucket survive and the batch
+    * is collectable-small, one broadcast range-join refines to the files
+    * an ACTUAL staged hash lands in. Legacy dir-granular buckets are
+    * always read whole. */
+  private def splitByHashRange(staged: DataFrame, bv: Seq[(Int, Long)],
+      stagedRange: Map[Int, (Long, Long)], stagedCount: Long)
+      : (Seq[String], Map[Int, Seq[FileEntry]]) = {
+    val legacy = scala.collection.mutable.ArrayBuffer[String]()
+    val cand = scala.collection.mutable.ArrayBuffer[(Int, FileEntry)]()
+    var carried = Map.empty[Int, List[FileEntry]].withDefaultValue(Nil)
+    bv.foreach { case (b, v) =>
+      log.readCommit(v).files match {
+        case None => legacy += s"$path/data/${log.dirOf(v)}/b=$b"
+        case Some(m) =>
+          val (mn, mx) = stagedRange.getOrElse(b, (Long.MinValue, Long.MaxValue))
+          m.getOrElse(b, Nil).foreach { e =>
+            if (e.maxHash >= mn && e.minHash <= mx) cand += (b -> e)
+            else carried += b -> (e :: carried(b))
+          }
+      }
+    }
+    val exactMax = spark.conf.getOption("spark.graft.merge.exactPruneMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val indexed = cand.toSeq.zipWithIndex
+    val (hit, missed) =
+      if (stagedCount <= exactMax &&
+          cand.groupBy(_._1).exists(_._2.size > 1)) {
+        import spark.implicits._
+        val ranges = indexed
+          .map { case ((b, e), i) => (i, b, e.minHash, e.maxHash) }
+          .toDF("__fid", "__fb", "__fmn", "__fmx")
+        val hitIds = staged.join(broadcast(ranges),
+            col(BucketCol) === col("__fb") &&
+              col(KHashCol) >= col("__fmn") && col(KHashCol) <= col("__fmx"))
+          .select("__fid").distinct().collect().map(_.getInt(0)).toSet
+        indexed.partition { case (_, i) => hitIds.contains(i) }
+      } else (indexed, Nil)
+    missed.foreach { case ((b, e), _) => carried += b -> (e :: carried(b)) }
+    (legacy.toSeq ++ hit.map { case ((_, e), _) => s"$path/${e.path}" },
+      carried.map { case (b, es) => b -> es.sortBy(_.minHash) })
   }
 }
 
 object KeyedTable {
   private[store] val BucketCol = "__bucket"
   private[store] val SideCol = "__side"
+  private[store] val KHashCol = "__khash"
   private[store] val CheckpointInterval = 10L
   // how long an unreferenced _cdf_pending dir must sit unmodified before
   // recovery/vacuum may treat its attempt as dead (override with

@@ -43,20 +43,56 @@ private[streaming] object DrainState {
     try props.store(out, null) finally out.close()
   }
 
-  /** Current state with intent recovery (see class doc). */
+  /** How long an intent whose merge has NOT landed may sit before it is
+    * treated as a dead drainer's leftover and reaped. A reap can only
+    * duplicate work, never effects: the step's merge is batchId-guarded
+    * (and OCC-arbitrated) in the output table. */
+  private def claimGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.drain.claimGraceMs")
+      .map(_.toLong).getOrElse(15000L)
+
+  /** Current state with intent recovery. An intent whose merge landed
+    * (commit crashed mid-promotion) is promoted; an unlanded intent is
+    * left alone while fresh — it may belong to a CONCURRENT drainer mid-
+    * merge — and reaped once stale past the claim grace period. */
   def load(spark: SparkSession, dir: String, appliedBatchId: Long): St = {
     val f = fs(spark, dir)
     val state = new Path(dir, "state.properties")
     val intent = new Path(dir, "intent.properties")
     if (f.exists(intent)) {
       val i = read(f, intent)
-      f.delete(intent, false)
       // the intent's merge ran with batchId = i.next - 1
-      if (appliedBatchId >= i.next - 1) { write(f, state, i); return i }
+      if (appliedBatchId >= i.next - 1) {
+        f.delete(intent, false)
+        write(f, state, i)
+        return i
+      }
+      val st = try f.getFileStatus(intent) catch { case _: java.io.FileNotFoundException => null }
+      if (st != null &&
+          System.currentTimeMillis() - st.getModificationTime > claimGraceMs(spark))
+        f.delete(intent, false)
     }
     if (f.exists(state)) read(f, state) else St(Map.empty, 0L)
   }
 
+  /** Atomically claims the drain step `post` by create-if-absent rename
+    * of the intent file (the same arbiter commit files use): exactly one
+    * concurrent drainer wins a step; a loser re-loads and waits for the
+    * winner's commit (multi-drainer arbitration, SURVEY §6h-2). */
+  def beginClaim(spark: SparkSession, dir: String, post: St): Boolean = {
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    val intent = new Path(dir, "intent.properties")
+    if (f.exists(intent)) return false // cheap pre-check; rename still arbitrates
+    val tmp = new Path(dir,
+      s".intent.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    write(f, tmp, post)
+    val won = f.rename(tmp, intent)
+    if (!won) f.delete(tmp, false)
+    won
+  }
+
+  /** Single-writer begin (tests and tools): overwrites any intent. */
   def begin(spark: SparkSession, dir: String, post: St): Unit = {
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir))

@@ -136,27 +136,30 @@ final class StreamAgg(
     // recovery carry the exactly-once guarantee here.
     def drainOnce(): Unit = {
       val dir = s"$outPath/_drain"
-      val st = DrainState.load(spark, dir, out.lastAppliedBatchId)
       val tables = DrainState.distinctTables(src.allTables)
-      val cur = tables.map(t => t.path -> t.latestVersion).toMap
-      if (cur == st.versions) return
-      require(st.versions.nonEmpty || out.lastAppliedBatchId < 0,
-        s"stage $name has checkpointed-run history; runIncremental needs " +
-          "its own state from the pipeline's first run")
       // byte-budgeted sub-batches like StreamJoin.drainOnce (the delta
-      // merge stays exactly-once per sub-batch via its own batchId)
+      // merge stays exactly-once per sub-batch via its own batchId);
+      // claim-arbitrated per step so two racing drainers never
+      // double-apply a delta (SURVEY §6h-2)
       val budget = spark.conf.getOption("spark.graft.drain.maxBytes").map(_.toLong)
-      var versions = st.versions
-      var next = st.next
-      while (versions != cur) {
-        val step = DrainState.nextStep(tables, versions, cur, budget)
-        val after = (p: String) => versions.getOrElse(p, -1L)
-        val upTo = (p: String) => step.getOrElse(p, Long.MaxValue)
-        DrainState.begin(spark, dir, DrainState.St(step, next + 1))
-        mergeAgg(src.changesBatch(after, upTo), next)
-        DrainState.commit(spark, dir)
-        versions = step
-        next += 1
+      var quiet = false
+      while (!quiet) {
+        val applied = out.lastAppliedBatchId
+        val st = DrainState.load(spark, dir, applied)
+        val cur = tables.map(t => t.path -> t.latestVersion).toMap
+        if (st.versions == cur) quiet = true
+        else {
+          require(st.versions.nonEmpty || applied < 0,
+            s"stage $name has checkpointed-run history; runIncremental needs " +
+              "its own state from the pipeline's first run")
+          val step = DrainState.nextStep(tables, st.versions, cur, budget)
+          val after = (p: String) => st.versions.getOrElse(p, -1L)
+          val upTo = (p: String) => step.getOrElse(p, Long.MaxValue)
+          if (DrainState.beginClaim(spark, dir, DrainState.St(step, st.next + 1))) {
+            mergeAgg(src.changesBatch(after, upTo), st.next)
+            DrainState.commit(spark, dir)
+          } else Thread.sleep(50) // concurrent drainer holds this step
+        }
       }
     }
 

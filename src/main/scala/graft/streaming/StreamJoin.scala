@@ -243,6 +243,9 @@ final class JoinedStream(
     // state for consistent static pinning across microbatches (joins.py:399-428)
     var lastLeftVersion: Long = -1L
     var lastRightVersion: Long = -1L
+    // lazily-built per-side retraction indexes (out pk-subset → full key);
+    // cached so repeated deleting batches skip the open-time recovery scan
+    val retractIdx = scala.collection.mutable.Map.empty[String, KeyedTable]
 
     def mergeJoin(batch: DataFrame, batchId: Long): Unit = {
       val lRows = batch
@@ -351,12 +354,15 @@ final class JoinedStream(
       // delete propagation (inner joins): a source key whose LATEST
       // action in this batch is a delete retracts every output row it
       // contributed. Commit versions strictly order delete vs re-insert
-      // within the batch. The deleted SOURCE keys are first resolved to
-      // FULL output keys against the output snapshot (one broadcast
-      // semi-join scan, no shuffle, no write), so `out.delete` takes
-      // the full-key bucket-pruned path and rewrites only the buckets
-      // that actually contain matches — a partial-key delete would
-      // rewrite the whole table per deleting microbatch (100 TB killer).
+      // within the batch. The deleted SOURCE keys are resolved to FULL
+      // output keys through a lazily-built secondary index on that
+      // side's pks (A33) — two bucket- and file-pruned reads — so
+      // `out.delete` takes the full-key pruned path. The previous
+      // full `out.snapshot()` semi-join read the WHOLE output table per
+      // deleting microbatch (a 100 TB killer); the index refresh instead
+      // costs one pass over the output cdf accumulated since the last
+      // deleting batch. When a side's pks already equal the output's
+      // bucket keys the output prunes directly and no index is kept.
       if (anyDeletes && userSink.isEmpty) {
         def latestDeleteKeys(side: String, pks: Seq[String]): DataFrame = {
           val all = batch.where(col(side).isNotNull).select(s"$side.*")
@@ -366,14 +372,23 @@ final class JoinedStream(
             .where(col("__rn") === 1 && col("_change_type") === "delete")
             .select(pks.map(col): _*)
         }
-        def retract(srcKeys: DataFrame, pks: Seq[String]): Unit = {
-          val fullKeys = out.snapshot()
-            .join(broadcast(srcKeys), pks, "left_semi")
-            .select((nonNull ++ nullable).map(col): _*)
+        def retract(srcKeys: DataFrame, pks: Seq[String], idxSubPath: String): Unit = {
+          val fullKeys =
+            if (out.meta.bucketKeys.forall(pks.contains))
+              out.snapshotForKeys(srcKeys)
+                .select((nonNull ++ nullable).map(col): _*)
+            else {
+              val idx = retractIdx.getOrElseUpdate(idxSubPath,
+                graft.ops.SecondaryIndex.ensure(
+                  spark, s"$outPath/_idx/$idxSubPath", out, pks,
+                  out.meta.numBuckets))
+              graft.ops.SecondaryIndex.sync(idx, out)
+              graft.ops.SecondaryIndex.lookupKeys(idx, out, srcKeys)
+            }
           out.delete(fullKeys)
         }
-        if (left.deletesOn && lDeletes) retract(latestDeleteKeys("l", left.pks), left.pks)
-        if (right.deletesOn && rDeletes) retract(latestDeleteKeys("r", right.pks), right.pks)
+        if (left.deletesOn && lDeletes) retract(latestDeleteKeys("l", left.pks), left.pks, "l")
+        if (right.deletesOn && rDeletes) retract(latestDeleteKeys("r", right.pks), right.pks, "r")
       }
     }
 
@@ -399,27 +414,31 @@ final class JoinedStream(
     // so crash recovery and exactly-once work per sub-batch.
     def drainOnce(): Unit = {
       val dir = s"$outPath/_drain"
-      val applied = if (userSink.isEmpty) out.lastAppliedBatchId else -1L
-      val st = DrainState.load(spark, dir, applied)
       val tables = DrainState.distinctTables(left.allTables ++ right.allTables)
-      val cur = tables.map(t => t.path -> t.latestVersion).toMap
-      if (cur == st.versions) return
-      require(st.versions.nonEmpty || applied < 0,
-        s"stage $name has checkpointed-run history; runIncremental needs " +
-          "its own state from the pipeline's first run")
       val budget = spark.conf.getOption("spark.graft.drain.maxBytes").map(_.toLong)
-      var versions = st.versions
-      var next = st.next
-      while (versions != cur) {
-        val step = DrainState.nextStep(tables, versions, cur, budget)
-        val after = (p: String) => versions.getOrElse(p, -1L)
-        val upTo = (p: String) => step.getOrElse(p, Long.MaxValue)
-        DrainState.begin(spark, dir, DrainState.St(step, next + 1))
-        mergeJoin(pack(left.changesBatch(after, upTo),
-          right.changesBatch(after, upTo)), next)
-        DrainState.commit(spark, dir)
-        versions = step
-        next += 1
+      // claim-arbitrated loop (SURVEY §6h-2): state and sources re-load
+      // every step, so two racing drainers interleave safely — each step
+      // is claimed by intent-file rename, the loser waits for the
+      // winner's commit, and a replayed step's merge is a batchId no-op
+      var quiet = false
+      while (!quiet) {
+        val applied = if (userSink.isEmpty) out.lastAppliedBatchId else -1L
+        val st = DrainState.load(spark, dir, applied)
+        val cur = tables.map(t => t.path -> t.latestVersion).toMap
+        if (st.versions == cur) quiet = true
+        else {
+          require(st.versions.nonEmpty || applied < 0,
+            s"stage $name has checkpointed-run history; runIncremental needs " +
+              "its own state from the pipeline's first run")
+          val step = DrainState.nextStep(tables, st.versions, cur, budget)
+          val after = (p: String) => st.versions.getOrElse(p, -1L)
+          val upTo = (p: String) => step.getOrElse(p, Long.MaxValue)
+          if (DrainState.beginClaim(spark, dir, DrainState.St(step, st.next + 1))) {
+            mergeJoin(pack(left.changesBatch(after, upTo),
+              right.changesBatch(after, upTo)), st.next)
+            DrainState.commit(spark, dir)
+          } else Thread.sleep(50) // concurrent drainer holds this step
+        }
       }
     }
 

@@ -1,0 +1,125 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import java.nio.file.Files
+
+/** File-granular commit manifests (SURVEY §6h-1): a commit records per
+  * touched bucket the COMPLETE file list with per-file key-hash
+  * [min,max]; data files are written key-hash-sorted and split by
+  * `spark.graft.targetFileRows`, so a point merge reads and rewrites
+  * only the file(s) a key's hash can live in and carries the rest of
+  * the bucket forward by reference — Delta's add/remove-file pruning,
+  * re-expressed on the bucketed layout. */
+class FileManifestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("fman").toString
+
+  private def withSmallFiles[T](rows: Long)(f: => T): T = {
+    spark.conf.set("spark.graft.targetFileRows", rows.toString)
+    try f finally spark.conf.unset("spark.graft.targetFileRows")
+  }
+
+  private def manifestOf(t: String, v: Long): Map[Int, Seq[FileEntry]] = {
+    val lg = new CommitLog(t, spark.sessionState.newHadoopConf())
+    lg.readCommit(v).files.getOrElse(sys.error(s"commit $v has no manifest"))
+  }
+
+  test("1-row merge into a multi-file bucket rewrites exactly 1 file, carries the rest") {
+    val t = tmp()
+    val df = (1L to 10000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(1000) { kt.upsert(df, uniqueKeys = true) }
+    val before = manifestOf(t, 1L)(0)
+    assert(before.size == 10, s"seed should split into 10 files, got ${before.size}")
+    // ranges must be disjoint (hash-sorted write + maxRecordsPerFile)
+    val sorted = before.sortBy(_.minHash)
+    sorted.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.maxHash < b.minHash, s"overlapping file ranges: $a / $b")
+    case _ => }
+
+    withSmallFiles(1000) {
+      kt.upsert(Seq((42L, 42.42)).toDF("id", "v"), uniqueKeys = true)
+    }
+    val after = manifestOf(t, 2L)(0)
+    assert(after.size == 10, s"bucket must still hold 10 files, got ${after.size}")
+    val carried = after.map(_.path).toSet.intersect(before.map(_.path).toSet)
+    assert(carried.size == 9,
+      s"expected 9 carried + 1 rewritten, carried=${carried.size}")
+    // the one rewritten file is the one whose range held id=42's hash
+    val h42 = Seq(42L).toDF("id").select(xxhash64(col("id"))).collect().head.getLong(0)
+    val replaced = before.map(_.path).toSet.diff(after.map(_.path).toSet)
+    assert(replaced.size == 1)
+    val old = before.find(e => replaced(e.path)).get
+    assert(old.minHash <= h42 && h42 <= old.maxHash,
+      "merge rewrote a file whose range does not contain the staged key hash")
+    // correctness: full content intact, update applied
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 10000 && m(42L) == 42.42 && m(41L) == 41.0)
+  }
+
+  test("snapshot reads carried + new files; snapshotForKeys prunes to hit files") {
+    val t = tmp()
+    val df = (1L to 8000L).map(i => (i, s"n$i")).toDF("id", "name")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 2)
+    withSmallFiles(500) { kt.upsert(df, uniqueKeys = true) }
+    kt.upsert(Seq((77L, "updated")).toDF("id", "name"), uniqueKeys = true)
+    assert(kt.snapshot().count() == 8000)
+    val got = kt.snapshotForKeys(Seq(77L).toDF("id"))
+    assert(got.collect().map(_.getString(1)).toSeq == Seq("updated"))
+    assert(got.inputFiles.length == 1,
+      s"point lookup read ${got.inputFiles.length} files, expected 1")
+    val full = kt.snapshot().inputFiles.length
+    assert(full >= 16, s"seed at 500 rows/file should leave ≥16 live files, got $full")
+  }
+
+  test("delete prunes to the files holding the deleted keys") {
+    val t = tmp()
+    val df = (1L to 6000L).map(i => (i, i * 2.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(1000) { kt.upsert(df, uniqueKeys = true) }
+    val before = manifestOf(t, 1L)(0)
+    kt.delete(Seq(100L).toDF("id"))
+    val after = manifestOf(t, 2L)(0)
+    val carried = after.map(_.path).toSet.intersect(before.map(_.path).toSet)
+    assert(carried.size == before.size - 1,
+      s"delete should rewrite exactly 1 of ${before.size} files")
+    assert(kt.snapshot().count() == 5999)
+    assert(kt.changesSince(1L).where(col("_change_type") === "delete").count() == 1)
+  }
+
+  test("vacuum keeps carried files' dirs alive across retention") {
+    val t = tmp()
+    val df = (1L to 5000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(1000) { kt.upsert(df, uniqueKeys = true) }
+    // several point merges: latest version's bucket references v1 files
+    (1 to 3).foreach(i => kt.upsert(Seq((i * 10L, -1.0)).toDF("id", "v"), uniqueKeys = true))
+    kt.vacuum(retainVersions = 1)
+    // every manifest-referenced file of the LATEST version must survive
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 5000 && m(10L) == -1.0 && m(20L) == -1.0 && m(30L) == -1.0)
+  }
+
+  test("incremental agg-style merges stay correct across many small commits") {
+    val t = tmp()
+    val df = (1L to 3000L).map(i => (i % 100, 1.0)).groupBy(_._1).toSeq
+      .map { case (k, xs) => (k, xs.map(_._2).sum) }.toDF("k", "s")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("k"), numBuckets = 4)
+    withSmallFiles(10) { kt.upsert(df, uniqueKeys = true) }
+    // merge deltas into a few keys repeatedly (the incremental-agg shape)
+    val spec = MergeSpec(updateExprs = Some(Map("s" -> (col("u.s") + col("s.s")))))
+    (1 to 5).foreach { _ =>
+      withSmallFiles(10) {
+        kt.merge(Seq((7L, 1.0), (8L, 2.0)).toDF("k", "s"), spec, uniqueKeys = true)
+      }
+    }
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 100)
+    assert(m(7L) == 30.0 + 5.0 && m(8L) == 30.0 + 10.0) // 30 seed + 5 deltas
+  }
+}

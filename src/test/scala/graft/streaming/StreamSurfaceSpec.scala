@@ -191,6 +191,46 @@ class StreamSurfaceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("delete retraction resolves via the lazily-built secondary index, file-pruned") {
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(spark, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 16)
+    val cT = KeyedTable.create(spark, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 16)
+    cT.upsert(cDf)
+    val q = Stream.fromKeyedTable(oT).handleDeletes()
+      .join(Stream.fromKeyedTable(cT), "inner")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .writeToPath(s"$root/out").start()
+    try {
+      import spark.implicits._
+      oT.upsert(oDf); q.processAllAvailable()
+      val keys = oDf.select("o_orderkey").orderBy("o_orderkey").limit(2)
+        .collect().map(_.getLong(0))
+      oT.delete(Seq(keys(0)).toDF("o_orderkey")); q.processAllAvailable()
+      // the first deleting batch must have built the retraction index
+      val idxPath = s"$root/out/_idx/l"
+      val lg = new graft.store.CommitLog(idxPath, spark.sessionState.newHadoopConf())
+      assert(lg.exists, "retraction did not build the secondary index")
+      val out = KeyedTable.forPath(spark, s"$root/out")
+      val idx = KeyedTable.forPath(spark, idxPath)
+      graft.ops.SecondaryIndex.sync(idx, out)
+      // resolution = index probe: reads a few files of ONE index bucket,
+      // never the output table (the old path scanned the whole snapshot)
+      val resolved = graft.ops.SecondaryIndex.lookupKeys(
+        idx, out, Seq(keys(1)).toDF("o_orderkey"))
+      val outFiles = out.snapshot().inputFiles.length
+      val probeFiles = resolved.inputFiles.length
+      assert(probeFiles <= 2 && outFiles >= 10,
+        s"index probe read $probeFiles files (output table has $outFiles)")
+      assert(resolved.columns.toSet == out.meta.keys.toSet)
+      // second wave exercises the incremental sync path end-to-end
+      val before = out.snapshot().count()
+      oT.delete(Seq(keys(1)).toDF("o_orderkey")); q.processAllAvailable()
+      assert(KeyedTable.forPath(spark, s"$root/out").snapshot().count() == before - 1)
+    } finally q.stop()
+  }
+
   test("chained right-right-left with upstream-nullable keys converges, no dup rows") {
     val root = tmp()
     val cDf = Tables.customer(spark, sf).select("c_custkey", "c_name")
