@@ -20,7 +20,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JIT + parquet footer caches, outside the timed region
     SparkEntry.queries.get("agg_sum_groupby").foreach(_(spark, sfDir).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional first arg: comma-separated gate names for fast local
+    // iteration (the driver passes no args → full set)
+    val only = args.headOption.map(_.split(",").toSet)
+    val gates = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    val results = gates.toSeq.sortBy(_._1).map { case (name, fn) =>
       // ops cache intermediate tables (signatures, shingles); drop them
       // between queries so one query's cache pressure can't evict
       // another's mid-flight

@@ -92,6 +92,33 @@ object CdcQueries {
     } finally s.conf.unset("spark.graft.targetFileRows")
   }
 
+  /** A35: manifest zone maps + GraftFileIndex data skipping — optimize
+    * clusters files by `o_orderdate`, the commit manifest records each
+    * file's per-column [min,max], and the filtered snapshot prunes
+    * whole files driver-side before any task launches (Delta's
+    * OPTIMIZE + data-skipping loop). The oracle is the plain filter,
+    * so a zone map that over-prunes (drops a file holding matching
+    * rows) or under-returns hash-mismatches. File-count assertions
+    * live in ZoneSkipSpec; this gate hash-checks the VALUES read
+    * through the pruned scan. */
+  def scanZoneSkip(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice")
+    // timestamps must be written as INT64 micros for footer stats —
+    // Spark's default INT96 carries no usable min/max
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    s.conf.set("spark.graft.targetFileRows", "2000")
+    try {
+      val kt = KeyedTable.create(s, freshDir(), o.schema, keys = Seq("o_orderkey"), numBuckets = 4)
+      kt.upsert(o, uniqueKeys = true)
+      kt.optimize(Seq("o_orderdate"))
+      kt.snapshot().where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    } finally {
+      s.conf.unset("spark.graft.targetFileRows")
+      s.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
   /** Bucket-pruned point reads (reader-side counterpart of merge's
     * affected-bucket pruning): look up a sparse key set; only those
     * keys' buckets are read. Oracle = the plain filter. */
@@ -454,7 +481,8 @@ object CdcQueries {
     "occ_multi_writer" -> (occMultiWriter _),
     "keyed_lookup" -> (keyedLookup _),
     "index_lookup" -> (indexLookup _),
-    "manifest_point_merge" -> (manifestPointMerge _))
+    "manifest_point_merge" -> (manifestPointMerge _),
+    "scan_zone_skip" -> (scanZoneSkip _))
 
   val oracleSql: Map[String, String] = Map(
     // every interleaving of the two racing writers converges here —
@@ -467,6 +495,10 @@ object CdcQueries {
     "keyed_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderkey % 150 = 7""",
+    "scan_zone_skip" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'""",
     "manifest_point_merge" ->
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 211 = 3 THEN o_custkey + 500000 ELSE o_custkey END AS o_custkey,

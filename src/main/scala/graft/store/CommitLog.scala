@@ -13,8 +13,18 @@ import java.nio.charset.StandardCharsets
   * @param minHash lowest `xxhash64(bucketKeys)` of any row in the file
   * @param maxHash highest; files are written key-hash-sorted, so within
   *                one commit a bucket's files cover disjoint ranges
+  * @param bytes   file length — drives the skip-vs-scan economics (exact
+  *                pruning only pays when it skips real bytes) and the
+  *                auto-compact small-file policy; 0 for entries written
+  *                before the field existed (treated as small)
+  * @param stats   per-column [min,max] zone maps (Delta data-skipping
+  *                stats analog) as stored strings, keyed by column name;
+  *                decoded lazily against the table schema by
+  *                [[ZoneStats.parse]]. Empty for entries written before
+  *                the field existed — such files are never skipped.
   */
-final case class FileEntry(path: String, minHash: Long, maxHash: Long)
+final case class FileEntry(path: String, minHash: Long, maxHash: Long,
+    bytes: Long = 0L, stats: Map[String, (String, String)] = Map.empty)
 
 /** One parsed commit. `dir` is the data/cdf directory name the commit's
   * files live under (`data/<dir>/b=<bucket>`, `cdf/<dir>/`) — unique per
@@ -116,7 +126,9 @@ final class CommitLog(rootPath: String, conf: Configuration) {
   // parser sound without a JSON library
   private def encodeFiles(files: Map[Int, Seq[FileEntry]]): String =
     files.toSeq.sortBy(_._1).flatMap { case (b, es) =>
-      es.map(e => s""""$b|${e.path}|${e.minHash}|${e.maxHash}"""")
+      es.map { e =>
+        s""""$b|${e.path}|${e.minHash}|${e.maxHash}|${e.bytes}|${ZoneStats.encode(e.stats)}""""
+      }
     }.mkString(""","files":[""", ",", "]")
 
   private def parseFiles(json: String): Option[Map[Int, Seq[FileEntry]]] =
@@ -125,7 +137,9 @@ final class CommitLog(rootPath: String, conf: Configuration) {
         .map(_.stripPrefix("\"").stripSuffix("\""))
         .map { s =>
           val p = s.split('|')
-          p(0).toInt -> FileEntry(p(1), p(2).toLong, p(3).toLong)
+          p(0).toInt -> FileEntry(p(1), p(2).toLong, p(3).toLong,
+            if (p.length > 4) p(4).toLong else 0L,
+            if (p.length > 5) ZoneStats.decode(p(5)) else Map.empty)
         }.toSeq.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
     }
 

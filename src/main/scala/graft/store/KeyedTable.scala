@@ -188,8 +188,33 @@ final class KeyedTable private (
       case None    => Seq(s"$path/data/${log.dirOf(v)}/b=$b")
     }
 
-  private def readBuckets(bv: Seq[(Int, Long)]): DataFrame =
-    readPaths(bv.flatMap { case (b, ver) => bucketFilePaths(b, ver) })
+  /** Reads the live files of `bv`. When every bucket is manifest-backed
+    * (bytes recorded), the scan goes through [[GraftFileIndex]]: the
+    * file list comes straight from the commit log (no FS listing at
+    * plan time) and pushed-down filters prune whole files against the
+    * manifest's per-column zone maps before any task launches. Legacy
+    * dir-granular buckets fall back to the listing-based reader. */
+  private def readBuckets(bv: Seq[(Int, Long)]): DataFrame = {
+    val perBucket: Seq[Either[String, Seq[FileEntry]]] = bv.map { case (b, v) =>
+      log.readCommit(v).files match {
+        case Some(m) => Right(m.getOrElse(b, Nil))
+        case None    => Left(s"$path/data/${log.dirOf(v)}/b=$b")
+      }
+    }
+    val entries = perBucket.collect { case Right(es) => es }.flatten
+    val legacyDirs = perBucket.collect { case Left(p) => p }
+    if (legacyDirs.isEmpty && entries.forall(_.bytes > 0)) {
+      if (entries.isEmpty) emptyDf
+      else {
+        val fi = new GraftFileIndex(spark, path, schema, entries)
+        val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          fi, new StructType(), schema, None,
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+          Map.empty)(spark)
+        spark.baseRelationToDataFrame(rel).select(dataCols.map(col): _*)
+      }
+    } else readPaths(legacyDirs ++ entries.map(e => s"$path/${e.path}"))
+  }
 
   private def readPaths(paths: Seq[String]): DataFrame =
     if (paths.isEmpty) emptyDf
@@ -1282,43 +1307,74 @@ final class KeyedTable private (
       .flatMap { bDir =>
         val b = bDir.getPath.getName.stripPrefix("b=").toInt
         fs.listStatus(bDir.getPath)
-          .filter(_.getPath.getName.endsWith(".parquet")).map(f => (b, f.getPath))
+          .filter(_.getPath.getName.endsWith(".parquet")).map(f => (b, f))
       }.toSeq
-    def statOne(b: Int, p: org.apache.hadoop.fs.Path): (Int, FileEntry) = {
+    // zone-map columns: an explicit list via spark.graft.stats.columns,
+    // else the first numIndexedCols eligible data columns (Delta's
+    // dataSkippingNumIndexedCols analog) — stats ride in the manifest
+    // and come from the SAME footer read as the key-hash range
+    val zoneFields: Map[String, DataType] = {
+      val explicit = spark.conf.getOption("spark.graft.stats.columns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      val cap = spark.conf.getOption("spark.graft.stats.numIndexedCols")
+        .map(_.toInt).getOrElse(8)
+      val fields = explicit match {
+        case Some(names) => names.flatMap(n => schema.fields.find(_.name == n))
+          .filter(f => ZoneStats.eligible(f.dataType))
+        case None => schema.fields.filter(f => ZoneStats.eligible(f.dataType))
+          .take(cap).toSeq
+      }
+      fields.map(f => f.name -> f.dataType).toMap
+    }
+    def statOne(b: Int, st: org.apache.hadoop.fs.FileStatus): (Int, FileEntry) = {
+      val p = st.getPath
       var mn = Long.MaxValue
       var mx = Long.MinValue
       var any = false
+      var zacc = Map.empty[String, (Any, Any)]
+      var zdrop = Set.empty[String] // a block without usable stats poisons the column
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
       try rd.getFooter.getBlocks.forEach { blk =>
         blk.getColumns.forEach { c =>
-          if (c.getPath.toDotString == KHashCol) {
+          val name = c.getPath.toDotString
+          if (name == KHashCol) {
             val st = c.getStatistics
             if (st != null && st.hasNonNullValue) {
               mn = math.min(mn, st.genericGetMin.asInstanceOf[java.lang.Long])
               mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long])
               any = true
             }
+          } else if (zoneFields.contains(name) && !zdrop.contains(name)) {
+            val dt = zoneFields(name)
+            ZoneStats.fromChunk(dt, c.getStatistics) match {
+              case Some(r) => zacc = zacc.updated(name,
+                zacc.get(name).map(ZoneStats.merge(dt, _, r)).getOrElse(r))
+              case None => zdrop += name; zacc -= name
+            }
           }
         }
       } finally rd.close()
       val rel = s"data/$dir/b=$b/${p.getName}"
-      b -> (if (any) FileEntry(rel, mn, mx)
-            else FileEntry(rel, Long.MinValue, Long.MaxValue))
+      val zs = zacc.map { case (c, (lo, hi)) =>
+        c -> (ZoneStats.stringify(lo), ZoneStats.stringify(hi))
+      }
+      b -> (if (any) FileEntry(rel, mn, mx, st.getLen, zs)
+            else FileEntry(rel, Long.MinValue, Long.MaxValue, st.getLen, zs))
     }
     // a bulk load writes one file per bucket — dozens of footers; read
     // them concurrently (each is one ~KB tail read) so manifest
     // assembly never becomes the per-commit bottleneck
     val out =
-      if (files.size <= 2) files.map { case (b, p) => statOne(b, p) }
+      if (files.size <= 2) files.map { case (b, st) => statOne(b, st) }
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, files.size))
         try {
           import scala.jdk.CollectionConverters._
-          pool.invokeAll(files.map { case (b, p) =>
+          pool.invokeAll(files.map { case (b, st) =>
             new java.util.concurrent.Callable[(Int, FileEntry)] {
-              def call(): (Int, FileEntry) = statOne(b, p)
+              def call(): (Int, FileEntry) = statOne(b, st)
             }
           }.asJava).asScala.toSeq.map(_.get())
         } finally pool.shutdown()
@@ -1354,9 +1410,16 @@ final class KeyedTable private (
     }
     val exactMax = spark.conf.getOption("spark.graft.merge.exactPruneMaxRows")
       .map(_.toLong).getOrElse(4000000L)
+    // the refinement join is one extra (cheap, broadcast) Spark job per
+    // merge — only worth launching when the candidate files it could
+    // skip hold real bytes. Below the threshold, reading every
+    // range-candidate outright is faster than planning around it.
+    val pruneMinBytes = spark.conf.getOption("spark.graft.merge.exactPruneMinBytes")
+      .map(_.toLong).getOrElse(32L << 20)
     val indexed = cand.toSeq.zipWithIndex
     val (hit, missed) =
       if (stagedCount <= exactMax &&
+          cand.map(_._2.bytes).sum >= pruneMinBytes &&
           cand.groupBy(_._1).exists(_._2.size > 1)) {
         import spark.implicits._
         val ranges = indexed
@@ -1369,8 +1432,25 @@ final class KeyedTable private (
         indexed.partition { case (_, i) => hitIds.contains(i) }
       } else (indexed, Nil)
     missed.foreach { case ((b, e), _) => carried += b -> (e :: carried(b)) }
-    (legacy.toSeq ++ hit.map { case ((_, e), _) => s"$path/${e.path}" },
-      carried.map { case (b, es) => b -> es.sortBy(_.minHash) })
+    // auto-compact (Delta auto-optimize analog): sparse merges carry most
+    // files forward, so a hot bucket's file count only ever grows. The
+    // merge is rewriting the bucket anyway — fold the SMALLEST carried
+    // files into the rewrite whenever a bucket would otherwise exceed
+    // maxFiles, so file count stays bounded without a separate pass.
+    val maxFiles = spark.conf.getOption("spark.graft.autoCompact.maxFiles")
+      .map(_.toInt).getOrElse(16)
+    var folded = List.empty[String]
+    val carriedOut = carried.collect { case (b, es) if es.nonEmpty =>
+      if (es.size + 1 <= maxFiles) b -> es.sortBy(_.minHash)
+      else {
+        val bySize = es.sortBy(e => (e.bytes, e.path))
+        val (fold, keep) = bySize.splitAt(es.size - (maxFiles - 1))
+        folded :::= fold.map(e => s"$path/${e.path}")
+        b -> keep.sortBy(_.minHash)
+      }
+    }
+    (legacy.toSeq ++ hit.map { case ((_, e), _) => s"$path/${e.path}" } ++ folded,
+      carriedOut)
   }
 }
 

@@ -1,0 +1,245 @@
+package graft.store
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.net.{URLDecoder, URLEncoder}
+
+/** Per-file column zone maps (Delta "data skipping" stats analog).
+  *
+  * A commit manifest already records each file's key-hash [min,max];
+  * this module adds [min,max] for a configurable prefix of the table's
+  * data columns, read from the same parquet footer the key-hash stats
+  * come from — zero extra I/O per commit. Readers evaluate pushed-down
+  * `dataFilters` against the per-file ranges driver-side and skip files
+  * a predicate provably cannot match, which is what makes a filtered
+  * snapshot of a 100 TB table with ingest-time-correlated predicates
+  * (date ranges, monotonic ids) read a handful of files instead of a
+  * bucket's full history.
+  *
+  * Stats are stored as strings in the commit JSON; [[parse]] rebuilds
+  * the Catalyst-internal value from the column's Spark type. Any
+  * mismatch (evolved type, exotic physical encoding like INT96
+  * timestamps) parses to None and the file is simply not skippable —
+  * pruning is always a pure optimization, never load-bearing.
+  */
+private[graft] object ZoneStats {
+
+  /** Columns eligible for zone maps: atomic orderable types whose
+    * parquet physical stats we can decode confidently. */
+  def eligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Longest string min/max kept. Parquet footers hold full values for
+    * our file sizes; the cap bounds manifest growth on text columns. A
+    * value above the cap drops the column's stat for that file (a
+    * TRUNCATED max would be an unsound upper bound). */
+  val MaxStringLen = 64
+
+  // --- footer extraction ----------------------------------------------------
+
+  /** Decoded (min, max) of one parquet column chunk, None when the
+    * footer carries no usable stats or the physical type surprises. */
+  def fromChunk(dt: DataType,
+      st: org.apache.parquet.column.statistics.Statistics[_]): Option[(Any, Any)] = {
+    if (st == null || !st.hasNonNullValue) return None
+    try {
+      def asLong(v: Any): Long = v match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case _ => throw new IllegalArgumentException
+      }
+      dt match {
+        case ByteType | ShortType | IntegerType | DateType =>
+          Some((st.genericGetMin.asInstanceOf[java.lang.Integer].intValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Integer].intValue()))
+        case LongType | TimestampType =>
+          Some((asLong(st.genericGetMin), asLong(st.genericGetMax)))
+        case FloatType =>
+          Some((st.genericGetMin.asInstanceOf[java.lang.Float].floatValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Float].floatValue()))
+        case DoubleType =>
+          Some((st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue()))
+        case StringType =>
+          val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+            .toStringUsingUTF8
+          val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+            .toStringUsingUTF8
+          if (mn.length > MaxStringLen || mx.length > MaxStringLen) None
+          else Some((UTF8String.fromString(mn), UTF8String.fromString(mx)))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Catalyst ordering for a stat type (stats hold Catalyst-internal
+    * values: Int for dates, Long for timestamp micros, UTF8String). */
+  def ordering(dt: DataType): Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+
+  /** Merge two chunk ranges (across a file's row groups). */
+  def merge(dt: DataType, a: (Any, Any), b: (Any, Any)): (Any, Any) = {
+    val ord = ordering(dt)
+    (ord.min(a._1, b._1), ord.max(a._2, b._2))
+  }
+
+  // --- string encode/decode for the commit JSON -----------------------------
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
+
+  /** Catalyst-internal stat value to its stored string form. */
+  def stringify(v: Any): String = v match {
+    case u: UTF8String => u.toString
+    case other => other.toString
+  }
+
+  /** `col=min~max;col=min~max` with URL-encoded names/values. The raw
+    * separators stay out of the encoded parts (URLEncoder escapes `~`,
+    * `;`, `=`) and out of the commit log's own delimiters — entries are
+    * pipe-split and the files array is comma-split, so the blob must
+    * never contain `|`, `,` or `"`. */
+  def encode(stats: Map[String, (String, String)]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"${enc(c)}=${enc(mn)}~${enc(mx)}"
+    }.mkString(";")
+
+  def decode(s: String): Map[String, (String, String)] =
+    if (s == null || s.isEmpty) Map.empty
+    else s.split(';').iterator.flatMap { kv =>
+      val eq = kv.indexOf('=')
+      if (eq < 0) None
+      else {
+        val c = dec(kv.substring(0, eq))
+        val parts = kv.substring(eq + 1).split('~')
+        if (parts.length != 2) None else Some(c -> (dec(parts(0)), dec(parts(1))))
+      }
+    }.toMap
+
+  /** Stored string back to the Catalyst-internal value for `dt`; None
+    * when the string no longer parses under an evolved type. */
+  def parse(dt: DataType, s: String): Option[Any] =
+    try dt match {
+      case ByteType | ShortType | IntegerType | DateType => Some(s.toInt)
+      case LongType | TimestampType => Some(s.toLong)
+      case FloatType => Some(s.toFloat)
+      case DoubleType => Some(s.toDouble)
+      case StringType => Some(UTF8String.fromString(s))
+      case _ => None
+    } catch { case _: Exception => None }
+
+  // --- pruning --------------------------------------------------------------
+
+  /** True when a file whose column ranges are `statsOf(col)` may hold a
+    * row matching `pred`. Conservative: anything not understood keeps
+    * the file. `statsOf` returns typed (min, max) for columns with
+    * stats in THIS file; names resolve case-insensitively (Spark's
+    * default resolver). Null semantics: parquet min/max describe
+    * non-null values only, and every supported comparison is
+    * null-rejecting, so range-based exclusion is sound even for files
+    * that also hold nulls. */
+  def mayMatch(pred: Expression, dataTypeOf: String => Option[DataType],
+      statsOf: String => Option[(Any, Any)]): Boolean = {
+
+    def attrName(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+
+    // (name, dt, literal value cast to dt's internal form) for
+    // `attr <op> lit` shapes, either operand order
+    def colLit(l: Expression, r: Expression): Option[(String, DataType, Any)] =
+      (attrName(l), r) match {
+        case (Some(n), Literal(v, ldt)) =>
+          dataTypeOf(n).collect { case dt if dt == ldt && v != null => (n, dt, v) }
+        case _ => None
+      }
+
+    def range(n: String): Option[(Any, Any)] = statsOf(n)
+
+    pred match {
+      case And(l, r) => mayMatch(l, dataTypeOf, statsOf) && mayMatch(r, dataTypeOf, statsOf)
+      case Or(l, r) => mayMatch(l, dataTypeOf, statsOf) || mayMatch(r, dataTypeOf, statsOf)
+      case EqualTo(l, r) =>
+        colLit(l, r).orElse(colLit(r, l)).flatMap { case (n, dt, v) =>
+          range(n).map { case (mn, mx) =>
+            val ord = ordering(dt); ord.lteq(mn, v) && ord.lteq(v, mx) }
+        }.getOrElse(true)
+      case EqualNullSafe(l, r) =>
+        colLit(l, r).orElse(colLit(r, l)).flatMap { case (n, dt, v) =>
+          range(n).map { case (mn, mx) =>
+            val ord = ordering(dt); ord.lteq(mn, v) && ord.lteq(v, mx) }
+        }.getOrElse(true)
+      case LessThan(l, r) =>
+        colLit(l, r).flatMap { case (n, dt, v) =>                // attr < lit
+          range(n).map { case (mn, _) => ordering(dt).lt(mn, v) }
+        }.orElse(colLit(r, l).flatMap { case (n, dt, v) =>       // lit < attr
+          range(n).map { case (_, mx) => ordering(dt).lt(v, mx) }
+        }).getOrElse(true)
+      case LessThanOrEqual(l, r) =>
+        colLit(l, r).flatMap { case (n, dt, v) =>
+          range(n).map { case (mn, _) => ordering(dt).lteq(mn, v) }
+        }.orElse(colLit(r, l).flatMap { case (n, dt, v) =>
+          range(n).map { case (_, mx) => ordering(dt).lteq(v, mx) }
+        }).getOrElse(true)
+      case GreaterThan(l, r) =>
+        colLit(l, r).flatMap { case (n, dt, v) =>                // attr > lit
+          range(n).map { case (_, mx) => ordering(dt).gt(mx, v) }
+        }.orElse(colLit(r, l).flatMap { case (n, dt, v) =>       // lit > attr
+          range(n).map { case (mn, _) => ordering(dt).gt(v, mn) }
+        }).getOrElse(true)
+      case GreaterThanOrEqual(l, r) =>
+        colLit(l, r).flatMap { case (n, dt, v) =>
+          range(n).map { case (_, mx) => ordering(dt).gteq(mx, v) }
+        }.orElse(colLit(r, l).flatMap { case (n, dt, v) =>
+          range(n).map { case (mn, _) => ordering(dt).gteq(v, mn) }
+        }).getOrElse(true)
+      case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        attrName(a).flatMap { n =>
+          dataTypeOf(n).flatMap { dt =>
+            range(n).map { case (mn, mx) =>
+              val ord = ordering(dt)
+              list.exists {
+                case Literal(v, ldt) if ldt == dt && v != null =>
+                  ord.lteq(mn, v) && ord.lteq(v, mx)
+                case _ => true // un-comparable member: can't exclude
+              }
+            }
+          }
+        }.getOrElse(true)
+      case InSet(a, vs) if vs.nonEmpty =>
+        attrName(a).flatMap { n =>
+          dataTypeOf(n).flatMap { dt =>
+            range(n).map { case (mn, mx) =>
+              val ord = ordering(dt)
+              vs.exists(v => v != null && ord.lteq(mn, v) && ord.lteq(v, mx))
+            }
+          }
+        }.getOrElse(true)
+      case StartsWith(a, Literal(p: UTF8String, StringType)) if p != null =>
+        attrName(a).flatMap(range).map { case (mn, mx) =>
+          val ord = ordering(StringType)
+          // overlap of [mn,mx] with [p, p∞): some value ≥ p exists and
+          // the low end doesn't already exceed every p-prefixed string
+          ord.gteq(mx, p) &&
+            (ord.lteq(mn, p) || mn.asInstanceOf[UTF8String].startsWith(p) ||
+              ord.lt(mn, p))
+        }.getOrElse(true)
+      case IsNull(_) => true  // no per-file null counts: never skip
+      case IsNotNull(_) => true
+      case Not(EqualTo(l, r)) =>
+        // skip only a constant file: min == max == v
+        colLit(l, r).orElse(colLit(r, l)).flatMap { case (n, dt, v) =>
+          range(n).map { case (mn, mx) =>
+            val ord = ordering(dt)
+            !(ord.equiv(mn, mx) && ord.equiv(mn, v)) }
+        }.getOrElse(true)
+      case _ => true
+    }
+  }
+}

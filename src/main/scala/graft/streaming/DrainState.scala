@@ -46,10 +46,15 @@ private[streaming] object DrainState {
   /** How long an intent whose merge has NOT landed may sit before it is
     * treated as a dead drainer's leftover and reaped. A reap can only
     * duplicate work, never effects: the step's merge is batchId-guarded
-    * (and OCC-arbitrated) in the output table. */
+    * (and OCC-arbitrated) in the output table. The default is generous
+    * on purpose — a live drain step at scale runs for minutes, and a
+    * premature reap costs a duplicate merge attempt plus OCC contention
+    * (safe but wasteful); a crashed drainer's step is simply re-run by
+    * whichever cron fires next, so a long grace delays nothing that a
+    * scheduler isn't already delaying. */
   private def claimGraceMs(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.drain.claimGraceMs")
-      .map(_.toLong).getOrElse(15000L)
+      .map(_.toLong).getOrElse(10 * 60 * 1000L)
 
   /** Current state with intent recovery. An intent whose merge landed
     * (commit crashed mid-promotion) is promoted; an unlanded intent is

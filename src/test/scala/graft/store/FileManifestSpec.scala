@@ -122,4 +122,28 @@ class FileManifestSpec extends AnyFunSuite {
     assert(m.size == 100)
     assert(m(7L) == 30.0 + 5.0 && m(8L) == 30.0 + 10.0) // 30 seed + 5 deltas
   }
+
+  test("auto-compact folds small carried files so a hot bucket's file count stays bounded") {
+    val t = tmp()
+    val df = (1L to 4000L).map(i => (i, 0.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(250) { kt.upsert(df, uniqueKeys = true) } // 16 seed files
+    spark.conf.set("spark.graft.autoCompact.maxFiles", "6")
+    try {
+      // 12 point merges at default targetFileRows: without compaction the
+      // bucket would trend toward 16+ files; folding must hold it at ≤6
+      (1 to 12).foreach { i =>
+        kt.upsert(Seq((i * 300L, i * 1.0)).toDF("id", "v"), uniqueKeys = true)
+        val files = manifestOf(t, kt.latestVersion)(0)
+        assert(files.size <= 6,
+          s"v=${kt.latestVersion}: bucket holds ${files.size} files, cap is 6")
+      }
+    } finally spark.conf.unset("spark.graft.autoCompact.maxFiles")
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 4000 && (1 to 12).forall(i => m(i * 300L) == i * 1.0),
+      "auto-compact changed table contents")
+    // manifest bytes are real: every live entry carries its file length
+    val live = manifestOf(t, kt.latestVersion)(0)
+    assert(live.forall(_.bytes > 0L), "manifest entries must record file bytes")
+  }
 }

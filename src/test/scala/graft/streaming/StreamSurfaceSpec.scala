@@ -427,4 +427,27 @@ class StreamSurfaceSpec extends AnyFunSuite {
     val want = oDf.where(col("o_orderkey") % 2 === 1).count()
     assert(got == want, s"got $got want $want (v1 rows must be skipped)")
   }
+
+  test("drain claim: fresh intents block rivals, stale unlanded intents are reaped") {
+    val dir = tmp()
+    val st1 = DrainState.St(Map("src" -> 3L), next = 7L)
+    assert(DrainState.beginClaim(spark, dir, st1), "first claim must win")
+    assert(!DrainState.beginClaim(spark, dir, st1), "rival must lose a held claim")
+    // holder alive (default grace): load must NOT reap the unlanded intent
+    val before = DrainState.load(spark, dir, appliedBatchId = -1L)
+    assert(before.next == 0L, "unlanded fresh intent must not be visible as state")
+    assert(!DrainState.beginClaim(spark, dir, st1), "grace must protect a live holder")
+    // dead holder: past the (tiny) grace the intent is reaped and the
+    // step becomes claimable again; state stays at the pre-step mark
+    spark.conf.set("spark.graft.drain.claimGraceMs", "1")
+    try {
+      Thread.sleep(10)
+      DrainState.load(spark, dir, appliedBatchId = -1L)
+      assert(DrainState.beginClaim(spark, dir, st1), "reaped step must be claimable")
+    } finally spark.conf.unset("spark.graft.drain.claimGraceMs")
+    // landed intent (merge committed, promotion crashed): load promotes it
+    val loaded = DrainState.load(spark, dir, appliedBatchId = 6L)
+    assert(loaded.next == 7L && loaded.versions("src") == 3L,
+      "landed intent must be promoted to state on load")
+  }
 }
