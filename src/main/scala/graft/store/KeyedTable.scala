@@ -169,6 +169,16 @@ final class KeyedTable private (
   private def emptyDf: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
+  /** Live data bytes summed from the commit manifests — plan-cost-free
+    * (cached log reads, no filesystem access); legacy entries without
+    * byte records count 0. Drives size-based strategy choices (e.g.
+    * whether delete retraction maintains an index or just scans). */
+  def liveManifestBytes: Long =
+    bucketVersionsAt(latestVersion).toSeq.map { case (b, v) =>
+      log.readCommit(v).files
+        .map(_.getOrElse(b, Nil).map(_.bytes).sum).getOrElse(0L)
+    }.sum
+
   /** Full table contents as of `version` (default: latest). */
   def snapshot(version: Long = -1L): DataFrame = {
     if (autoMergeOn) refreshMeta() // an evolved writer's columns must appear
@@ -834,8 +844,8 @@ final class KeyedTable private (
         min(col(KHashCol)).alias("__mn"), max(col(KHashCol)).alias("__mx")) ++
         meta.prunedCols.map(pc => collect_set(col(pc)).alias(s"__p_$pc"))
       spark.sparkContext.setJobDescription("graft:merge:plan")
-      val planRows = staged0.groupBy(col(BucketCol))
-        .agg(aggCols.head, aggCols.tail: _*).collect()
+      val planRows = timed("plan")(staged0.groupBy(col(BucketCol))
+        .agg(aggCols.head, aggCols.tail: _*).collect())
       val affected = planRows.map(_.getInt(0)).toSeq
       if (affected.isEmpty) latestVersion
       else {
@@ -929,23 +939,23 @@ final class KeyedTable private (
             }
             try {
               spark.sparkContext.setJobDescription("graft:merge:write")
-              writeFused(dir, newVersion, newContent, cdf)
+              timed("write")(writeFused(dir, newVersion, newContent, cdf))
               spark.sparkContext.setJobDescription(null)
               // manifest = carried references + the attempt's new files;
               // affected buckets with neither were empty before AND after
               // (e.g. every staged row lost its sequence race against an
               // empty bucket) — tombstone them so the map never points at
               // missing files
-              val newFiles = writtenFileStats(dir)
+              val newFiles = timed("stats")(writtenFileStats(dir))
               val manifest = affected.map { b =>
                 b -> (carriedFiles.getOrElse(b, Nil) ++ newFiles.getOrElse(b, Nil))
               }.filter(_._2.nonEmpty).toMap
               val written = manifest.keys.toSeq
               val emptied = affected.filterNot(manifest.contains)
               preCommitHook()
-              if (log.commit(newVersion, written, emptied, batchId,
-                  cdfBytesOf(dir), dir, Some(manifest), planEpoch)) {
-                publishCdf(dir)
+              if (timed("commit")(log.commit(newVersion, written, emptied, batchId,
+                  cdfBytesOf(dir), dir, Some(manifest), planEpoch))) {
+                timed("publish")(publishCdf(dir))
                 // advance the replay cache incrementally
                 bvCache = (newVersion,
                   bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
@@ -980,6 +990,16 @@ final class KeyedTable private (
     * the merge hot loop. Collapsing a merge to classic one-job planning
     * roughly halves per-commit latency.
     */
+  /** Wall-clock printout per merge phase, on only when
+    * `spark.graft.debugTiming=true` — the local perf-experiment loop. */
+  private def timed[T](label: String)(f: => T): T =
+    if (!spark.conf.getOption("spark.graft.debugTiming").contains("true")) f
+    else {
+      val t0 = System.nanoTime()
+      try f finally System.err.println(
+        f"[gtime] $label ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+
   private def withMergeConf[T](f: => T): T = {
     val conf = spark.conf
     def swap(key: String, value: Option[String]): Option[String] = {
@@ -1058,10 +1078,12 @@ final class KeyedTable private (
     // rewrite). Write tasks are per (side, b), so a within-partition
     // sort orders each output file.
     val ordered =
-      if (sortKeys.isEmpty)
-        shuffled.sortWithinPartitions(col(SideCol), col("b"), col(KHashCol))
-      else shuffled.sortWithinPartitions(
-        Seq(col(SideCol), col("b")) ++ sortKeys: _*)
+      if (!sortKeys.isEmpty)
+        shuffled.sortWithinPartitions(
+          Seq(col(SideCol), col("b")) ++ sortKeys: _*)
+      else if (spark.conf.getOption("spark.graft.merge.sortFiles").contains("false"))
+        shuffled // experiment escape hatch: unsorted files, full-range stats
+      else shuffled.sortWithinPartitions(col(SideCol), col("b"), col(KHashCol))
     ordered
       .write.mode("overwrite")
       .option("maxRecordsPerFile", spark.conf

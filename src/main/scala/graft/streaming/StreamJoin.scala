@@ -373,9 +373,19 @@ final class JoinedStream(
             .select(pks.map(col): _*)
         }
         def retract(srcKeys: DataFrame, pks: Seq[String], idxSubPath: String): Unit = {
+          // maintaining the index only pays once the output outgrows a
+          // single cheap scan — below the threshold one broadcast
+          // semi-join over the (small) table beats building and
+          // incrementally syncing a second table per deleting batch
+          val idxMinBytes = spark.conf
+            .getOption("spark.graft.retract.indexMinBytes")
+            .map(_.toLong).getOrElse(256L << 20)
           val fullKeys =
             if (out.meta.bucketKeys.forall(pks.contains))
               out.snapshotForKeys(srcKeys)
+                .select((nonNull ++ nullable).map(col): _*)
+            else if (out.liveManifestBytes < idxMinBytes)
+              out.snapshot().join(broadcast(srcKeys), pks, "left_semi")
                 .select((nonNull ++ nullable).map(col): _*)
             else {
               val idx = retractIdx.getOrElseUpdate(idxSubPath,

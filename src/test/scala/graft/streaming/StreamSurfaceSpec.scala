@@ -198,6 +198,9 @@ class StreamSurfaceSpec extends AnyFunSuite {
     val oT = KeyedTable.create(spark, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 16)
     val cT = KeyedTable.create(spark, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 16)
     cT.upsert(cDf)
+    // force the index strategy: the test table is far below the
+    // size threshold where it engages on its own
+    spark.conf.set("spark.graft.retract.indexMinBytes", "0")
     val q = Stream.fromKeyedTable(oT).handleDeletes()
       .join(Stream.fromKeyedTable(cT), "inner")
       .on((l, r) => l("o_custkey") === r("c_custkey"))
@@ -228,7 +231,10 @@ class StreamSurfaceSpec extends AnyFunSuite {
       val before = out.snapshot().count()
       oT.delete(Seq(keys(1)).toDF("o_orderkey")); q.processAllAvailable()
       assert(KeyedTable.forPath(spark, s"$root/out").snapshot().count() == before - 1)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.graft.retract.indexMinBytes")
+    }
   }
 
   test("chained right-right-left with upstream-nullable keys converges, no dup rows") {
