@@ -119,6 +119,28 @@ object CdcQueries {
     }
   }
 
+  /** A40: predicate delete (DELETE WHERE analog) — a retention-style
+    * time-range purge on an optimize(date)-clustered table. Zone maps
+    * pick the candidate files driver-side; only those are read and
+    * rewritten (ZoneSkipSpec asserts the file accounting), and the
+    * oracle recomputes the surviving rows, so both over-deletion and
+    * under-deletion hash-mismatch. */
+  def deleteWhereGate(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice")
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    s.conf.set("spark.graft.targetFileRows", "2000")
+    try {
+      val kt = KeyedTable.create(s, freshDir(), o.schema, keys = Seq("o_orderkey"), numBuckets = 4)
+      kt.upsert(o, uniqueKeys = true)
+      kt.optimize(Seq("o_orderdate"))
+      kt.deleteWhere(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      kt.snapshot()
+    } finally {
+      s.conf.unset("spark.graft.targetFileRows")
+      s.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
   /** Bucket-pruned point reads (reader-side counterpart of merge's
     * affected-bucket pruning): look up a sparse key set; only those
     * keys' buckets are read. Oracle = the plain filter. */
@@ -482,7 +504,8 @@ object CdcQueries {
     "keyed_lookup" -> (keyedLookup _),
     "index_lookup" -> (indexLookup _),
     "manifest_point_merge" -> (manifestPointMerge _),
-    "scan_zone_skip" -> (scanZoneSkip _))
+    "scan_zone_skip" -> (scanZoneSkip _),
+    "delete_where" -> (deleteWhereGate _))
 
   val oracleSql: Map[String, String] = Map(
     // every interleaving of the two racing writers converges here —
@@ -499,6 +522,9 @@ object CdcQueries {
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
            AND o_orderdate < TIMESTAMP '1998-01-01'""",
+    "delete_where" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+         WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01')""",
     "manifest_point_merge" ->
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 211 = 3 THEN o_custkey + 500000 ELSE o_custkey END AS o_custkey,

@@ -545,6 +545,111 @@ final class KeyedTable private (
     } finally staged.unpersist()
   } }
 
+  /** Predicate delete (Delta's `DELETE WHERE` analog), file-pruned by
+    * zone maps: only files whose manifest [min,max] column stats say the
+    * predicate MAY match are read and rewritten — on an
+    * `optimize(cols)`-clustered table a time-range purge (GDPR window,
+    * retention sweep) rewrites the few files holding that range and
+    * carries every other file forward by reference, emitting `delete`
+    * cdf rows so downstream incremental stages retract. Rows where the
+    * predicate is NULL are kept (SQL DELETE semantics). Pruning is
+    * conservative: files without stats for a referenced column (or
+    * predicate shapes the range evaluator doesn't understand) are read
+    * and filtered row-wise — the predicate itself is always re-applied,
+    * so pruning can never change the result. */
+  def deleteWhere(cond: Column): Long = synchronized { withMergeConf {
+    recoverPendingRebucket(onlyDead = true)
+    val planEpoch = meta.numBuckets
+    var attempt = 0
+    var out = -1L
+    while (out < 0) {
+      val base = latestVersion
+      if (epochAt(base) >= 0 && epochAt(base) != planEpoch) {
+        refreshMeta()
+        return deleteWhere(cond)
+      }
+      val bvAll = bucketVersionsAt(base)
+      // driver-side candidate split per bucket: legacy dirs are always
+      // candidates; manifest entries only when the predicate may match
+      // their recorded column ranges
+      def fieldOf(n: String) =
+        schema.fields.find(f => spark.sessionState.conf.resolver(f.name, n))
+      // resolve the predicate through the analyzer (type coercion,
+      // attribute binding) by planting it on an empty frame of this
+      // schema — an invalid predicate fails here, before any rewrite
+      val condExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+        emptyDf.where(cond).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      def mayMatch(e: FileEntry): Boolean =
+        condExpr.forall(ce => ZoneStats.mayMatch(ce,
+          n => fieldOf(n).map(_.dataType), n =>
+          fieldOf(n).flatMap(f => e.stats.get(f.name).flatMap { case (mn, mx) =>
+            for {
+              lo <- ZoneStats.parse(f.dataType, mn)
+              hi <- ZoneStats.parse(f.dataType, mx)
+            } yield (lo, hi)
+          })))
+      val readable = scala.collection.mutable.ArrayBuffer[String]()
+      var carried = Map.empty[Int, Seq[FileEntry]]
+      val touched = scala.collection.mutable.ArrayBuffer[Int]()
+      bvAll.toSeq.foreach { case (b, v) =>
+        log.readCommit(v).files match {
+          case None =>
+            touched += b
+            readable += s"$path/data/${log.dirOf(v)}/b=$b"
+          case Some(m) =>
+            val es = m.getOrElse(b, Nil)
+            val (hit, miss) = es.partition(mayMatch)
+            if (hit.nonEmpty) {
+              touched += b
+              readable ++= hit.map(e => s"$path/${e.path}")
+              if (miss.nonEmpty) carried += b -> miss
+            }
+          // buckets with no candidate files stay untouched entirely —
+          // their version mapping is simply not advanced
+        }
+      }
+      if (touched.isEmpty) return base
+      val newVersion = base + 1
+      val dir = attemptDir(newVersion)
+      // SQL DELETE: null predicate keeps the row
+      val hit = coalesce(cond, lit(false))
+      val current = readPaths(readable.toSeq)
+      val remaining = current.where(!hit).withColumn(BucketCol, bucketExpr(col))
+      val removed = current.where(hit)
+        .select(dataCols.map(col): _*)
+        .withColumn("_change_type", lit("delete"))
+      spark.sparkContext.setJobDescription("graft:deleteWhere:write")
+      writeFused(dir, newVersion, remaining, removed)
+      spark.sparkContext.setJobDescription(null)
+      val newFiles = writtenFileStats(dir)
+      val manifest = touched.toSeq.map { b =>
+        b -> (carried.getOrElse(b, Nil) ++ newFiles.getOrElse(b, Nil))
+      }.filter(_._2.nonEmpty).toMap
+      val written = manifest.keys.toSeq
+      val emptied = touched.toSeq.filterNot(manifest.contains)
+      preCommitHook()
+      if (log.commit(newVersion, written, emptied, cdfBytes = cdfBytesOf(dir),
+          dir = dir, files = Some(manifest), epoch = planEpoch)) {
+        publishCdf(dir)
+        bvCache = (newVersion,
+          bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
+            -- emptied)
+        maybeCheckpoint(newVersion)
+        out = newVersion
+      } else {
+        occRetries += 1
+        attempt += 1
+        discardAttempt(dir)
+        require(attempt <= occMaxRetries,
+          s"deleteWhere lost $attempt optimistic commit claims on $path; " +
+            "raise spark.graft.occ.maxRetries or reduce writer contention")
+      }
+    }
+    out
+  } }
+
   /** Re-hashes the table to a different bucket count — the escape hatch
     * when data outgrows the original sizing (a 32-bucket table at 100 TB
     * would put ~3 TB in each bucket; rebucketing to 2^14 restores a few

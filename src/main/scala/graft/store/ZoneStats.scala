@@ -151,12 +151,23 @@ private[graft] object ZoneStats {
       case _ => None
     }
 
-    // (name, dt, literal value cast to dt's internal form) for
-    // `attr <op> lit` shapes, either operand order
+    // (name, dt, literal value in dt's internal form) for
+    // `attr <op> constant` shapes, either operand order. Catalyst's
+    // dataFilters arrive constant-folded to Literal; un-analyzed
+    // predicates (deleteWhere) may carry foldable trees like
+    // Cast(Literal) — evaluate those here, conservatively bailing on
+    // anything that doesn't resolve to the column's exact type.
+    def constVal(e: Expression): Option[(Any, DataType)] = e match {
+      case Literal(v, dt) => if (v != null) Some((v, dt)) else None
+      case _ if e.resolved && e.foldable =>
+        try Option(e.eval(null)).map(v => (v, e.dataType))
+        catch { case _: Exception => None }
+      case _ => None
+    }
     def colLit(l: Expression, r: Expression): Option[(String, DataType, Any)] =
-      (attrName(l), r) match {
-        case (Some(n), Literal(v, ldt)) =>
-          dataTypeOf(n).collect { case dt if dt == ldt && v != null => (n, dt, v) }
+      (attrName(l), constVal(r)) match {
+        case (Some(n), Some((v, ldt))) =>
+          dataTypeOf(n).collect { case dt if dt == ldt => (n, dt, v) }
         case _ => None
       }
 

@@ -148,6 +148,43 @@ class ZoneSkipSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSeq == Seq(1000L))
   }
 
+  test("deleteWhere rewrites only files the predicate may match, emits delete cdf") {
+    val t = tmp()
+    val schema = Seq((1L, 1, 1.0)).toDF("id", "day", "v").schema
+    val kt = KeyedTable.create(spark, t, schema, keys = Seq("id"), numBuckets = 1)
+    val df = (1L to 2000L).map(i => (i, (i % 4).toInt + 1, i * 1.0))
+      .toDF("id", "day", "v")
+    withSmallFiles(500) { kt.upsert(df, uniqueKeys = true) }
+    withSmallFiles(500) { kt.optimize(Seq("day")) }
+    val before = liveEntries(t, kt)
+    assert(before.size == 4)
+    val preV = kt.latestVersion
+    val v = kt.deleteWhere(col("day") === 2)
+    assert(v == preV + 1)
+    val after = liveEntries(t, kt)
+    // the day-2 file emptied out entirely; the other three carried by
+    // reference — a retention sweep rewrites nothing it keeps
+    assert(after.size == 3, s"expected 3 files after purge, got ${after.size}")
+    assert(after.map(_.path).toSet.subsetOf(before.map(_.path).toSet),
+      "untouched files must carry forward by reference, not be rewritten")
+    val m = kt.snapshot().collect()
+    assert(m.length == 1500 && !m.exists(_.getInt(1) == 2))
+    assert(kt.changesSince(preV).where(col("_change_type") === "delete").count() == 500)
+    // no candidate files → version does not advance (no-op)
+    assert(kt.deleteWhere(col("day") === 99) == v)
+  }
+
+  test("deleteWhere keeps rows where the predicate is null (SQL DELETE semantics)") {
+    val t = tmp()
+    val df = Seq((1L, Some(1.0)), (2L, None), (3L, Some(-5.0)), (4L, None))
+      .toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    kt.upsert(df, uniqueKeys = true)
+    kt.deleteWhere(col("v") < 0)
+    val got = kt.snapshot().collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 4L), s"null-predicate rows must survive, got $got")
+  }
+
   test("statless entries are never skipped (conservative fallback)") {
     val t = tmp()
     val schema = Seq((1L, 1)).toDF("id", "day").schema
