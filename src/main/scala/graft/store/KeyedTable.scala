@@ -491,11 +491,11 @@ final class KeyedTable private (
         val bv = bvAll.filter { case (b, _) => affected.contains(b) }
         // full-key deletes read only the files a deleted key's hash can
         // live in; files out of range carry forward by reference
-        val (readablePaths, carriedFiles) =
-          if (bv.isEmpty) (Nil, Map.empty[Int, Seq[FileEntry]])
+        val (readablePaths, carriedFiles, readBytes) =
+          if (bv.isEmpty) (Nil, Map.empty[Int, Seq[FileEntry]], Some(0L))
           else if (fullKey) splitByHashRange(staged, bv.toSeq, stagedRange, stagedCount)
           else (bv.toSeq.flatMap { case (b, v) => bucketFilePaths(b, v) },
-            Map.empty[Int, Seq[FileEntry]])
+            Map.empty[Int, Seq[FileEntry]], None)
         if (affected.isEmpty || readablePaths.isEmpty) out = base
         else {
           val newVersion = base + 1
@@ -511,7 +511,8 @@ final class KeyedTable private (
             .select(dataCols.map(c => col(s"u.$c").alias(c)): _*)
             .withColumn("_change_type", lit("delete"))
           spark.sparkContext.setJobDescription("graft:merge:write")
-          writeFused(dir, newVersion, remaining, removed)
+          writeFused(dir, newVersion, remaining, removed,
+            hashSort = hashSortNeeded(readBytes, stagedCount))
           spark.sparkContext.setJobDescription(null)
           // buckets the delete emptied entirely get tombstoned; the rest
           // point at carried + rewritten files
@@ -593,17 +594,20 @@ final class KeyedTable private (
       val readable = scala.collection.mutable.ArrayBuffer[String]()
       var carried = Map.empty[Int, Seq[FileEntry]]
       val touched = scala.collection.mutable.ArrayBuffer[Int]()
+      var readBytes: Option[Long] = Some(0L)
       bvAll.toSeq.foreach { case (b, v) =>
         log.readCommit(v).files match {
           case None =>
             touched += b
             readable += s"$path/data/${log.dirOf(v)}/b=$b"
+            readBytes = None // legacy dir: size unknowable
           case Some(m) =>
             val es = m.getOrElse(b, Nil)
             val (hit, miss) = es.partition(mayMatch)
             if (hit.nonEmpty) {
               touched += b
               readable ++= hit.map(e => s"$path/${e.path}")
+              readBytes = readBytes.map(_ + hit.map(_.bytes).sum)
               if (miss.nonEmpty) carried += b -> miss
             }
           // buckets with no candidate files stay untouched entirely —
@@ -621,7 +625,8 @@ final class KeyedTable private (
         .select(dataCols.map(col): _*)
         .withColumn("_change_type", lit("delete"))
       spark.sparkContext.setJobDescription("graft:deleteWhere:write")
-      writeFused(dir, newVersion, remaining, removed)
+      writeFused(dir, newVersion, remaining, removed,
+        hashSort = hashSortNeeded(readBytes, 0L))
       spark.sparkContext.setJobDescription(null)
       val newFiles = writtenFileStats(dir)
       val manifest = touched.toSeq.map { b =>
@@ -1027,7 +1032,7 @@ final class KeyedTable private (
             // file-granular target scan: only files whose key-hash range
             // intersects the staged batch are read and rewritten; the
             // rest of each bucket's files carry forward by reference
-            val (readablePaths, carriedFiles) =
+            val (readablePaths, carriedFiles, readBytes) =
               splitByHashRange(staged0, bv.toSeq, stagedRange, stagedCount)
             val currentRaw = readPaths(readablePaths)
             val current = pruneFilter.fold(currentRaw)(currentRaw.where)
@@ -1044,7 +1049,8 @@ final class KeyedTable private (
             }
             try {
               spark.sparkContext.setJobDescription("graft:merge:write")
-              timed("write")(writeFused(dir, newVersion, newContent, cdf))
+              timed("write")(writeFused(dir, newVersion, newContent, cdf,
+                hashSort = hashSortNeeded(readBytes, stagedCount)))
               spark.sparkContext.setJobDescription(null)
               // manifest = carried references + the attempt's new files;
               // affected buckets with neither were empty before AND after
@@ -1095,6 +1101,22 @@ final class KeyedTable private (
     * the merge hot loop. Collapsing a merge to classic one-job planning
     * roughly halves per-commit latency.
     */
+  /** Whether a rewrite's output may split into several files per bucket
+    * (→ hash-sort so their ranges come out disjoint). Bytes below the
+    * threshold write one file per bucket at the default targetFileRows,
+    * where sorting buys nothing; unknown input (legacy dirs) sorts. */
+  private def hashSortNeeded(readBytes: Option[Long], stagedCount: Long): Boolean = {
+    // an explicit targetFileRows means the caller WANTS small multi-file
+    // buckets (specs, compaction experiments) — their ranges must be
+    // disjoint, so always sort
+    if (spark.conf.getOption("spark.graft.targetFileRows").isDefined) true
+    else {
+      val minBytes = spark.conf.getOption("spark.graft.merge.sortMinBytes")
+        .map(_.toLong).getOrElse(32L << 20)
+      readBytes.forall(b => b + (stagedCount << 6) >= minBytes)
+    }
+  }
+
   /** Wall-clock printout per merge phase, on only when
     * `spark.graft.debugTiming=true` — the local perf-experiment loop. */
   private def timed[T](label: String)(f: => T): T =
@@ -1142,7 +1164,8 @@ final class KeyedTable private (
     * rename only after the claim wins, so no reader ever sees rows of a
     * losing attempt). */
   private def writeFused(dir: String, newVersion: Long, newContent: DataFrame,
-      cdf: DataFrame, sortKeys: Seq[Column] = Nil): Unit = {
+      cdf: DataFrame, sortKeys: Seq[Column] = Nil,
+      hashSort: Boolean = true): Unit = {
     // normalize to the declared schema: merge arithmetic can widen
     // types (e.g. decimal(28,6)+decimal(28,6) → decimal(29,6)), and a
     // widened file would break the explicit-schema bucket reads
@@ -1182,12 +1205,19 @@ final class KeyedTable private (
     // degrades gracefully to whole-bucket until the next hash-ordered
     // rewrite). Write tasks are per (side, b), so a within-partition
     // sort orders each output file.
+    // the key-hash sort only buys anything when a bucket's rewrite
+    // SPLITS into several files (disjoint ranges between them) — a
+    // single-file bucket's [min,max] is exact either way. Callers pass
+    // hashSort=false for rewrites small enough to stay one file per
+    // bucket, saving the per-merge sort stage in the incremental hot
+    // loop; large rewrites (and any legacy/unknowable input) sort.
     val ordered =
       if (!sortKeys.isEmpty)
         shuffled.sortWithinPartitions(
           Seq(col(SideCol), col("b")) ++ sortKeys: _*)
-      else if (spark.conf.getOption("spark.graft.merge.sortFiles").contains("false"))
-        shuffled // experiment escape hatch: unsorted files, full-range stats
+      else if (!hashSort ||
+          spark.conf.getOption("spark.graft.merge.sortFiles").contains("false"))
+        shuffled
       else shuffled.sortWithinPartitions(col(SideCol), col("b"), col(KHashCol))
     ordered
       .write.mode("overwrite")
@@ -1517,10 +1547,12 @@ final class KeyedTable private (
     * free; when several candidate files per bucket survive and the batch
     * is collectable-small, one broadcast range-join refines to the files
     * an ACTUAL staged hash lands in. Legacy dir-granular buckets are
-    * always read whole. */
+    * always read whole. The third element is the total bytes of the
+    * files to be read — `None` when a legacy dir makes it unknowable —
+    * which drives the write-side sort decision. */
   private def splitByHashRange(staged: DataFrame, bv: Seq[(Int, Long)],
       stagedRange: Map[Int, (Long, Long)], stagedCount: Long)
-      : (Seq[String], Map[Int, Seq[FileEntry]]) = {
+      : (Seq[String], Map[Int, Seq[FileEntry]], Option[Long]) = {
     val legacy = scala.collection.mutable.ArrayBuffer[String]()
     val cand = scala.collection.mutable.ArrayBuffer[(Int, FileEntry)]()
     var carried = Map.empty[Int, List[FileEntry]].withDefaultValue(Nil)
@@ -1567,17 +1599,22 @@ final class KeyedTable private (
     val maxFiles = spark.conf.getOption("spark.graft.autoCompact.maxFiles")
       .map(_.toInt).getOrElse(16)
     var folded = List.empty[String]
+    var foldedBytes = 0L
     val carriedOut = carried.collect { case (b, es) if es.nonEmpty =>
       if (es.size + 1 <= maxFiles) b -> es.sortBy(_.minHash)
       else {
         val bySize = es.sortBy(e => (e.bytes, e.path))
         val (fold, keep) = bySize.splitAt(es.size - (maxFiles - 1))
         folded :::= fold.map(e => s"$path/${e.path}")
+        foldedBytes += fold.map(_.bytes).sum
         b -> keep.sortBy(_.minHash)
       }
     }
+    val readBytes =
+      if (legacy.nonEmpty) None
+      else Some(hit.map(_._1._2.bytes).sum + foldedBytes)
     (legacy.toSeq ++ hit.map { case ((_, e), _) => s"$path/${e.path}" } ++ folded,
-      carriedOut)
+      carriedOut, readBytes)
   }
 }
 
