@@ -655,6 +655,76 @@ final class KeyedTable private (
     out
   } }
 
+  /** Bin-packing compaction (Delta's file-size OPTIMIZE analog, distinct
+    * from [[optimize]]'s clustering rewrite): buckets holding 2+ files
+    * below `minFileBytes` get those small files read and rewritten
+    * key-hash-sorted into as few files as the row target allows, while
+    * every file at or above the threshold carries forward BY REFERENCE —
+    * a maintenance pass over a mostly-healthy 100 TB table reads only
+    * the small-file tail, not the table. Layout-only: no cdf rows, so
+    * downstream incremental stages reprocess nothing. Runs under the
+    * normal OCC claim loop; concurrent merges just replay it. */
+  def compact(minFileBytes: Long = 32L << 20): Long = synchronized { withMergeConf {
+    recoverPendingRebucket(onlyDead = true)
+    val planEpoch = meta.numBuckets
+    var attempt = 0
+    var out = -1L
+    while (out < 0) {
+      val base = latestVersion
+      if (epochAt(base) >= 0 && epochAt(base) != planEpoch) {
+        refreshMeta()
+        return compact(minFileBytes)
+      }
+      val readable = scala.collection.mutable.ArrayBuffer[String]()
+      var carried = Map.empty[Int, Seq[FileEntry]]
+      val touched = scala.collection.mutable.ArrayBuffer[Int]()
+      bucketVersionsAt(base).toSeq.foreach { case (b, v) =>
+        log.readCommit(v).files.foreach { m => // legacy dirs: nothing to pack
+          val es = m.getOrElse(b, Nil)
+          // bytes==0 entries predate size recording — treat as small
+          val (small, big) = es.partition(_.bytes < minFileBytes)
+          if (small.size >= 2) {
+            touched += b
+            readable ++= small.map(e => s"$path/${e.path}")
+            if (big.nonEmpty) carried += b -> big
+          }
+        }
+      }
+      if (touched.isEmpty) return base
+      val newVersion = base + 1
+      val dir = attemptDir(newVersion)
+      val current = readPaths(readable.toSeq).withColumn(BucketCol, bucketExpr(col))
+      val emptyCdf = emptyDf.withColumn("_change_type", lit(null).cast(StringType))
+      spark.sparkContext.setJobDescription("graft:compact:write")
+      writeFused(dir, newVersion, current, emptyCdf)
+      spark.sparkContext.setJobDescription(null)
+      val newFiles = writtenFileStats(dir)
+      val manifest = touched.toSeq.map { b =>
+        b -> (carried.getOrElse(b, Nil) ++ newFiles.getOrElse(b, Nil))
+      }.filter(_._2.nonEmpty).toMap
+      val written = manifest.keys.toSeq
+      val emptied = touched.toSeq.filterNot(manifest.contains)
+      preCommitHook()
+      if (log.commit(newVersion, written, emptied, cdfBytes = 0L,
+          dir = dir, files = Some(manifest), epoch = planEpoch)) {
+        publishCdf(dir)
+        bvCache = (newVersion,
+          bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
+            -- emptied)
+        maybeCheckpoint(newVersion)
+        out = newVersion
+      } else {
+        occRetries += 1
+        attempt += 1
+        discardAttempt(dir)
+        require(attempt <= occMaxRetries,
+          s"compact lost $attempt optimistic commit claims on $path; " +
+            "raise spark.graft.occ.maxRetries or reduce writer contention")
+      }
+    }
+    out
+  } }
+
   /** Re-hashes the table to a different bucket count — the escape hatch
     * when data outgrows the original sizing (a 32-bucket table at 100 TB
     * would put ~3 TB in each bucket; rebucketing to 2^14 restores a few

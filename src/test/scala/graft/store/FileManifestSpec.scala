@@ -123,6 +123,54 @@ class FileManifestSpec extends AnyFunSuite {
     assert(m(7L) == 30.0 + 5.0 && m(8L) == 30.0 + 10.0) // 30 seed + 5 deltas
   }
 
+  test("compact() packs only the small-file tail; big files carry by reference, no cdf") {
+    val t = tmp()
+    val df = (1L to 3000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(500) { kt.upsert(df, uniqueKeys = true) } // 6 ~8 KB files
+    def live(): Seq[FileEntry] = {
+      val lg = new CommitLog(t, spark.sessionState.newHadoopConf())
+      kt.bucketVersionsAt(kt.latestVersion).toSeq.flatMap { case (b, v) =>
+        lg.readCommit(v).files.toSeq.flatMap(_.getOrElse(b, Nil))
+      }
+    }
+    // trickle inserts whose hashes land in GAPS between the seed files'
+    // disjoint ranges: no candidate file intersects, so each lands as a
+    // new tiny file — the real-world small-file accumulation shape
+    val seed = live().sortBy(_.minHash)
+    assert(seed.size == 6)
+    val gaps = seed.sliding(2).collect {
+      case Seq(a, b) if a.maxHash + 1 < b.minHash => (a.maxHash, b.minHash)
+    }.toSeq
+    assert(gaps.size >= 2, "seed files should leave hash-range gaps")
+    val cand = (3001L to 40000L).toDF("id")
+      .withColumn("h", xxhash64(col("id"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def pickIn(g: (Long, Long)): Long =
+      cand.find { case (_, h) => h > g._1 && h < g._2 }
+        .getOrElse(sys.error(s"no candidate id hashes into gap $g"))._1
+    Seq(pickIn(gaps.head), pickIn(gaps.last)).foreach { id =>
+      kt.upsert(Seq((id, -1.0)).toDF("id", "v"), uniqueKeys = true)
+    }
+    val before = live()
+    assert(before.size == 8, s"expected 6 seed + 2 gap files, got ${before.size}")
+    val bigs = before.filter(_.bytes >= 4096).map(_.path).toSet
+    assert(bigs.size == 6, s"seed files should exceed 4 KB, sizes=${before.map(_.bytes)}")
+    val preV = kt.latestVersion
+    val v = kt.compact(minFileBytes = 4096)
+    assert(v == preV + 1)
+    val after = live()
+    assert(after.size == 7, s"2 smalls should pack into 1, got ${after.size} files")
+    assert(bigs.subsetOf(after.map(_.path).toSet),
+      "files above the threshold must carry forward untouched")
+    // layout-only: contents identical, zero change rows
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 3002 && m.count(_._2 == -1.0) == 2)
+    assert(kt.changesSince(preV).count() == 0, "compaction must emit no cdf rows")
+    // nothing left to pack (a single small file stays put)
+    assert(kt.compact(minFileBytes = 4096) == v)
+  }
+
   test("auto-compact folds small carried files so a hot bucket's file count stays bounded") {
     val t = tmp()
     val df = (1L to 4000L).map(i => (i, 0.0)).toDF("id", "v")
