@@ -43,6 +43,31 @@ class SecondaryIndexSpec extends AnyFunSuite {
       s"index probe read ${probe.inputFiles.length} of 16 bucket files")
   }
 
+  test("deleteByValues: partial-key delete is bucket-pruned through the index") {
+    val df = (1L to 4000L).map(i => (i, s"cat${i % 500}", i * 1.0)).toDF("id", "cat", "v")
+    val t = tmp()
+    val base = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 16)
+    base.upsert(df, uniqueKeys = true)
+    val idx = SecondaryIndex.create(spark, tmp(), base, "cat", numBuckets = 16)
+    val preV = base.latestVersion
+    val v = SecondaryIndex.deleteByValues(idx, base, Seq("cat7").toDF("cat"))
+    assert(v == preV + 1)
+    // contents: exactly cat7's 8 rows gone
+    assert(base.snapshot().count() == 3992)
+    assert(base.snapshot().where(col("cat") === "cat7").count() == 0)
+    // pruned: the delete commit rewrote only the buckets holding cat7's
+    // 8 ids — KeyedTable.delete's raw partial-key path would have read
+    // and rewritten ALL 16 live buckets
+    val lg = new graft.store.CommitLog(t, spark.sessionState.newHadoopConf())
+    val rewritten = lg.readCommit(v).buckets.size
+    val hit = df.where(col("cat") === "cat7")
+      .select(pmod(xxhash64(col("id")), lit(16)).cast("int")).distinct().count()
+    assert(rewritten <= hit,
+      s"delete rewrote $rewritten buckets; only $hit hold matching keys")
+    // stale-entry safety: re-running after the rows are gone is a no-op
+    assert(SecondaryIndex.deleteByValues(idx, base, Seq("cat7").toDF("cat")) == v)
+  }
+
   test("refresh replay with the same batchId is exactly-once") {
     val df = (1L to 100L).map(i => (i, s"c${i % 5}", 1.0)).toDF("id", "cat", "v")
     val base = KeyedTable.create(spark, tmp(), df.schema, keys = Seq("id"), numBuckets = 4)
