@@ -1574,7 +1574,8 @@ final class KeyedTable private (
             }
           } else if (zoneFields.contains(name) && !zdrop.contains(name)) {
             val dt = zoneFields(name)
-            ZoneStats.fromChunk(dt, c.getStatistics) match {
+            ZoneStats.fromChunk(dt, c.getStatistics,
+              c.getPrimitiveType.getLogicalTypeAnnotation) match {
               case Some(r) => zacc = zacc.updated(name,
                 zacc.get(name).map(ZoneStats.merge(dt, _, r)).getOrElse(r))
               case None => zdrop += name; zacc -= name

@@ -43,10 +43,24 @@ private[graft] object ZoneStats {
   // --- footer extraction ----------------------------------------------------
 
   /** Decoded (min, max) of one parquet column chunk, None when the
-    * footer carries no usable stats or the physical type surprises. */
+    * footer carries no usable stats or the physical type surprises.
+    * `logical` is the column's parquet logical-type annotation: for
+    * timestamps the stored LONG is only comparable to Catalyst micros
+    * when the unit IS micros — a TIMESTAMP_MILLIS file's stats would
+    * otherwise silently mis-prune by 1000×. */
   def fromChunk(dt: DataType,
-      st: org.apache.parquet.column.statistics.Statistics[_]): Option[(Any, Any)] = {
+      st: org.apache.parquet.column.statistics.Statistics[_],
+      logical: org.apache.parquet.schema.LogicalTypeAnnotation = null): Option[(Any, Any)] = {
     if (st == null || !st.hasNonNullValue) return None
+    dt match {
+      case TimestampType =>
+        logical match {
+          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS => // ok
+          case _ => return None // INT96 or non-micros units: not comparable
+        }
+      case _ =>
+    }
     try {
       def asLong(v: Any): Long = v match {
         case l: java.lang.Long => l.longValue()

@@ -185,6 +185,28 @@ class ZoneSkipSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 4L), s"null-predicate rows must survive, got $got")
   }
 
+  test("non-micros timestamp files record no timestamp stats (never mis-prune)") {
+    val t = tmp()
+    val df = (1L to 300L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i * 1000L))).toDF("id", "ts")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    // millis-stamped files: the footer's LONG stats are in a different
+    // unit than Catalyst micros — recording them would mis-prune 1000×
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try kt.upsert(df, uniqueKeys = true)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val entries = {
+      val lg = new CommitLog(t, spark.sessionState.newHadoopConf())
+      lg.readCommit(kt.latestVersion).files.get.values.flatten.toSeq
+    }
+    assert(entries.forall(!_.stats.contains("ts")),
+      s"millis timestamps must record NO stats, got ${entries.map(_.stats)}")
+    // correctness unaffected: the filter just runs unpruned
+    val cut = new java.sql.Timestamp(1700000000000L + 100 * 1000L)
+    val (n, f) = runCountingFiles(kt.snapshot().where(col("ts") <= cut))
+    assert(n == 100 && f == kt.snapshot().inputFiles.length)
+  }
+
   test("statless entries are never skipped (conservative fallback)") {
     val t = tmp()
     val schema = Seq((1L, 1)).toDF("id", "day").schema
