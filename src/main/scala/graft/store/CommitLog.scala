@@ -24,7 +24,7 @@ import java.nio.charset.StandardCharsets
   *                the field existed — such files are never skipped.
   */
 final case class FileEntry(path: String, minHash: Long, maxHash: Long,
-    bytes: Long = 0L, stats: Map[String, (String, String)] = Map.empty)
+    bytes: Long = 0L, stats: Map[String, ColStat] = Map.empty)
 
 /** One parsed commit. `dir` is the data/cdf directory name the commit's
   * files live under (`data/<dir>/b=<bucket>`, `cdf/<dir>/`) — unique per

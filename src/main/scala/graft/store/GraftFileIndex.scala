@@ -61,15 +61,17 @@ private[graft] final class GraftFileIndex(
       else statuses.filter { case (e, _) =>
         def statsOf(name: String): Option[(Any, Any)] =
           fieldOf(name).flatMap { f =>
-            e.stats.get(f.name).flatMap { case (mn, mx) =>
+            e.stats.get(f.name).flatMap { st =>
               for {
-                lo <- ZoneStats.parse(f.dataType, mn)
-                hi <- ZoneStats.parse(f.dataType, mx)
+                lo <- ZoneStats.parse(f.dataType, st.min)
+                hi <- ZoneStats.parse(f.dataType, st.max)
               } yield (lo, hi)
             }
           }
+        def nullsOf(name: String): Option[Boolean] =
+          fieldOf(name).flatMap(f => e.stats.get(f.name).map(_.hasNulls))
         dataFilters.forall(p =>
-          ZoneStats.mayMatch(p, n => fieldOf(n).map(_.dataType), statsOf))
+          ZoneStats.mayMatch(p, n => fieldOf(n).map(_.dataType), statsOf, nullsOf))
       }
     lastSkipped = statuses.size - survivors.size
     Seq(PartitionDirectory(InternalRow.empty, survivors.map(_._2).toArray))

@@ -584,13 +584,14 @@ final class KeyedTable private (
         }
       def mayMatch(e: FileEntry): Boolean =
         condExpr.forall(ce => ZoneStats.mayMatch(ce,
-          n => fieldOf(n).map(_.dataType), n =>
-          fieldOf(n).flatMap(f => e.stats.get(f.name).flatMap { case (mn, mx) =>
+          n => fieldOf(n).map(_.dataType),
+          n => fieldOf(n).flatMap(f => e.stats.get(f.name).flatMap { st =>
             for {
-              lo <- ZoneStats.parse(f.dataType, mn)
-              hi <- ZoneStats.parse(f.dataType, mx)
+              lo <- ZoneStats.parse(f.dataType, st.min)
+              hi <- ZoneStats.parse(f.dataType, st.max)
             } yield (lo, hi)
-          })))
+          }),
+          n => fieldOf(n).flatMap(f => e.stats.get(f.name).map(_.hasNulls))))
       val readable = scala.collection.mutable.ArrayBuffer[String]()
       var carried = Map.empty[Int, Seq[FileEntry]]
       val touched = scala.collection.mutable.ArrayBuffer[Int]()
@@ -1042,6 +1043,15 @@ final class KeyedTable private (
             col(pc).isNull || col(pc).isin(vals: _*)
           }.reduce(_ && _)
         }
+        // the same per-bucket staged value sets, for manifest-level
+        // prune-carry inside splitByHashRange
+        val prunedValsByBucket: Map[Int, Seq[(String, Seq[Any])]] =
+          if (meta.prunedCols.isEmpty) Map.empty
+          else planRows.map { r =>
+            r.getInt(0) -> meta.prunedCols.zipWithIndex.map { case (pc, i) =>
+              pc -> r.getSeq[Any](4 + i).filter(_ != null)
+            }
+          }.toMap
         // state a lost claim leaves behind for the next attempt
         var prevDir: String = null
         var prevBv: Map[Int, Long] = null
@@ -1103,7 +1113,8 @@ final class KeyedTable private (
             // intersects the staged batch are read and rewritten; the
             // rest of each bucket's files carry forward by reference
             val (readablePaths, carriedFiles, readBytes) =
-              splitByHashRange(staged0, bv.toSeq, stagedRange, stagedCount)
+              splitByHashRange(staged0, bv.toSeq, stagedRange, stagedCount,
+                prunedValsByBucket)
             val currentRaw = readPaths(readablePaths)
             val current = pruneFilter.fold(currentRaw)(currentRaw.where)
                 .withColumn(BucketCol, bucketExpr(col))
@@ -1559,6 +1570,7 @@ final class KeyedTable private (
       var mx = Long.MinValue
       var any = false
       var zacc = Map.empty[String, (Any, Any)]
+      var znulls = Map.empty[String, Boolean].withDefaultValue(false)
       var zdrop = Set.empty[String] // a block without usable stats poisons the column
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
@@ -1574,10 +1586,15 @@ final class KeyedTable private (
             }
           } else if (zoneFields.contains(name) && !zdrop.contains(name)) {
             val dt = zoneFields(name)
-            ZoneStats.fromChunk(dt, c.getStatistics,
+            val st = c.getStatistics
+            ZoneStats.fromChunk(dt, st,
               c.getPrimitiveType.getLogicalTypeAnnotation) match {
-              case Some(r) => zacc = zacc.updated(name,
-                zacc.get(name).map(ZoneStats.merge(dt, _, r)).getOrElse(r))
+              case Some(r) =>
+                zacc = zacc.updated(name,
+                  zacc.get(name).map(ZoneStats.merge(dt, _, r)).getOrElse(r))
+                // unknown null counts (isNumNullsSet false) stay "maybe"
+                znulls = znulls.updated(name,
+                  znulls(name) || !st.isNumNullsSet || st.getNumNulls > 0)
               case None => zdrop += name; zacc -= name
             }
           }
@@ -1585,7 +1602,7 @@ final class KeyedTable private (
       } finally rd.close()
       val rel = s"data/$dir/b=$b/${p.getName}"
       val zs = zacc.map { case (c, (lo, hi)) =>
-        c -> (ZoneStats.stringify(lo), ZoneStats.stringify(hi))
+        c -> ColStat(ZoneStats.stringify(lo), ZoneStats.stringify(hi), znulls(c))
       }
       b -> (if (any) FileEntry(rel, mn, mx, st.getLen, zs)
             else FileEntry(rel, Long.MinValue, Long.MaxValue, st.getLen, zs))
@@ -1622,18 +1639,42 @@ final class KeyedTable private (
     * files to be read — `None` when a legacy dir makes it unknowable —
     * which drives the write-side sort decision. */
   private def splitByHashRange(staged: DataFrame, bv: Seq[(Int, Long)],
-      stagedRange: Map[Int, (Long, Long)], stagedCount: Long)
+      stagedRange: Map[Int, (Long, Long)], stagedCount: Long,
+      prunedVals: Map[Int, Seq[(String, Seq[Any])]] = Map.empty)
       : (Seq[String], Map[Int, Seq[FileEntry]], Option[Long]) = {
     val legacy = scala.collection.mutable.ArrayBuffer[String]()
     val cand = scala.collection.mutable.ArrayBuffer[(Int, FileEntry)]()
     var carried = Map.empty[Int, List[FileEntry]].withDefaultValue(Nil)
+    // prune()-column carry: a file whose zone range excludes EVERY staged
+    // value of a pruned column — and provably holds no nulls in it (no
+    // hidden placeholder rows to upgrade) — cannot contain a matching or
+    // modifiable row, so it carries by reference even when its HASH
+    // range overlaps (the optimize(date)-clustered CDC shape, where
+    // hash ranges always overlap but date runs are tight)
+    def pruneExcludes(b: Int, e: FileEntry): Boolean =
+      prunedVals.getOrElse(b, Nil).exists { case (pc, vals) =>
+        e.stats.get(pc).exists { st =>
+          !st.hasNulls && schema.fields.find(_.name == pc).exists { f =>
+            (for {
+              lo <- ZoneStats.parse(f.dataType, st.min)
+              hi <- ZoneStats.parse(f.dataType, st.max)
+            } yield {
+              val ord = ZoneStats.ordering(f.dataType)
+              val internal = vals.flatMap(v => ZoneStats.toInternal(f.dataType, v))
+              internal.size == vals.size && // every value comparable, else keep
+                internal.forall(v => ord.lt(v, lo) || ord.gt(v, hi))
+            }).getOrElse(false)
+          }
+        }
+      }
     bv.foreach { case (b, v) =>
       log.readCommit(v).files match {
         case None => legacy += s"$path/data/${log.dirOf(v)}/b=$b"
         case Some(m) =>
           val (mn, mx) = stagedRange.getOrElse(b, (Long.MinValue, Long.MaxValue))
           m.getOrElse(b, Nil).foreach { e =>
-            if (e.maxHash >= mn && e.minHash <= mx) cand += (b -> e)
+            if (e.maxHash >= mn && e.minHash <= mx && !pruneExcludes(b, e))
+              cand += (b -> e)
             else carried += b -> (e :: carried(b))
           }
       }

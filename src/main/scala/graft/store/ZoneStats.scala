@@ -6,6 +6,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import java.net.{URLDecoder, URLEncoder}
 
+/** One column's zone map in a file manifest entry: [min,max] as stored
+  * strings plus whether the file holds ANY null in the column —
+  * `hasNulls=false` lets prune-carry skip a file entirely (no hidden
+  * placeholder rows) and lets `IsNull` predicates skip it at scan
+  * time. Entries parsed from logs written before the flag existed
+  * default to `true` (conservative: maybe-nulls). */
+final case class ColStat(min: String, max: String, hasNulls: Boolean = true)
+
 /** Per-file column zone maps (Delta "data skipping" stats analog).
   *
   * A commit manifest already records each file's key-hash [min,max];
@@ -68,7 +76,13 @@ private[graft] object ZoneStats {
         case _ => throw new IllegalArgumentException
       }
       dt match {
-        case ByteType | ShortType | IntegerType | DateType =>
+        case ByteType =>
+          Some((st.genericGetMin.asInstanceOf[java.lang.Integer].byteValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Integer].byteValue()))
+        case ShortType =>
+          Some((st.genericGetMin.asInstanceOf[java.lang.Integer].shortValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Integer].shortValue()))
+        case IntegerType | DateType =>
           Some((st.genericGetMin.asInstanceOf[java.lang.Integer].intValue(),
             st.genericGetMax.asInstanceOf[java.lang.Integer].intValue()))
         case LongType | TimestampType =>
@@ -113,17 +127,18 @@ private[graft] object ZoneStats {
     case other => other.toString
   }
 
-  /** `col=min~max;col=min~max` with URL-encoded names/values. The raw
-    * separators stay out of the encoded parts (URLEncoder escapes `~`,
-    * `;`, `=`) and out of the commit log's own delimiters — entries are
+  /** `col=min~max~n;col=min~max~n` (n: 0 = provably no nulls, 1 =
+    * has/maybe nulls) with URL-encoded names/values. The raw separators
+    * stay out of the encoded parts (URLEncoder escapes `~`, `;`, `=`)
+    * and out of the commit log's own delimiters — entries are
     * pipe-split and the files array is comma-split, so the blob must
     * never contain `|`, `,` or `"`. */
-  def encode(stats: Map[String, (String, String)]): String =
-    stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-      s"${enc(c)}=${enc(mn)}~${enc(mx)}"
+  def encode(stats: Map[String, ColStat]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      s"${enc(c)}=${enc(st.min)}~${enc(st.max)}~${if (st.hasNulls) "1" else "0"}"
     }.mkString(";")
 
-  def decode(s: String): Map[String, (String, String)] =
+  def decode(s: String): Map[String, ColStat] =
     if (s == null || s.isEmpty) Map.empty
     else s.split(';').iterator.flatMap { kv =>
       val eq = kv.indexOf('=')
@@ -131,15 +146,42 @@ private[graft] object ZoneStats {
       else {
         val c = dec(kv.substring(0, eq))
         val parts = kv.substring(eq + 1).split('~')
-        if (parts.length != 2) None else Some(c -> (dec(parts(0)), dec(parts(1))))
+        if (parts.length == 3)
+          Some(c -> ColStat(dec(parts(0)), dec(parts(1)), parts(2) == "1"))
+        else if (parts.length == 2) // pre-null-flag log entries
+          Some(c -> ColStat(dec(parts(0)), dec(parts(1))))
+        else None
       }
     }.toMap
+
+  /** External (collect()-shaped) value to the Catalyst-internal form
+    * [[parse]] produces — so staged pruned-column values compare
+    * directly against decoded file ranges. */
+  def toInternal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (_, null) => None
+    case (StringType, s: String) => Some(UTF8String.fromString(s))
+    case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay.toInt)
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay.toInt)
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
+    case (TimestampType, t: java.time.Instant) =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case (ByteType, x: java.lang.Byte) => Some(x.byteValue)
+    case (ShortType, x: java.lang.Short) => Some(x.shortValue)
+    case (IntegerType, x: java.lang.Integer) => Some(x.intValue)
+    case (LongType, x: java.lang.Long) => Some(x.longValue)
+    case (FloatType, x: java.lang.Float) => Some(x.floatValue)
+    case (DoubleType, x: java.lang.Double) => Some(x.doubleValue)
+    case _ => None
+  }
 
   /** Stored string back to the Catalyst-internal value for `dt`; None
     * when the string no longer parses under an evolved type. */
   def parse(dt: DataType, s: String): Option[Any] =
     try dt match {
-      case ByteType | ShortType | IntegerType | DateType => Some(s.toInt)
+      case ByteType => Some(s.toByte)
+      case ShortType => Some(s.toShort)
+      case IntegerType | DateType => Some(s.toInt)
       case LongType | TimestampType => Some(s.toLong)
       case FloatType => Some(s.toFloat)
       case DoubleType => Some(s.toDouble)
@@ -158,7 +200,16 @@ private[graft] object ZoneStats {
     * null-rejecting, so range-based exclusion is sound even for files
     * that also hold nulls. */
   def mayMatch(pred: Expression, dataTypeOf: String => Option[DataType],
-      statsOf: String => Option[(Any, Any)]): Boolean = {
+      statsOf: String => Option[(Any, Any)],
+      nullsOf: String => Option[Boolean] = _ => None): Boolean =
+    try mayMatch0(pred, dataTypeOf, statsOf, nullsOf)
+    catch { case _: Exception => true } // a comparison surprise keeps the file
+
+  private def mayMatch0(pred: Expression, dataTypeOf: String => Option[DataType],
+      statsOf: String => Option[(Any, Any)],
+      nullsOf: String => Option[Boolean]): Boolean = {
+    def mayMatch(p: Expression, d: String => Option[DataType],
+        s: String => Option[(Any, Any)]): Boolean = mayMatch0(p, d, s, nullsOf)
 
     def attrName(e: Expression): Option[String] = e match {
       case a: Attribute => Some(a.name)
@@ -255,7 +306,8 @@ private[graft] object ZoneStats {
             (ord.lteq(mn, p) || mn.asInstanceOf[UTF8String].startsWith(p) ||
               ord.lt(mn, p))
         }.getOrElse(true)
-      case IsNull(_) => true  // no per-file null counts: never skip
+      case IsNull(a) => // a file with provably no nulls can't satisfy IS NULL
+        attrName(a).flatMap(nullsOf).getOrElse(true)
       case IsNotNull(_) => true
       case Not(EqualTo(l, r)) =>
         // skip only a constant file: min == max == v

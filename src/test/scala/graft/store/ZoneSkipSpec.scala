@@ -77,7 +77,7 @@ class ZoneSkipSpec extends AnyFunSuite {
     val opt = manifestOf(t, kt.latestVersion)
     assert(opt.size == 5, s"optimize should rewrite into 5 files, got ${opt.size}")
     // day-clustered files: each file's [min,max] day range is one day
-    assert(opt.forall(e => e.stats.get("day").exists { case (mn, mx) => mn == mx }),
+    assert(opt.forall(e => e.stats.get("day").exists(st => st.min == st.max)),
       s"optimize(day) must produce per-day files, stats=${opt.map(_.stats.get("day"))}")
 
     val (n3, f3) = runCountingFiles(kt.snapshot().where(col("day") === 3))
@@ -183,6 +183,36 @@ class ZoneSkipSpec extends AnyFunSuite {
     kt.deleteWhere(col("v") < 0)
     val got = kt.snapshot().collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(1L, 2L, 4L), s"null-predicate rows must survive, got $got")
+  }
+
+  test("pruned-column merge carries out-of-range files even when hash ranges overlap") {
+    val t = tmp()
+    val schema = Seq((1L, 1, 1.0)).toDF("id", "day", "v").schema
+    val kt = KeyedTable.create(spark, t, schema, keys = Seq("id"), numBuckets = 1,
+      partitionCols = Seq("day"), prunedCols = Seq("day"))
+    val df = (1L to 2000L).map(i => (i, (i % 4).toInt + 1, i * 1.0))
+      .toDF("id", "day", "v")
+    kt.upsert(df, uniqueKeys = true)
+    withSmallFiles(500) { kt.optimize(Seq("day")) } // 4 per-day files
+    val before = liveEntries(t, kt)
+    assert(before.size == 4)
+    // after optimize every file's HASH range overlaps the staged batch,
+    // so hash pruning alone reads all 4 — the day zone map (no nulls,
+    // range excludes day=2's updates) must carry the other 3
+    val upd = df.where(col("day") === 2).limit(50)
+      .withColumn("v", lit(-1.0))
+    kt.upsert(upd, uniqueKeys = true)
+    val after = liveEntries(t, kt)
+    val carried = after.map(_.path).toSet.intersect(before.map(_.path).toSet)
+    assert(carried.size == 3,
+      s"prune-carry should keep 3 of 4 files by reference, carried ${carried.size}")
+    // contents: exactly the 50 updates applied, nothing else moved
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m.size == 2000 && m.count(_._2 == -1.0) == 50)
+    val expect = df.where(col("day") =!= 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(expect.forall { case (k, v) => m(k) == v },
+      "rows of carried days must be unmodified")
   }
 
   test("non-micros timestamp files record no timestamp stats (never mis-prune)") {
