@@ -237,6 +237,21 @@ class ZoneSkipSpec extends AnyFunSuite {
     assert(n == 100 && f == kt.snapshot().inputFiles.length)
   }
 
+  test("IS NULL skips files with provably no nulls; null-bearing files are read") {
+    val t = tmp()
+    val df = (1L to 600L).map(i =>
+      (i, if (i <= 300) Some((i % 3).toInt) else None)).toDF("id", "flag")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    kt.upsert(df, uniqueKeys = true)
+    // cluster by flag (nulls sort first): one all-null file, one no-null
+    withSmallFiles(300) { kt.optimize(Seq("flag")) }
+    val total = kt.snapshot().inputFiles.length
+    assert(total >= 2)
+    val (n, f) = runCountingFiles(kt.snapshot().where(col("flag").isNull))
+    assert(n == 300, s"IS NULL must return the 300 null rows, got $n")
+    assert(f < total, s"IS NULL scanned $f of $total files — no-null file should skip")
+  }
+
   test("statless entries are never skipped (conservative fallback)") {
     val t = tmp()
     val schema = Seq((1L, 1)).toDF("id", "day").schema
