@@ -526,9 +526,14 @@ object CdcQueries {
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
          WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01')""",
     "manifest_point_merge" ->
+      // wave 3's whole-row upsert is built from the ORIGINAL source, so
+      // under latest-wins replace semantics it reverts wave 2's +1000
+      // for keys both waves touch (k % 151 = 0 AND k % 211 = 3 — absent
+      // at sf0.01's sparse keyset, real at sf0.1)
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 211 = 3 THEN o_custkey + 500000 ELSE o_custkey END AS o_custkey,
-           o_totalprice + CASE WHEN o_orderkey % 151 = 0 THEN 1000.0 ELSE 0 END AS o_totalprice
+           o_totalprice + CASE WHEN o_orderkey % 151 = 0 AND o_orderkey % 211 <> 3
+             THEN 1000.0 ELSE 0 END AS o_totalprice
          FROM orders WHERE o_orderkey % 163 <> 1""",
     "index_lookup" ->
       """WITH fin0 AS (SELECT o_orderkey,
