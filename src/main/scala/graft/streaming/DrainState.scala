@@ -43,23 +43,41 @@ private[streaming] object DrainState {
     try props.store(out, null) finally out.close()
   }
 
-  /** How long an intent whose merge has NOT landed may sit before it is
-    * treated as a dead drainer's leftover and reaped. A reap can only
-    * duplicate work, never effects: the step's merge is batchId-guarded
-    * (and OCC-arbitrated) in the output table. The default is generous
-    * on purpose — a live drain step at scale runs for minutes, and a
-    * premature reap costs a duplicate merge attempt plus OCC contention
-    * (safe but wasteful); a crashed drainer's step is simply re-run by
+  /** Atomically replaces `p` with `st` (tmp write + overwrite rename):
+    * a concurrent reader always sees the old or the new content, never
+    * an absent file — the state file must never be absent once written
+    * (load() would restart history from zero). */
+  private def writeAtomic(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, p: Path, st: St): Unit = {
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    write(f, tmp, st)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** How long an intent whose merge has NOT landed and whose mtime has
+    * stopped advancing may sit before it is treated as a dead drainer's
+    * leftover. A LIVE drainer refreshes its intent's mtime from a
+    * heartbeat thread (period grace/4) for as long as its step runs, so
+    * staleness measures real liveness, not claim age — a slow multi-
+    * minute merge is never reaped out from under its owner. The default
+    * is generous anyway: a crashed drainer's step is simply adopted by
     * whichever cron fires next, so a long grace delays nothing that a
     * scheduler isn't already delaying. */
   private def claimGraceMs(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.drain.claimGraceMs")
-      .map(_.toLong).getOrElse(10 * 60 * 1000L)
+      .map(_.toLong).getOrElse(30 * 60 * 1000L)
 
   /** Current state with intent recovery. An intent whose merge landed
-    * (commit crashed mid-promotion) is promoted; an unlanded intent is
-    * left alone while fresh — it may belong to a CONCURRENT drainer mid-
-    * merge — and reaped once stale past the claim grace period. */
+    * (commit crashed mid-promotion) is promoted. An unlanded intent is
+    * NEVER deleted here — it may belong to a concurrent drainer mid-
+    * merge (which heartbeats it), and a dead drainer's stale claim must
+    * be adopted VERBATIM via [[staleClaim]] so the replacement runs the
+    * same step (same batchId, same version range): recomputing a wider
+    * range under the same batchId would be silently skipped by the
+    * output's replay guard — a data skip. */
   def load(spark: SparkSession, dir: String, appliedBatchId: Long): St = {
     val f = fs(spark, dir)
     val state = new Path(dir, "state.properties")
@@ -68,16 +86,52 @@ private[streaming] object DrainState {
       val i = read(f, intent)
       // the intent's merge ran with batchId = i.next - 1
       if (appliedBatchId >= i.next - 1) {
+        writeAtomic(spark, f, state, i) // state first: never absent
         f.delete(intent, false)
-        write(f, state, i)
         return i
       }
-      val st = try f.getFileStatus(intent) catch { case _: java.io.FileNotFoundException => null }
-      if (st != null &&
-          System.currentTimeMillis() - st.getModificationTime > claimGraceMs(spark))
-        f.delete(intent, false)
     }
     if (f.exists(state)) read(f, state) else St(Map.empty, 0L)
+  }
+
+  /** The current intent iff its merge has not landed and its mtime is
+    * past the claim grace — a dead drainer's abandoned step. The caller
+    * adopts it by re-running EXACTLY this step (batchId `next - 1`,
+    * target versions `versions`; the base is the current state, which
+    * cannot have moved while the intent exists) and then committing it
+    * as its own claim. Replaying work the dead drainer already merged
+    * is a batchId no-op. */
+  def staleClaim(spark: SparkSession, dir: String, appliedBatchId: Long): Option[St] = {
+    val f = fs(spark, dir)
+    val intent = new Path(dir, "intent.properties")
+    try {
+      val status = f.getFileStatus(intent)
+      val i = read(f, intent)
+      if (appliedBatchId >= i.next - 1) None // landed: load() promotes it
+      else if (System.currentTimeMillis() - status.getModificationTime >
+        claimGraceMs(spark)) Some(i)
+      else None
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Keeps the caller's claim alive while a long merge runs: a daemon
+    * thread refreshes the intent file's mtime every grace/4 until
+    * closed. Failures are ignored (the file may legitimately be gone
+    * after commit). */
+  def heartbeat(spark: SparkSession, dir: String): AutoCloseable = {
+    val f = fs(spark, dir)
+    val intent = new Path(dir, "intent.properties")
+    val period = math.max(claimGraceMs(spark) / 4, 250L)
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      while (!stop.await(period, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try f.setTimes(intent, System.currentTimeMillis(), -1)
+        catch { case _: Exception => () }
+      }
+    }, "graft-drain-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    () => { stop.countDown(); t.join(2000) }
   }
 
   /** Atomically claims the drain step `post` by create-if-absent rename
@@ -135,11 +189,32 @@ private[streaming] object DrainState {
       }.toMap
     }
 
-  def commit(spark: SparkSession, dir: String): Unit = {
+  /** Promotes `claimed` to the drained state — but ONLY if this drainer
+    * still owns the claim (the live intent's content equals `claimed`).
+    * Blind promotion was an ownership race: a reaped-and-re-claimed
+    * intent belonging to a rival mid-merge would be marked drained
+    * before its merge ran. If the claim is gone, the promotion is
+    * accepted only when a rival already landed this step or a later one
+    * (state.next >= claimed.next — the step adoption path makes rival
+    * content identical); anything else is a real anomaly and fails
+    * loudly rather than corrupting drain history. */
+  def commit(spark: SparkSession, dir: String, claimed: St): Unit = {
     val f = fs(spark, dir)
     val state = new Path(dir, "state.properties")
     val intent = new Path(dir, "intent.properties")
-    f.delete(state, false)
-    f.rename(intent, state)
+    val cur = try Some(read(f, intent))
+      catch { case _: java.io.FileNotFoundException => None }
+    if (cur.contains(claimed)) {
+      writeAtomic(spark, f, state, claimed) // state first: never absent
+      f.delete(intent, false)
+    } else {
+      val landed = try read(f, state).next
+        catch { case _: java.io.FileNotFoundException => Long.MinValue }
+      require(landed >= claimed.next,
+        s"drain claim for step ${claimed.next - 1} at $dir was lost " +
+          s"(intent=${cur.map(_.next)}, state.next=$landed); the merge " +
+          "landed but the step cannot be recorded - raise " +
+          "spark.graft.drain.claimGraceMs above the longest step duration")
+    }
   }
 }

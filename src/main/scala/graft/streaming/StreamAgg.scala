@@ -153,12 +153,24 @@ final class StreamAgg(
             s"stage $name has checkpointed-run history; runIncremental needs " +
               "its own state from the pipeline's first run")
           val step = DrainState.nextStep(tables, st.versions, cur, budget)
-          val after = (p: String) => st.versions.getOrElse(p, -1L)
-          val upTo = (p: String) => step.getOrElse(p, Long.MaxValue)
-          if (DrainState.beginClaim(spark, dir, DrainState.St(step, st.next + 1))) {
-            mergeAgg(src.changesBatch(after, upTo), st.next)
-            DrainState.commit(spark, dir)
-          } else Thread.sleep(50) // concurrent drainer holds this step
+          // claimed-step runner: heartbeat keeps the claim alive for the
+          // merge's duration; commit is ownership-verified (DrainState)
+          def run(target: DrainState.St): Unit = {
+            val after = (p: String) => st.versions.getOrElse(p, -1L)
+            val upTo = (p: String) => target.versions.getOrElse(p, Long.MaxValue)
+            val hb = DrainState.heartbeat(spark, dir)
+            try mergeAgg(src.changesBatch(after, upTo), target.next - 1)
+            finally hb.close()
+            DrainState.commit(spark, dir, target)
+          }
+          if (DrainState.beginClaim(spark, dir, DrainState.St(step, st.next + 1)))
+            run(DrainState.St(step, st.next + 1))
+          else DrainState.staleClaim(spark, dir, applied) match {
+            // dead drainer: adopt its EXACT step (same batchId + range;
+            // already-merged work replays as a batchId no-op)
+            case Some(adopted) => run(adopted)
+            case None => Thread.sleep(50) // live drainer holds this step
+          }
         }
       }
     }

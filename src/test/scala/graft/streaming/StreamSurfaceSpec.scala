@@ -434,26 +434,70 @@ class StreamSurfaceSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want (v1 rows must be skipped)")
   }
 
-  test("drain claim: fresh intents block rivals, stale unlanded intents are reaped") {
+  test("drain claim: fresh intents block rivals, stale unlanded intents are adopted verbatim") {
     val dir = tmp()
     val st1 = DrainState.St(Map("src" -> 3L), next = 7L)
     assert(DrainState.beginClaim(spark, dir, st1), "first claim must win")
     assert(!DrainState.beginClaim(spark, dir, st1), "rival must lose a held claim")
-    // holder alive (default grace): load must NOT reap the unlanded intent
+    // holder alive (default grace): load must NOT surface the unlanded
+    // intent as state, and the step must stay unclaimable and unadoptable
     val before = DrainState.load(spark, dir, appliedBatchId = -1L)
     assert(before.next == 0L, "unlanded fresh intent must not be visible as state")
     assert(!DrainState.beginClaim(spark, dir, st1), "grace must protect a live holder")
-    // dead holder: past the (tiny) grace the intent is reaped and the
-    // step becomes claimable again; state stays at the pre-step mark
+    assert(DrainState.staleClaim(spark, dir, appliedBatchId = -1L).isEmpty,
+      "fresh claim must not be adoptable")
+    // dead holder: past the (tiny) grace the intent becomes adoptable —
+    // VERBATIM (same step content), never recomputed, and never deleted
     spark.conf.set("spark.graft.drain.claimGraceMs", "1")
     try {
       Thread.sleep(10)
-      DrainState.load(spark, dir, appliedBatchId = -1L)
-      assert(DrainState.beginClaim(spark, dir, st1), "reaped step must be claimable")
+      val adopted = DrainState.staleClaim(spark, dir, appliedBatchId = -1L)
+      assert(adopted.contains(st1), "stale claim must be adoptable verbatim")
+      assert(DrainState.staleClaim(spark, dir, appliedBatchId = 6L).isEmpty,
+        "landed stale intent is a promotion, not an adoption")
+      // the adopter re-runs the step then commits it as its own claim
+      DrainState.commit(spark, dir, st1)
+      val promoted = DrainState.load(spark, dir, appliedBatchId = -1L)
+      assert(promoted == st1, "adopted commit must promote the claimed state")
+      // the original (slow, presumed-dead but actually alive) drainer's
+      // late commit of the SAME step is accepted quietly (rival landed it)
+      DrainState.commit(spark, dir, st1)
+      assert(DrainState.load(spark, dir, appliedBatchId = -1L) == st1)
+      // but a late commit of a LOST step that nobody landed fails loudly
+      // rather than corrupting drain history
+      intercept[IllegalArgumentException] {
+        DrainState.commit(spark, dir, DrainState.St(Map("src" -> 9L), next = 9L))
+      }
     } finally spark.conf.unset("spark.graft.drain.claimGraceMs")
-    // landed intent (merge committed, promotion crashed): load promotes it
-    val loaded = DrainState.load(spark, dir, appliedBatchId = 6L)
-    assert(loaded.next == 7L && loaded.versions("src") == 3L,
-      "landed intent must be promoted to state on load")
+  }
+
+  test("drain claim: heartbeat keeps a slow step's intent fresh under a tiny grace") {
+    val dir = tmp()
+    val st1 = DrainState.St(Map("src" -> 1L), next = 1L)
+    spark.conf.set("spark.graft.drain.claimGraceMs", "400")
+    try {
+      assert(DrainState.beginClaim(spark, dir, st1))
+      val hb = DrainState.heartbeat(spark, dir)
+      try {
+        Thread.sleep(1200) // several grace periods; heartbeat refreshes mtime
+        assert(DrainState.staleClaim(spark, dir, appliedBatchId = -1L).isEmpty,
+          "heartbeated claim must never go stale")
+      } finally hb.close()
+      Thread.sleep(600) // heartbeat stopped: claim ages out normally
+      assert(DrainState.staleClaim(spark, dir, appliedBatchId = -1L).contains(st1),
+        "unheartbeated claim must age out")
+      DrainState.commit(spark, dir, st1)
+    } finally spark.conf.unset("spark.graft.drain.claimGraceMs")
+  }
+
+  test("drain commit: landed-intent promotion never leaves state absent") {
+    val dir = tmp()
+    val st1 = DrainState.St(Map("src" -> 2L), next = 3L)
+    DrainState.begin(spark, dir, st1)
+    // merge landed (appliedBatchId >= next - 1) → load promotes atomically
+    val loaded = DrainState.load(spark, dir, appliedBatchId = 2L)
+    assert(loaded == st1)
+    assert(DrainState.load(spark, dir, appliedBatchId = -1L) == st1,
+      "promoted state must persist with the intent gone")
   }
 }
