@@ -61,12 +61,8 @@ private[graft] final class GraftFileIndex(
       else statuses.filter { case (e, _) =>
         def statsOf(name: String): Option[(Any, Any)] =
           fieldOf(name).flatMap { f =>
-            e.stats.get(f.name).flatMap { st =>
-              for {
-                lo <- ZoneStats.parse(f.dataType, st.min)
-                hi <- ZoneStats.parse(f.dataType, st.max)
-              } yield (lo, hi)
-            }
+            e.stats.get(f.name)
+              .flatMap(st => ZoneStats.parseRange(f.dataType, st.min, st.max))
           }
         def nullsOf(name: String): Option[Boolean] =
           fieldOf(name).flatMap(f => e.stats.get(f.name).map(_.hasNulls))

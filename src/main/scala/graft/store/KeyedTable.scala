@@ -585,12 +585,8 @@ final class KeyedTable private (
       def mayMatch(e: FileEntry): Boolean =
         condExpr.forall(ce => ZoneStats.mayMatch(ce,
           n => fieldOf(n).map(_.dataType),
-          n => fieldOf(n).flatMap(f => e.stats.get(f.name).flatMap { st =>
-            for {
-              lo <- ZoneStats.parse(f.dataType, st.min)
-              hi <- ZoneStats.parse(f.dataType, st.max)
-            } yield (lo, hi)
-          }),
+          n => fieldOf(n).flatMap(f => e.stats.get(f.name)
+            .flatMap(st => ZoneStats.parseRange(f.dataType, st.min, st.max))),
           n => fieldOf(n).flatMap(f => e.stats.get(f.name).map(_.hasNulls))))
       val readable = scala.collection.mutable.ArrayBuffer[String]()
       var carried = Map.empty[Int, Seq[FileEntry]]
@@ -1655,15 +1651,12 @@ final class KeyedTable private (
       prunedVals.getOrElse(b, Nil).exists { case (pc, vals) =>
         e.stats.get(pc).exists { st =>
           !st.hasNulls && schema.fields.find(_.name == pc).exists { f =>
-            (for {
-              lo <- ZoneStats.parse(f.dataType, st.min)
-              hi <- ZoneStats.parse(f.dataType, st.max)
-            } yield {
+            ZoneStats.parseRange(f.dataType, st.min, st.max).exists { case (lo, hi) =>
               val ord = ZoneStats.ordering(f.dataType)
               val internal = vals.flatMap(v => ZoneStats.toInternal(f.dataType, v))
               internal.size == vals.size && // every value comparable, else keep
                 internal.forall(v => ord.lt(v, lo) || ord.gt(v, hi))
-            }).getOrElse(false)
+            }
           }
         }
       }

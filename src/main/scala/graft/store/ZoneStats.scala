@@ -88,11 +88,12 @@ private[graft] object ZoneStats {
         case LongType | TimestampType =>
           Some((asLong(st.genericGetMin), asLong(st.genericGetMax)))
         case FloatType =>
-          Some((st.genericGetMin.asInstanceOf[java.lang.Float].floatValue(),
-            st.genericGetMax.asInstanceOf[java.lang.Float].floatValue()))
+          fpRange(st.genericGetMin.asInstanceOf[java.lang.Float].floatValue().toDouble,
+            st.genericGetMax.asInstanceOf[java.lang.Float].floatValue().toDouble)
+            .map { case (mn, mx) => (mn.toFloat, mx.toFloat) }
         case DoubleType =>
-          Some((st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue(),
-            st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue()))
+          fpRange(st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue())
         case StringType =>
           val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
             .toStringUsingUTF8
@@ -104,6 +105,36 @@ private[graft] object ZoneStats {
       }
     } catch { case _: Exception => None }
   }
+
+  /** Floating-point zone bounds need two guards before they are safe to
+    * prune with: NaN-poisoned min/max (older parquet writers fold NaN
+    * into stats) make the range meaningless — treat as no stats; and
+    * the interpreted ordering ranks -0.0 < 0.0 while SQL comparison
+    * treats them equal, so a min=max=-0.0 file would be pruned for
+    * `col = 0.0` even though the row matches — widen a zero min to
+    * -0.0 and a zero max to +0.0 so both representations stay inside
+    * the range (mirrors Delta's handling). */
+  private def fpRange(mn: Double, mx: Double): Option[(Double, Double)] =
+    if (mn.isNaN || mx.isNaN) None
+    else Some((if (mn == 0.0d) -0.0d else mn, if (mx == 0.0d) 0.0d else mx))
+
+  /** Stored string min/max back to a typed range, with the float/double
+    * guards applied — ALL pruning paths must come through here rather
+    * than pairing [[parse]] calls, or NaN/±0.0 edge cases over-prune. */
+  def parseRange(dt: DataType, min: String, max: String): Option[(Any, Any)] =
+    for {
+      lo <- parse(dt, min)
+      hi <- parse(dt, max)
+      r <- dt match {
+        case FloatType =>
+          fpRange(lo.asInstanceOf[Float].toDouble, hi.asInstanceOf[Float].toDouble)
+            .map { case (a, b) => (a.toFloat: Any, b.toFloat: Any) }
+        case DoubleType =>
+          fpRange(lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+            .map { case (a, b) => (a: Any, b: Any) }
+        case _ => Some((lo, hi))
+      }
+    } yield r
 
   /** Catalyst ordering for a stat type (stats hold Catalyst-internal
     * values: Int for dates, Long for timestamp micros, UTF8String). */

@@ -380,10 +380,22 @@ final class JoinedStream(
           val idxMinBytes = spark.conf
             .getOption("spark.graft.retract.indexMinBytes")
             .map(_.toLong).getOrElse(256L << 20)
+          // snapshotForKeys semi-joins on the output's BUCKET keys only,
+          // so it is exact iff pks == bucketKeys; when pks strictly
+          // contain them (a chained stage whose upstream-nullable pk is
+          // excluded from bucketKeys) the bucket-pruned read still
+          // applies but needs a residual semi-join on the FULL pks —
+          // without it, rows matching only on bucket keys would be
+          // resolved and deleted (over-deletion)
+          val bKeys = out.meta.bucketKeys.toSet
           val fullKeys =
-            if (out.meta.bucketKeys.forall(pks.contains))
-              out.snapshotForKeys(srcKeys)
-                .select((nonNull ++ nullable).map(col): _*)
+            if (bKeys.subsetOf(pks.toSet)) {
+              val pruned = out.snapshotForKeys(srcKeys)
+              val exact =
+                if (bKeys == pks.toSet) pruned
+                else pruned.join(broadcast(srcKeys), pks, "left_semi")
+              exact.select((nonNull ++ nullable).map(col): _*)
+            }
             else if (out.liveManifestBytes < idxMinBytes)
               out.snapshot().join(broadcast(srcKeys), pks, "left_semi")
                 .select((nonNull ++ nullable).map(col): _*)

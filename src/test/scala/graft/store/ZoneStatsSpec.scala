@@ -83,6 +83,28 @@ class ZoneStatsSpec extends AnyFunSuite {
       n => Some(IntegerType), n => Some((1, 10))))
   }
 
+  test("parseRange guards float edge cases: NaN poisons, ±0.0 widens") {
+    // NaN-poisoned bounds (older parquet writers fold NaN into stats)
+    // are meaningless for range pruning: no stats at all
+    assert(ZoneStats.parseRange(DoubleType, "NaN", "5.0").isEmpty)
+    assert(ZoneStats.parseRange(DoubleType, "1.0", "NaN").isEmpty)
+    assert(ZoneStats.parseRange(FloatType, "NaN", "NaN").isEmpty)
+    // ±0.0: interpreted ordering ranks -0.0 < 0.0 but SQL comparison
+    // treats them equal — a min=max=-0.0 file must NOT be pruned for
+    // `col = 0.0` (and vice versa), so zero bounds widen to [-0.0, 0.0]
+    val attr = AttributeReference("x", DoubleType)()
+    def keeps(statMin: String, statMax: String, v: Double): Boolean =
+      ZoneStats.mayMatch(EqualTo(attr, Literal(v)),
+        n => Some(DoubleType),
+        n => ZoneStats.parseRange(DoubleType, statMin, statMax))
+    assert(keeps("-0.0", "-0.0", 0.0), "min=max=-0.0 must keep col = 0.0")
+    assert(keeps("0.0", "0.0", -0.0), "min=max=0.0 must keep col = -0.0")
+    assert(!keeps("1.0", "2.0", 3.0), "real exclusion still prunes")
+    // ordinary ranges pass through untouched
+    assert(ZoneStats.parseRange(DoubleType, "1.5", "2.5").contains((1.5d, 2.5d)))
+    assert(ZoneStats.parseRange(IntegerType, "1", "9").contains((1, 9)))
+  }
+
   test("toInternal matches parse's internal forms") {
     assert(ZoneStats.toInternal(DateType,
       java.sql.Date.valueOf("2024-01-01")).get ==

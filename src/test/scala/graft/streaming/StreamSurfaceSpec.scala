@@ -191,6 +191,42 @@ class StreamSurfaceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("delete retraction with pks strictly containing bucket keys deletes exactly") {
+    // the deleting side's pks (k, a_sub) strictly contain the output's
+    // bucket keys (k): a_sub is upstream-nullable, so outKeySplit
+    // excludes it from the bucket keys. The bucket-key-only fast path
+    // must still filter on the FULL pks — deleting (k=1, a_sub=10)
+    // must not retract the surviving (k=1, a_sub=11) output row.
+    val root = tmp()
+    import spark.implicits._
+    val aDf = Seq((1L, 10L, "ax"), (1L, 11L, "ay"), (2L, 20L, "b"))
+      .toDF("k", "a_sub", "payload")
+    val bDf = Seq((1L, "m"), (2L, "n")).toDF("k", "b_val")
+    val aT = KeyedTable.create(spark, s"$root/a", aDf.schema,
+      Seq("k", "a_sub"), nullableKeys = Seq("a_sub"), numBuckets = 4)
+    val bT = KeyedTable.create(spark, s"$root/b",
+      bDf.schema, Seq("k"), numBuckets = 4)
+    bT.upsert(bDf)
+    val q = Stream.fromKeyedTable(aT).handleDeletes()
+      .join(Stream.fromKeyedTable(bT), "inner")
+      .onKeys("k")
+      .writeToPath(s"$root/out").start()
+    try {
+      aT.upsert(aDf, uniqueKeys = true); q.processAllAvailable()
+      val out = KeyedTable.forPath(spark, s"$root/out")
+      assert(out.meta.bucketKeys == Seq("k") &&
+        out.meta.keys.toSet == Set("k", "a_sub"),
+        s"precondition: pks must strictly contain bucket keys, got " +
+          s"keys=${out.meta.keys} bucket=${out.meta.bucketKeys}")
+      assert(out.snapshot().count() == 3)
+      aT.delete(Seq((1L, 10L)).toDF("k", "a_sub")); q.processAllAvailable()
+      val left = KeyedTable.forPath(spark, s"$root/out").snapshot()
+        .select("k", "a_sub").as[(Long, Long)].collect().toSet
+      assert(left == Set((1L, 11L), (2L, 20L)),
+        s"only (1,10) may be retracted; surviving rows: $left")
+    } finally q.stop()
+  }
+
   test("delete retraction resolves via the lazily-built secondary index, file-pruned") {
     val root = tmp()
     val oDf = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
