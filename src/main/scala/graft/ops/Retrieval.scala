@@ -48,25 +48,30 @@ object Retrieval {
       textCol: String = "text",
       vecId: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // top-n of a scored list WITHOUT a corpus-wide window: a global
+    // `row_number().over(Window.orderBy(...))` moves every scored row
+    // to ONE partition (at 100 TB, one executor sorting the corpus).
+    // `orderBy(...).limit(n)` instead plans TakeOrderedAndProject —
+    // each partition keeps its local top-n, the driver merges — and the
+    // rank is then assigned within the surviving n rows, a window whose
+    // input is bounded by the parameter, not the corpus.
+    def topRanked(scored: DataFrame, rankCol: String): DataFrame =
+      scored.orderBy(col("__s").desc, col(docId).asc).limit(n)
+        .withColumn(rankCol, row_number().over(
+          Window.orderBy(col("__s").desc, col(docId).asc)).cast("long"))
+        .select(col(docId), col(rankCol))
     // lexical list: BM25 scores rounded to 6 (ln differs by ±1 ulp
     // across engines), ranked score-desc with id tiebreak
-    val lex = Ranking.bm25(docs, terms, docId, textCol)
-      .withColumn("__s", round(col("bm25"), 6))
-      .withColumn("lex_rank", row_number().over(
-        Window.orderBy(col("__s").desc, col(docId).asc)).cast("long"))
-      .where(col("lex_rank") <= n)
-      .select(col(docId), col("lex_rank"))
+    val lex = topRanked(Ranking.bm25(docs, terms, docId, textCol)
+      .withColumn("__s", round(col("bm25"), 6)), "lex_rank")
     // vector list: cosine against the query embedding, same rounding
     val qv = broadcast(embeddings.where(col(vecId) === queryVecId)
       .select(col(vecCol).alias("__qv")))
-    val vec = embeddings.where(col(vecId) =!= queryVecId)
+    val vec = topRanked(embeddings.where(col(vecId) =!= queryVecId)
       .select(col(vecId).alias(docId), col(vecCol))
       .crossJoin(qv)
-      .withColumn("__s", round(Similarity.cosine(col(vecCol), col("__qv")), 6))
-      .withColumn("vec_rank", row_number().over(
-        Window.orderBy(col("__s").desc, col(docId).asc)).cast("long"))
-      .where(col("vec_rank") <= n)
-      .select(col(docId), col("vec_rank"))
+      .withColumn("__s", round(Similarity.cosine(col(vecCol), col("__qv")), 6)),
+      "vec_rank")
     val fused = lex.join(vec, Seq(docId), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(c) + col("lex_rank")), lit(0.0)) +

@@ -29,6 +29,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(scores == scores.sorted, s"not rrf-ordered: $out")
   }
 
+  test("top-n lists plan as distributed TakeOrdered, never a corpus-wide window") {
+    // a partition-less WindowExec over the scored corpus would move
+    // every row to one partition (the 100 TB scale-killer); the top-n
+    // must come from TakeOrderedAndProject (per-partition partial
+    // top-k), with any remaining window consuming only the n survivors
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val nodes = flatten(run().queryExecution.executedPlan)
+    val takes = nodes.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takes.size >= 2,
+      s"expected a TakeOrderedAndProject per rank list, got ${takes.size}")
+    val corpusWindows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty &&
+          flatten(w).collectFirst {
+            case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
+            case _: org.apache.spark.sql.execution.GlobalLimitExec => ()
+          }.isEmpty => w
+    }
+    assert(corpusWindows.isEmpty,
+      s"partition-less window over unbounded input:\n${corpusWindows.mkString}")
+  }
+
   test("a doc ranked #1 in BOTH lists dominates any single-list doc") {
     val out = run(n = 50, k = 50).collect()
     val both = out.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
