@@ -18,17 +18,25 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is INT64 TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long and convert to a microsecond NTZ
-    * timestamp (matches how DuckDB sees the column, minus sub-µs). */
+  /** events.ts has drifted across testdata generations — INT64
+    * TIMESTAMP(NANOS) (read as long via the legacy flag), timestamp[us]
+    * (read as TIMESTAMP_NTZ), or a session-tz TIMESTAMP. Dispatch on
+    * the physical type so all generations normalize to a microsecond
+    * NTZ timestamp (matching how DuckDB sees the column). */
   private def eventsDf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      // integer `div`, NOT `/`: ns epoch values exceed double's 53-bit
-      // mantissa, so float division is off by ±1µs on some rows
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))
-        .cast(org.apache.spark.sql.types.TimestampNTZType))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: ns epoch values exceed double's 53-bit
+        // mantissa, so float division is off by ±1µs on some rows
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => raw
+      case _                => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")

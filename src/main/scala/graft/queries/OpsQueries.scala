@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -285,6 +285,19 @@ object OpsQueries {
 
   // --- §2C streaming analytics over events --------------------------------
 
+  /** Literal `offsetSecs` past the table's max ts, expressed in the raw
+    * `ts` column's physical type (long nanos, NTZ, or LTZ timestamp) so
+    * sentinel rows round-trip through the same parquet schema whichever
+    * generation of testdata is on disk. */
+  private def sentinelTsLit(raw: DataFrame, offsetSecs: Long): Column = {
+    val agg = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        max(col("ts")) + lit(offsetSecs * 1000000000L)
+      case _ => max(col("ts")) + expr(s"INTERVAL $offsetSecs SECOND")
+    }
+    lit(raw.agg(agg.alias("s")).head.get(0))
+  }
+
   def streamWindowAgg(s: SparkSession, d: String): DataFrame =
     EventOps.runToMemory(s, s"$d/events.parquet", s"win_agg_${System.nanoTime()}")(
       EventOps.windowedAgg)
@@ -325,15 +338,14 @@ object OpsQueries {
     val fs = srcP.getFileSystem(conf)
     org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs,
       new org.apache.hadoop.fs.Path(tmp, srcP.getName), false, conf)
-    val maxTs = raw.agg(max("ts")).head.getLong(0)
-    val sentinelTs = maxTs + 3L * 3600L * 1000000000L // 3h past, in ns
+    val sentinelTs = sentinelTsLit(raw, offsetSecs = 3L * 3600L) // 3h past max
     val sentinel = Seq((-1L, "click"), (-2L, "purchase")).foldLeft(
       Option.empty[DataFrame]) { case (acc, (uid, tpe)) =>
         val row = raw.limit(1).select(raw.schema.fields.toSeq.map { f =>
           f.name match {
             case "event_id"   => lit(uid).cast(f.dataType).alias("event_id")
             case "user_id"    => lit(uid).cast(f.dataType).alias("user_id")
-            case "ts"         => lit(sentinelTs).cast(f.dataType).alias("ts")
+            case "ts"         => sentinelTs.cast(f.dataType).alias("ts")
             case "event_type" => lit(tpe).alias("event_type")
             case other        => lit(null).cast(f.dataType).alias(other)
           }
@@ -421,13 +433,12 @@ object OpsQueries {
     val fs = srcP.getFileSystem(conf)
     org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs,
       new org.apache.hadoop.fs.Path(tmp, srcP.getName), false, conf)
-    val maxTs = raw.agg(max("ts")).head.getLong(0)
-    val sentinelTs = maxTs + 1801L * 1000000000L // gap (1800s) + 1s, in ns
+    val sentinelTs = sentinelTsLit(raw, offsetSecs = 1801L) // gap (1800s) + 1s
     val sentinel = raw.select(col("user_id")).distinct()
       .select(raw.schema.fields.toSeq.map { f =>
         f.name match {
           case "user_id" => col("user_id")
-          case "ts"      => lit(sentinelTs).cast(f.dataType).alias("ts")
+          case "ts"      => sentinelTs.cast(f.dataType).alias("ts")
           case other     => lit(null).cast(f.dataType).alias(other)
         }
       }: _*)

@@ -297,15 +297,21 @@ final class KeyedTable private (
         .where(col("_commit_version") > sinceVersion)
   }
 
-  /** The change feed as a Structured Streaming source. New commits land
-    * as new files under `cdf/` and are discovered by the file source;
-    * `maxFilesPerTrigger` bounds microbatch size (the reference's
-    * `maxBytesPerTrigger=1g`, streams.py:128). */
-  def changeStream(maxFilesPerTrigger: Int = 64): DataFrame =
+  /** The change feed as a Structured Streaming source — log-indexed
+    * ([[CdfStreamSource]]): checkpoint offsets map to commit versions
+    * through the cached log, so each trigger lists only ITS window's
+    * cdf directories (the reference's Delta-log-indexed readChangeFeed,
+    * streams.py:126-144; the earlier cdf-glob file source re-listed
+    * every retained change file per trigger). `maxBytesPerTrigger`
+    * bounds microbatch size by recorded cdf bytes (streams.py:128);
+    * `maxCommitsPerTrigger` is the commit-count backstop. */
+  def changeStream(maxCommitsPerTrigger: Int = 64,
+      maxBytesPerTrigger: Long = 1L << 30): DataFrame =
     spark.readStream
-      .schema(cdfSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(s"$path/cdf/*")
+      .format("graft-cdf")
+      .option("maxCommitsPerTrigger", maxCommitsPerTrigger)
+      .option("maxBytesPerTrigger", maxBytesPerTrigger)
+      .load(path)
 
   /** Plain latest-wins upsert (the bronze-table write path).
     * `uniqueKeys = true` asserts the batch has at most one row per key,

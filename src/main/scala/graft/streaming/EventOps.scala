@@ -47,11 +47,16 @@ object EventOps {
       .option("maxFilesPerTrigger", 8).parquet(dirPath)
     // watermarks require TIMESTAMP (LTZ); session tz is UTC so values
     // align with the NTZ batch reads — outputs cast back to NTZ
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer `div`, NOT `/`: ns epoch values exceed double's 53-bit
-      // mantissa (same fix as Tables.eventsDf)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types._
+    schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: ns epoch values exceed double's 53-bit
+        // mantissa (same fix as Tables.eventsDf)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** C1: tumbling-window aggregation with a watermark. */

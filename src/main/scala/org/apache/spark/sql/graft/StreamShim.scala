@@ -1,0 +1,38 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{classic, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.StructType
+
+/** The one `private[sql]` bridge graft's V1 streaming source needs.
+  *
+  * A V1 `Source.getBatch` must return a DataFrame whose leaf relations
+  * carry `isStreaming = true` (MicroBatchExecution asserts it before
+  * grafting the batch plan into the streaming query). Spark's own file
+  * source builds such frames via `internalCreateDataFrame`/
+  * `LogicalRelation(..., isStreaming = true)` — both `private[sql]`,
+  * hence this shim living under the `org.apache.spark.sql` package
+  * (the same trick Delta's DeltaSource uses).
+  */
+object StreamShim {
+
+  /** Re-marks an ordinary batch read (parquet scan + filters) as a
+    * streaming microbatch plan. Only leaf relations flip; the rest of
+    * the plan (projections, `_commit_version` window filters) rides
+    * along unchanged and still reaches the scan via pushdown. */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val plan = cdf.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+    }
+    classic.Dataset.ofRows(cdf.sparkSession, plan)
+  }
+
+  /** Zero-row streaming batch with the given schema (a trigger whose
+    * version window holds only layout-only commits with no cdf). */
+  def emptyStreamingBatch(spark: SparkSession, schema: StructType): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
+}

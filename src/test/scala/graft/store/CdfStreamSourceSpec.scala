@@ -1,0 +1,111 @@
+package graft.store
+
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import java.nio.file.Files
+
+/** The log-indexed CDF streaming source (CdfStreamSource): offsets are
+  * commit versions, a trigger lists only its window's cdf dirs, and
+  * trigger sizing is byte-budgeted — the scale properties the cdf-glob
+  * file source it replaced lacked.
+  */
+class CdfStreamSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("cdfsrc").toString
+
+  private def tableWithCommits(n: Int, rowsPer: Int = 5): KeyedTable = {
+    val t = tmp()
+    val schema = Seq((1L, 0.0)).toDF("id", "v").schema
+    val kt = KeyedTable.create(spark, t, schema, keys = Seq("id"), numBuckets = 4)
+    (1 to n).foreach { c =>
+      val base = c * 1000L
+      kt.upsert((0 until rowsPer).map(i => (base + i, c.toDouble)).toDF("id", "v"),
+        uniqueKeys = true)
+    }
+    kt
+  }
+
+  test("streamed change feed equals the batch change feed") {
+    val kt = tableWithCommits(6)
+    val name = s"cdf_src_${System.nanoTime()}"
+    val q = kt.changeStream(maxCommitsPerTrigger = 2)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name)
+      .select("id", "v", "_change_type", "_commit_version")
+      .collect().map(_.toSeq).toSet
+    val batch = kt.changesSince(0L)
+      .select("id", "v", "_change_type", "_commit_version")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("a 1-commit trigger on a many-commit table reads O(1) dirs") {
+    val kt = tableWithCommits(30)
+    val latest = kt.latestVersion
+    val src = new CdfStreamSource(spark.sqlContext, kt.path,
+      startingVersion = 1L, maxCommitsPerTrigger = 64,
+      maxBytesPerTrigger = 1L << 30)
+    // the tail commit alone: (latest-1, latest]
+    val batch = src.batchDf(latest - 1, latest).get
+    val dirs = batch.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(dirs.length == 1,
+      s"1-commit trigger listed ${dirs.length} cdf dirs: ${dirs.take(5).mkString(",")}")
+    // and it is exactly the tail commit's own cdf dir
+    assert(dirs.head.endsWith(s"/cdf/${kt.dataDirOf(latest)}"),
+      s"not the tail commit's dir: ${dirs.head}")
+  }
+
+  test("getOffset advances by the commit-count budget") {
+    val kt = tableWithCommits(5)
+    // budget of 2 over 5 commits: 2, 4, then 5
+    val o1 = new CdfStreamSource(spark.sqlContext, kt.path, 1L, 2, 1L << 30)
+    assert(o1.getOffset.get.asInstanceOf[LongOffset].offset == 2L)
+    assert(o1.getOffset.get.asInstanceOf[LongOffset].offset == 4L)
+    assert(o1.getOffset.get.asInstanceOf[LongOffset].offset == 5L)
+    // drained: offset stays put
+    assert(o1.getOffset.get.asInstanceOf[LongOffset].offset == 5L)
+  }
+
+  test("getOffset honors the byte budget but always admits one commit") {
+    val kt = tableWithCommits(4, rowsPer = 50)
+    // tiny byte budget: every commit's cdf exceeds it, so each trigger
+    // still takes exactly one commit (oversized commits must drain)
+    val src = new CdfStreamSource(spark.sqlContext, kt.path,
+      startingVersion = 1L, maxCommitsPerTrigger = 64,
+      maxBytesPerTrigger = 1L)
+    assert(src.getOffset.get.asInstanceOf[LongOffset].offset == 1L)
+    assert(src.getOffset.get.asInstanceOf[LongOffset].offset == 2L)
+  }
+
+  test("startingVersion skips earlier commits") {
+    val kt = tableWithCommits(6)
+    val name = s"cdf_sv_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-cdf")
+      .option("startingVersion", 4).load(kt.path)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val versions = spark.table(name).select("_commit_version")
+      .distinct().as[Long].collect().sorted.toSeq
+    assert(versions == Seq(4L, 5L, 6L))
+  }
+
+  test("stream picks up commits landed while running") {
+    val kt = tableWithCommits(2)
+    val name = s"cdf_live_${System.nanoTime()}"
+    val q = kt.changeStream()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val before = spark.table(name).count()
+      kt.upsert(Seq((99999L, 9.9)).toDF("id", "v"), uniqueKeys = true)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == before + 1)
+    } finally q.stop()
+  }
+}
