@@ -486,7 +486,37 @@ object CdcQueries {
     s.sql("SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name FROM enriched")
   }
 
+  /** A28/A30/A41/C5 composed: the full layout-maintenance lifecycle
+    * under data churn — upsert waves interleaved with incremental
+    * optimize, compact, rebucket, a predicate delete, and vacuum — with
+    * the surviving snapshot hash-checked against a recomputed oracle.
+    * Layout ops must be pure reorganizations: every one of them runs
+    * BETWEEN or AROUND content commits and none may change what the
+    * final snapshot reads. */
+  def maintenanceCycle(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val kt = KeyedTable.create(s, freshDir(), o.schema,
+      keys = Seq("o_orderkey"), numBuckets = 16)
+    kt.upsert(o, uniqueKeys = true) // wave 1: full load
+    kt.upsert(o.where(col("o_orderkey") % 7 === 0) // wave 2: price bump
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0),
+      uniqueKeys = true)
+    // stepped optimize (4-bucket claimed commits) between the waves
+    kt.optimizeIncremental(Seq("o_custkey"), bucketsPerStep = 4)
+    // wave 3: WHOLE-ROW upsert from the original source — for keys also
+    // in wave 2 (%7 and %11) latest-wins replace reverts the +100
+    kt.upsert(o.where(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderstatus", lit("M")), uniqueKeys = true)
+    kt.compact(minFileBytes = 64L << 20)
+    kt.rebucket(32)
+    kt.deleteWhere(col("o_orderkey") % 13 === 0)
+    kt.vacuum(retainVersions = 1)
+    kt.snapshot()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maintenance_cycle" -> (maintenanceCycle _),
     "cdc_time_travel" -> (cdcTimeTravel _),
     "cdc_changes_since" -> (cdcChangesSince _),
     "join_complex1" -> (joinComplex1 _),
@@ -508,6 +538,15 @@ object CdcQueries {
     "delete_where" -> (deleteWhereGate _))
 
   val oracleSql: Map[String, String] = Map(
+    // wave 3 (%11) is a whole-row replace built from the ORIGINAL rows,
+    // so it reverts wave 2's +100 where the waves overlap; %13 deleted
+    "maintenance_cycle" ->
+      """SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'M' ELSE o_orderstatus END
+             AS o_orderstatus,
+           o_totalprice + CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+             THEN 100.0 ELSE 0 END AS o_totalprice
+         FROM orders WHERE o_orderkey % 13 <> 0""",
     // every interleaving of the two racing writers converges here —
     // each parity's LAST merge (i=3) wins its keys
     "occ_multi_writer" ->

@@ -36,15 +36,38 @@ final case class FileEntry(path: String, minHash: Long, maxHash: Long,
   * touched, the COMPLETE current file list (new files + carried-forward
   * references) — the role of Delta's add actions. `None` on commits that
   * predate manifests; readers fall back to listing `data/<dir>/b=<B>`. */
-final case class CommitInfo(
-    version: Long,
-    buckets: Seq[Int],
-    emptied: Seq[Int],
-    batchId: Long,
-    cdfBytes: Long,
-    dir: String,
-    files: Option[Map[Int, Seq[FileEntry]]] = None,
-    epoch: Int = -1)
+final class CommitInfo(
+    val version: Long,
+    val buckets: Seq[Int],
+    val emptied: Seq[Int],
+    val batchId: Long,
+    val cdfBytes: Long,
+    val dir: String,
+    filesThunk: () => Option[Map[Int, Seq[FileEntry]]],
+    val epoch: Int) {
+  /** LAZY: a spilled manifest's parquet sidecar is only read when a
+    * consumer actually needs the file list — log replay
+    * (bucketVersions/batchId folds) touches only the scalar fields, so
+    * a 10k-commit tail with spilled manifests costs zero sidecar
+    * reads. Memoized; commit parses are cached per version anyway. */
+  lazy val files: Option[Map[Int, Seq[FileEntry]]] = filesThunk()
+}
+
+object CommitInfo {
+  def apply(version: Long, buckets: Seq[Int], emptied: Seq[Int],
+      batchId: Long, cdfBytes: Long, dir: String,
+      files: Option[Map[Int, Seq[FileEntry]]] = None,
+      epoch: Int = -1): CommitInfo =
+    new CommitInfo(version, buckets, emptied, batchId, cdfBytes, dir,
+      () => files, epoch)
+
+  def lazyFiles(version: Long, buckets: Seq[Int], emptied: Seq[Int],
+      batchId: Long, cdfBytes: Long, dir: String,
+      filesThunk: () => Option[Map[Int, Seq[FileEntry]]],
+      epoch: Int): CommitInfo =
+    new CommitInfo(version, buckets, emptied, batchId, cdfBytes, dir,
+      filesThunk, epoch)
+}
 
 /** Minimal JSON commit log for a [[KeyedTable]].
   *
@@ -69,6 +92,15 @@ final case class CommitInfo(
 final class CommitLog(rootPath: String, conf: Configuration) {
   private val logDir = new Path(rootPath, "_log")
   private def fs: FileSystem = logDir.getFileSystem(conf)
+
+  /** Commits whose manifest has at least this many file entries spill
+    * it to a parquet sidecar (`_log/_manifest_<dir>.parquet`) instead
+    * of inlining JSON — a full-table rewrite at 2^14 buckets × ~8 files
+    * would otherwise put tens of MB of JSON in ONE commit file parsed
+    * by regex on every cold open (SURVEY §6k-5; Delta's parquet
+    * checkpoint plays the same role). Live-read so sessions can tune
+    * `spark.graft.manifest.spillEntries` at runtime. */
+  @volatile var manifestSpillEntries: () => Int = () => 4096
 
   // commit files are write-once (losers back off, nobody rewrites), so a
   // parse cached per version can never go stale; external writers only
@@ -103,7 +135,9 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     if (cached != null) cached
     else {
       val json = readFully(commitPath(v))
-      val info = CommitInfo(
+      val filesRef = """"filesRef":"([^"]+)"""".r.findFirstMatchIn(json)
+        .map(_.group(1))
+      val info = CommitInfo.lazyFiles(
         version = v,
         buckets = parseIntArray(json, "buckets"),
         emptied = parseIntArray(json, "emptied"),
@@ -113,12 +147,86 @@ final class CommitLog(rootPath: String, conf: Configuration) {
           .map(_.group(1).toLong).getOrElse(-1L),
         dir = """"dir":"([^"]+)"""".r.findFirstMatchIn(json)
           .map(_.group(1)).getOrElse(s"v=$v"),
-        files = parseFiles(json),
+        filesThunk = filesRef match {
+          case Some(ref) => () => Some(readManifestParquet(ref))
+          case None      => val inline = parseFiles(json); () => inline
+        },
         epoch = """"epoch":(-?\d+)""".r.findFirstMatchIn(json)
           .map(_.group(1).toInt).getOrElse(-1))
       commitCache.put(v, info)
       info
     }
+  }
+
+  // --- parquet manifest sidecar (SURVEY §6k-5) ----------------------------
+  // Written driver-side with parquet-hadoop's Group API: no Spark job in
+  // the commit hot path, no Spark dependency in the log layer. Sidecars
+  // are written under an attempt-unique name BEFORE the commit claim, so
+  // a losing attempt leaves only an unreferenced orphan (vacuumable),
+  // never a dangling reference.
+
+  private lazy val manifestSchema: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message graft_manifest {
+           required int32 bucket;
+           required binary path (STRING);
+           required int64 minHash;
+           required int64 maxHash;
+           required int64 bytes;
+           required binary stats (STRING);
+         }""")
+
+  private def manifestSidecarName(dir: String) = s"_manifest_$dir.parquet"
+
+  private def writeManifestParquet(dir: String,
+      files: Map[Int, Seq[FileEntry]]): String = {
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    val name = manifestSidecarName(dir)
+    val gconf = new Configuration(conf)
+    GroupWriteSupport.setSchema(manifestSchema, gconf)
+    fs.mkdirs(logDir)
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(new Path(logDir, name), gconf))
+      .withConf(gconf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      manifestSchema)
+    try files.toSeq.sortBy(_._1).foreach { case (b, es) =>
+      es.foreach { e =>
+        val g = factory.newGroup()
+        g.add("bucket", b)
+        g.add("path", e.path)
+        g.add("minHash", e.minHash)
+        g.add("maxHash", e.maxHash)
+        g.add("bytes", e.bytes)
+        g.add("stats", ZoneStats.encode(e.stats))
+        writer.write(g)
+      }
+    } finally writer.close()
+    name
+  }
+
+  private def readManifestParquet(name: String): Map[Int, Seq[FileEntry]] = {
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), new Path(logDir, name))
+      .withConf(conf).build()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, FileEntry)]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        buf += g.getInteger("bucket", 0) -> FileEntry(
+          g.getString("path", 0),
+          g.getLong("minHash", 0), g.getLong("maxHash", 0),
+          g.getLong("bytes", 0),
+          ZoneStats.decode(g.getString("stats", 0)))
+        g = reader.read()
+      }
+    } finally reader.close()
+    buf.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toSeq }
   }
 
   // manifest entries are flat strings "bucket|relpath|minHash|maxHash" —
@@ -215,7 +323,12 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     val bid = if (batchId >= 0) s""","batchId":$batchId""" else ""
     val cb = if (cdfBytes >= 0) s""","cdfBytes":$cdfBytes""" else ""
     val ep = if (epoch >= 0) s""","epoch":$epoch""" else ""
-    val fl = files.map(encodeFiles).getOrElse("")
+    val fl = files match {
+      case Some(m) if m.valuesIterator.map(_.size).sum >= manifestSpillEntries() =>
+        s""","filesRef":"${writeManifestParquet(d, m)}""""
+      case Some(m) => encodeFiles(m)
+      case None => ""
+    }
     val json = s"""{"version":$version,"buckets":[${buckets.mkString(",")}],""" +
       s""""emptied":[${emptied.mkString(",")}]$bid$cb$ep$fl,"dir":"$d"}"""
     val won = writeAtomicClaiming(commitPath(version), json)

@@ -91,6 +91,10 @@ final class KeyedTable private (
   def meta: TableMeta = metaVar
 
   private val log = new CommitLog(path, spark.sessionState.newHadoopConf())
+  // full-rewrite manifests (optimize/rebucket at high bucket counts)
+  // spill to a parquet sidecar instead of MBs of inline commit JSON
+  log.manifestSpillEntries = () => spark.conf
+    .getOption("spark.graft.manifest.spillEntries").map(_.toInt).getOrElse(4096)
 
   /** Adds columns to the table schema (Delta's `mergeSchema` analog).
     * Existing bucket and cdf files stay untouched — every read goes
@@ -778,6 +782,81 @@ final class KeyedTable private (
     rewriteLayout(meta.numBuckets, sortCols.map(col))
   }
 
+  /** Incremental [[optimize]]: rewrites the table in bucket-range steps
+    * of `bucketsPerStep`, each step ONE ordinary OCC commit claiming
+    * only its buckets (SURVEY §6k-4). At 100 TB a whole-table optimize
+    * is a single giant OCC-serialized commit that loses every race; the
+    * stepped form interleaves with concurrent writers — a merge landing
+    * between (or racing) steps just costs that step a claim retry
+    * against the new latest, and buckets the merge rewrote AFTER their
+    * optimize step simply lose clustering until the next pass, exactly
+    * like any OPTIMIZE-vs-write race in Delta. Bucket membership never
+    * changes (modulus untouched), so no rebucket marker is needed: a
+    * crashed step leaves only an unreferenced attempt dir for vacuum.
+    * A concurrent REBUCKET aborts the remaining steps (bucket ids have
+    * changed meaning); rebucket itself stays a single atomic commit —
+    * the epoch guard that keeps racing merges correct requires one
+    * modulus per version. Returns the step commit versions. */
+  def optimizeIncremental(sortCols: Seq[String], bucketsPerStep: Int = 64)
+      : Seq[Long] = {
+    require(sortCols.nonEmpty && sortCols.forall(dataCols.contains),
+      s"sortCols must be existing columns, got ${sortCols.mkString(",")}")
+    require(bucketsPerStep > 0, "bucketsPerStep must be positive")
+    val keys = sortCols.map(col)
+    (0 until meta.numBuckets).grouped(bucketsPerStep).toSeq
+      .flatMap(group => optimizeStep(group.toSet, keys))
+  }
+
+  private def optimizeStep(buckets: Set[Int], sortKeys: Seq[Column])
+      : Option[Long] = synchronized { withMergeConf {
+    recoverPendingRebucket(onlyDead = true)
+    val stepEpoch = meta.numBuckets
+    var attempt = 0
+    while (true) {
+      val base = latestVersion
+      // a concurrent rebucket changed the modulus: these bucket ids no
+      // longer name the same key sets — abandon the pass
+      if (epochAt(base) >= 0 && epochAt(base) != stepEpoch) {
+        refreshMeta(); return None
+      }
+      val bv = bucketVersionsAt(base).filter { case (b, _) => buckets.contains(b) }
+      if (bv.isEmpty) return None // nothing live in this range
+      val paths = bv.toSeq.flatMap { case (b, v) =>
+        log.readCommit(v).files match {
+          case Some(m) => m.getOrElse(b, Nil).map(e => s"$path/${e.path}")
+          case None => Seq(s"$path/data/${log.dirOf(v)}/b=$b")
+        }
+      }
+      val newVersion = base + 1
+      val dir = attemptDir(newVersion)
+      val content = readPaths(paths).withColumn(BucketCol, bucketExpr(col))
+      val emptyCdf = emptyDf.withColumn("_change_type", lit(null).cast(StringType))
+      spark.sparkContext.setJobDescription("graft:optimize:step")
+      writeFused(dir, newVersion, content, emptyCdf, sortKeys)
+      spark.sparkContext.setJobDescription(null)
+      val manifest = writtenFileStats(dir)
+      val written = manifest.keys.toSeq
+      val emptied = bv.keys.toSeq.filterNot(manifest.contains)
+      preCommitHook()
+      if (log.commit(newVersion, written, emptied, dir = dir,
+          files = Some(manifest), epoch = stepEpoch)) {
+        bvCache = (newVersion,
+          bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
+            -- emptied)
+        maybeCheckpoint(newVersion)
+        return Some(newVersion)
+      }
+      // a concurrent writer claimed the version: its commit may have
+      // rewritten OUR buckets — recompute this step against new latest
+      occRetries += 1
+      attempt += 1
+      discardAttempt(dir)
+      require(attempt <= occMaxRetries,
+        s"optimize step lost $attempt optimistic commit claims on $path")
+    }
+    None // unreachable
+  } }
+
   /** True multi-column Z-ORDER variant of [[optimize]]: each column is
     * rank-normalized to `bits` bits via approx-quantile cut points
     * (one driver action, (2^bits−1)×|cols| doubles) and the bit-ranks
@@ -945,6 +1024,22 @@ final class KeyedTable private (
         val d = st.getPath.getName
         if (ownerVersionOf(d).isDefined) publishCdf(d)
         else if (deadPending(st)) fs.delete(st.getPath, true)
+      }
+    }
+    // orphan manifest sidecars: a LOSING attempt's spilled manifest is
+    // never referenced by any commit — reclaim it once provably dead
+    // (same grace as pending cdf: a young one may belong to an attempt
+    // whose claim is still in flight)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$path/_log")
+    if (fs.exists(logRoot)) {
+      val committedDirs = versions.map(log.dirOf).toSet
+      fs.listStatus(logRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_manifest_") && n.endsWith(".parquet") &&
+            !committedDirs.contains(
+              n.stripPrefix("_manifest_").stripSuffix(".parquet")) &&
+            deadPending(st))
+          fs.delete(st.getPath, false)
       }
     }
   }
