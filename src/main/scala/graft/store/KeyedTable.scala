@@ -1227,8 +1227,28 @@ final class KeyedTable private (
             }
             try {
               spark.sparkContext.setJobDescription("graft:merge:write")
-              timed("write")(writeFused(dir, newVersion, newContent, cdf,
+              // post-shuffle write parallelism (and output file count)
+              // tracks THIS rewrite's bytes, not the session-wide
+              // partition count: a KB-delta commit over 8+ partitions
+              // schedules mostly-empty write tasks and fragments
+              // buckets into tiny files. readBytes is the target bytes
+              // being rewritten (64B/row staged estimate on top); scan
+              // parallelism is governed by file splits, untouched.
+              val writeParts: Option[Int] = readBytes.map { rb =>
+                val bytesPerPart = spark.conf
+                  .getOption("spark.graft.merge.bytesPerWritePartition")
+                  .map(_.toLong).getOrElse(128L << 20)
+                val est = rb + (stagedCount << 6)
+                math.max(2L, (est + bytesPerPart - 1) / bytesPerPart).toInt
+              }
+              val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+              val clamp = writeParts.filter(_ < prevParts.toInt)
+              clamp.foreach(n =>
+                spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+              try timed("write")(writeFused(dir, newVersion, newContent, cdf,
                 hashSort = hashSortNeeded(readBytes, stagedCount)))
+              finally if (clamp.isDefined)
+                spark.conf.set("spark.sql.shuffle.partitions", prevParts)
               spark.sparkContext.setJobDescription(null)
               // manifest = carried references + the attempt's new files;
               // affected buckets with neither were empty before AND after
@@ -1321,10 +1341,19 @@ final class KeyedTable private (
     // spark.graft.merge.shufflePartitions
     val prevSp = conf.getOption("spark.graft.merge.shufflePartitions")
       .map(v => swap("spark.sql.shuffle.partitions", Some(v)))
+    // attempt dirs are private until the post-write rename and discarded
+    // on failure, so the v1 committer's extra _temporary indirection and
+    // _SUCCESS markers buy nothing here — v2's direct task-commit rename
+    // shaves fixed per-commit write latency (the non-atomic-rename-store
+    // caveat is the same one the commit log itself documents)
+    val prevAlg = swap("mapreduce.fileoutputcommitter.algorithm.version", Some("2"))
+    val prevSucc = swap("mapreduce.fileoutputcommitter.marksuccessfuljobs", Some("false"))
     try f
     finally {
       swap("spark.sql.adaptive.enabled", prevAqe)
       prevSp.foreach(p => swap("spark.sql.shuffle.partitions", p))
+      swap("mapreduce.fileoutputcommitter.algorithm.version", prevAlg)
+      swap("mapreduce.fileoutputcommitter.marksuccessfuljobs", prevSucc)
     }
   }
 

@@ -49,12 +49,33 @@ private[streaming] object DrainState {
     * (load() would restart history from zero). */
   private def writeAtomic(spark: SparkSession,
       f: org.apache.hadoop.fs.FileSystem, p: Path, st: St): Unit = {
-    val tmp = new Path(p.getParent,
-      s".${p.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    write(f, tmp, st)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       f.getUri, spark.sessionState.newHadoopConf())
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    var attempts = 0
+    while (true) {
+      val tmp = new Path(p.getParent,
+        s".${p.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      write(f, tmp, st)
+      try {
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        return
+      } catch {
+        // two racing OVERWRITE renames can interleave on filesystems
+        // that emulate overwrite as delete-then-rename (local FS): the
+        // rival's file reappears between our delete and rename. If the
+        // rival recorded our step or a NEWER one, its write subsumes
+        // ours; otherwise retry — clobbering an OLDER rival write is
+        // exactly what Rename.OVERWRITE was asked to do
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          f.delete(tmp, false)
+          val landed = try Some(read(f, p).next)
+            catch { case _: java.io.IOException => None }
+          if (landed.exists(_ >= st.next)) return
+          attempts += 1
+          require(attempts <= 20, s"atomic state replace kept failing: $p")
+          Thread.sleep(2L * attempts)
+      }
+    }
   }
 
   /** How long an intent whose merge has NOT landed and whose mtime has
@@ -91,7 +112,24 @@ private[streaming] object DrainState {
         return i
       }
     }
-    if (f.exists(state)) read(f, state) else St(Map.empty, 0L)
+    if (f.exists(state)) read(f, state)
+    else if (appliedBatchId >= 0) {
+      // merges HAVE landed, so an absent state file is transient: a
+      // rival's overwrite-rename on an emulating filesystem (local FS
+      // deletes then renames) is mid-window. Wait it out rather than
+      // reporting a fresh pipeline — that misread trips the caller's
+      // history check and would restart drain accounting from zero.
+      var tries = 0
+      var out: Option[St] = None
+      while (out.isEmpty && tries < 50) {
+        Thread.sleep(10)
+        out = try Some(read(f, state))
+          catch { case _: java.io.IOException => None }
+        tries += 1
+      }
+      out.getOrElse(St(Map.empty, 0L))
+    }
+    else St(Map.empty, 0L)
   }
 
   /** The current intent iff its merge has not landed and its mtime is
@@ -208,8 +246,16 @@ private[streaming] object DrainState {
       writeAtomic(spark, f, state, claimed) // state first: never absent
       f.delete(intent, false)
     } else {
-      val landed = try read(f, state).next
-        catch { case _: java.io.FileNotFoundException => Long.MinValue }
+      // retry transient absence: a rival's overwrite-rename may be
+      // mid-window (same emulated-rename hole load() tolerates)
+      def landedNext(tries: Int): Long =
+        try read(f, state).next
+        catch {
+          case _: java.io.IOException if tries > 0 =>
+            Thread.sleep(10); landedNext(tries - 1)
+          case _: java.io.FileNotFoundException => Long.MinValue
+        }
+      val landed = landedNext(50)
       require(landed >= claimed.next,
         s"drain claim for step ${claimed.next - 1} at $dir was lost " +
           s"(intent=${cur.map(_.next)}, state.next=$landed); the merge " +

@@ -40,10 +40,16 @@ final class Stream private (
     val maxFilesPerTrigger: Int,
     private val others: Seq[Stream] = Nil,
     private val startV: Long = -1L,
-    private[streaming] val deletesOn: Boolean = false) {
+    private[streaming] val deletesOn: Boolean = false,
+    private val maxBytes: Long = 1L << 30) {
 
   def primaryKeys(keys: String*): Stream = copy(pks2 = keys)
   def sequenceBy(cols: String*): Stream = copy(seq2 = cols)
+
+  /** Byte budget per microbatch over the change feed — the reference's
+    * `maxBytesPerTrigger=1g` (streams.py:128), measured against the
+    * commits' recorded cdf sizes. Default 1 GiB. */
+  def maxBytesPerTrigger(bytes: Long): Stream = copy(maxBytes2 = bytes)
 
   /** Keys that may be NULL in this stream's rows — for a staged join
     * output, the outer side's keys (the table's declared nullableKeys).
@@ -82,7 +88,7 @@ final class Stream private (
   /** CDF rows as a streaming DataFrame; deletes are filtered like the
     * reference's fromPath (streams.py:132). */
   private[streaming] def changeStream: DataFrame = {
-    val raw0 = table.changeStream(maxFilesPerTrigger)
+    val raw0 = table.changeStream(maxFilesPerTrigger, maxBytes)
     val raw = if (deletesOn) raw0 else raw0.where(col("_change_type") =!= "delete")
     val cut = if (startV < 0) raw else raw.where(col("_commit_version") > startV)
     val own = applyTransformKeepingCdf(cut)
@@ -151,9 +157,10 @@ final class Stream private (
       mft2: Int = maxFilesPerTrigger,
       others2: Seq[Stream] = others,
       startV2: Long = startV,
-      deletes2: Boolean = deletesOn): Stream =
+      deletes2: Boolean = deletesOn,
+      maxBytes2: Long = maxBytes): Stream =
     new Stream(spark, table, pks2, seq2, transform2, upstream2, mft2, others2,
-      startV2, deletes2)
+      startV2, deletes2, maxBytes2)
 
   private[streaming] def withUpstream(h: Seq[StageHandle]): Stream = copy(upstream2 = h)
 }

@@ -59,6 +59,11 @@ class CdfStreamSourceSpec extends AnyFunSuite {
     // and it is exactly the tail commit's own cdf dir
     assert(dirs.head.endsWith(s"/cdf/${kt.dataDirOf(latest)}"),
       s"not the tail commit's dir: ${dirs.head}")
+    // the version-window filter reaches the parquet scan (row-group
+    // skipping on _commit_version), it is not a post-scan residual only
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("_commit_version"),
+      s"version window not pushed to the scan:\n${plan.take(800)}")
   }
 
   test("getOffset advances by the commit-count budget") {
