@@ -570,6 +570,36 @@ object OpsQueries {
         "purchase_ts", "purchase_value")
   }
 
+  /** B30 (codebook half): product-quantized embedding codes + per-row
+    * reconstruction error, plus the compressed ADC search path exercised
+    * by the rank column. Codebook training is deterministic (lowest-id
+    * seeds, engine-neutral rounding) but k-means is not SQL-expressible,
+    * so this gate is rows-only; the ADC-equals-reconstruction identity
+    * and dup-recovery are spec-asserted (ProductQuantizeSpec). */
+  def quantizePq(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ProductQuantize
+    val corpus = Tables.embeddings(s, d)
+    val book = ProductQuantize.train(corpus, m = 8, k = 16, iters = 2)
+    ProductQuantize.encode(corpus, book)
+      .select(col("vec_id"),
+        concat_ws(",", col("codes")).alias("codes"),
+        col("recon_err"))
+  }
+
+  /** B7c: IVF+PQ compressed ANN — coarse lists + residual PQ codes,
+    * probed search over nprobe lists with per-list ADC tables (the
+    * FAISS IVFPQ shape; at 100 TB the scan reads m bytes per vector in
+    * nprobe/nlist of the corpus). Rows-only like [[quantizePq]]. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ProductQuantize
+    val corpus = Tables.embeddings(s, d)
+    val idx = ProductQuantize.buildIvfPq(corpus, nlist = 16, m = 8, k = 16,
+      iters = 2)
+    val q = corpus.orderBy("vec_id").select("embedding").head
+      .getSeq[Any](0).map(_.asInstanceOf[Float].toDouble).toSeq
+    ProductQuantize.ivfPqTopK(idx, q, k = 20, nprobe = 4)
+  }
+
   /** B25: BM25 relevance of every document against a fixed query.
     * Scores round to 6 decimals on BOTH sides: `ln` differs by ±1 ulp
     * between Math.log and libm, so raw doubles can't hash-match. */
@@ -655,6 +685,8 @@ object OpsQueries {
     "export_shards"     -> (exportShards _),
     "bloom_join"        -> (bloomJoin _),
     "quantize_embeddings" -> (quantizeEmbeddings _),
+    "quantize_pq"       -> (quantizePq _),
+    "ann_ivfpq"         -> (annIvfPq _),
     "sample_per_group"  -> (samplePerGroup _),
     "stream_interval_left" -> (streamIntervalJoinLeft _),
     "range_join"        -> (rangeJoin _),

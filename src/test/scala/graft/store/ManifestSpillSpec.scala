@@ -82,21 +82,30 @@ class ManifestSpillSpec extends AnyFunSuite {
     }
   }
 
-  test("optimize with a spilled manifest: cold open plans and reads exactly") {
+  test("1000+-file optimize: spilled manifest, cold open plans exactly") {
     val t = tmp()
     spark.conf.set("spark.graft.manifest.spillEntries", "8")
-    spark.conf.set("spark.graft.targetFileRows", "50")
+    spark.conf.set("spark.graft.targetFileRows", "2")
     try {
-      val df = (1L to 2000L).map(i => (i, i * 1.5)).toDF("id", "v")
+      val df = (1L to 2500L).map(i => (i, i * 1.5)).toDF("id", "v")
       val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"),
         numBuckets = 16)
       kt.upsert(df, uniqueKeys = true)
       kt.upsert((1L to 500L).map(i => (i, i * 2.0)).toDF("id", "v"),
         uniqueKeys = true)
       kt.optimize(sortCols = Seq("id"))
-      val expect = (1L to 2000L)
+      val expect = (1L to 2500L)
         .map(i => i -> (if (i <= 500) i * 2.0 else i * 1.5)).toMap
-      // the optimize commit spilled (16 buckets × multiple 50-row files)
+      // the optimize rewrote into 1000+ files (2-row cap) and spilled;
+      // the commit json itself stays reference-sized
+      val v = kt.latestVersion
+      val log = new CommitLog(t, spark.sessionState.newHadoopConf())
+      val nFiles = log.readCommit(v).files.get.valuesIterator.map(_.size).sum
+      assert(nFiles >= 1000, s"wanted a 1000+-file optimize, got $nFiles")
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "_log", f"$v%020d.json")))
+      assert(json.contains("filesRef") && json.length < 1000,
+        s"optimize commit json is ${json.length}B")
       val logDir = java.nio.file.Paths.get(t, "_log")
       val sidecars = java.nio.file.Files.list(logDir).toArray
         .map(_.toString).filter(_.contains("_manifest_"))
