@@ -100,6 +100,36 @@ class CdfStreamSourceSpec extends AnyFunSuite {
     assert(versions == Seq(4L, 5L, 6L))
   }
 
+  test("checkpoint restart resumes at the recorded version, no re-read") {
+    val kt = tableWithCommits(4)
+    val ckpt = tmp()
+    val out = tmp() + "/out" // parquet sink: memory sink can't recover
+    def run(): Unit = {
+      val q = kt.changeStream()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val firstRun = spark.read.parquet(out).count()
+    assert(firstRun == 20L) // 4 commits × 5 rows
+    // new commits land while the stream is DOWN
+    kt.upsert(Seq((70001L, 7.1), (70002L, 7.2)).toDF("id", "v"),
+      uniqueKeys = true)
+    kt.upsert(Seq((70003L, 7.3)).toDF("id", "v"), uniqueKeys = true)
+    run()
+    // the restarted query recovered its offset (a SerializedOffset fed
+    // back through getBatch) and appended ONLY the two missed commits
+    val after = spark.read.parquet(out)
+      .where(col("_commit_version") > 4)
+      .select("id", "_commit_version")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(after == Set(70001L -> 5L, 70002L -> 5L, 70003L -> 6L),
+      s"restart re-read or skipped commits: $after")
+    assert(spark.read.parquet(out).count() == 23L, "duplicate rows appended")
+  }
+
   test("stream picks up commits landed while running") {
     val kt = tableWithCommits(2)
     val name = s"cdf_live_${System.nanoTime()}"
