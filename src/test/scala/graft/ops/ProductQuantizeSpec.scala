@@ -54,6 +54,25 @@ class ProductQuantizeSpec extends AnyFunSuite {
     assert(e2 <= e0 + 1e-9, s"training worsened reconstruction: $e0 -> $e2")
   }
 
+  test("plan shapes: encode never shuffles; IVFPQ search is a bounded top-k") {
+    val book = ProductQuantize.train(corpus, m = 8, k = 16, iters = 0)
+    val encPlan = ProductQuantize.encode(corpus, book)
+      .queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"),
+      s"encode shuffles the corpus:\n${encPlan.take(500)}")
+    val idx = ProductQuantize.buildIvfPq(corpus, nlist = 8, m = 8, k = 16,
+      iters = 0)
+    val q = (0 until 64).map(_ * 0.01)
+    val sp = ProductQuantize.ivfPqTopK(idx, q, 10, 2)
+      .queryExecution.executedPlan.toString
+    // distributed top-k over the probed lists; the only post-scan work
+    // beyond it is the rank window over ≤k survivors — never a join or
+    // a corpus-wide sort
+    assert(sp.contains("TakeOrderedAndProject"), s"no top-k:\n${sp.take(500)}")
+    assert(!sp.contains("Join") && !sp.contains("CartesianProduct"),
+      s"search joins the corpus:\n${sp.take(500)}")
+  }
+
   test("IVFPQ: residual coding reconstructs no worse than raw PQ") {
     val idx = ProductQuantize.buildIvfPq(corpus, nlist = 8, m = 8, k = 16,
       iters = 2)
