@@ -44,7 +44,9 @@ final class CommitInfo(
     val cdfBytes: Long,
     val dir: String,
     filesThunk: () => Option[Map[Int, Seq[FileEntry]]],
-    val epoch: Int) {
+    val epoch: Int,
+    val cdfUp: Long = -1L,
+    val cdfDel: Long = -1L) {
   /** LAZY: a spilled manifest's parquet sidecar is only read when a
     * consumer actually needs the file list — log replay
     * (bucketVersions/batchId folds) touches only the scalar fields, so
@@ -57,16 +59,16 @@ object CommitInfo {
   def apply(version: Long, buckets: Seq[Int], emptied: Seq[Int],
       batchId: Long, cdfBytes: Long, dir: String,
       files: Option[Map[Int, Seq[FileEntry]]] = None,
-      epoch: Int = -1): CommitInfo =
+      epoch: Int = -1, cdfUp: Long = -1L, cdfDel: Long = -1L): CommitInfo =
     new CommitInfo(version, buckets, emptied, batchId, cdfBytes, dir,
-      () => files, epoch)
+      () => files, epoch, cdfUp, cdfDel)
 
   def lazyFiles(version: Long, buckets: Seq[Int], emptied: Seq[Int],
       batchId: Long, cdfBytes: Long, dir: String,
       filesThunk: () => Option[Map[Int, Seq[FileEntry]]],
-      epoch: Int): CommitInfo =
+      epoch: Int, cdfUp: Long = -1L, cdfDel: Long = -1L): CommitInfo =
     new CommitInfo(version, buckets, emptied, batchId, cdfBytes, dir,
-      filesThunk, epoch)
+      filesThunk, epoch, cdfUp, cdfDel)
 }
 
 /** Minimal JSON commit log for a [[KeyedTable]].
@@ -152,7 +154,11 @@ final class CommitLog(rootPath: String, conf: Configuration) {
           case None      => val inline = parseFiles(json); () => inline
         },
         epoch = """"epoch":(-?\d+)""".r.findFirstMatchIn(json)
-          .map(_.group(1).toInt).getOrElse(-1))
+          .map(_.group(1).toInt).getOrElse(-1),
+        cdfUp = """"cdfUp":(-?\d+)""".r.findFirstMatchIn(json)
+          .map(_.group(1).toLong).getOrElse(-1L),
+        cdfDel = """"cdfDel":(-?\d+)""".r.findFirstMatchIn(json)
+          .map(_.group(1).toLong).getOrElse(-1L))
       commitCache.put(v, info)
       info
     }
@@ -318,10 +324,16 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     * stamp protects racing writers). */
   def commit(version: Long, buckets: Seq[Int], emptied: Seq[Int] = Nil,
       batchId: Long = -1L, cdfBytes: Long = -1L, dir: String = null,
-      files: Option[Map[Int, Seq[FileEntry]]] = None, epoch: Int = -1): Boolean = {
+      files: Option[Map[Int, Seq[FileEntry]]] = None, epoch: Int = -1,
+      cdfUp: Long = -1L, cdfDel: Long = -1L): Boolean = {
     val d = if (dir == null) s"v=$version" else dir
     val bid = if (batchId >= 0) s""","batchId":$batchId""" else ""
     val cb = if (cdfBytes >= 0) s""","cdfBytes":$cdfBytes""" else ""
+    // per-commit change-row counts (upserts = insert + update_postimage,
+    // deletes) — lets a batch drain derive its microbatch's row/delete
+    // profile from the log instead of running a count job over the feed
+    val cc = if (cdfUp >= 0 && cdfDel >= 0)
+      s""","cdfUp":$cdfUp,"cdfDel":$cdfDel""" else ""
     val ep = if (epoch >= 0) s""","epoch":$epoch""" else ""
     val fl = files match {
       case Some(m) if m.valuesIterator.map(_.size).sum >= manifestSpillEntries() =>
@@ -330,10 +342,11 @@ final class CommitLog(rootPath: String, conf: Configuration) {
       case None => ""
     }
     val json = s"""{"version":$version,"buckets":[${buckets.mkString(",")}],""" +
-      s""""emptied":[${emptied.mkString(",")}]$bid$cb$ep$fl,"dir":"$d"}"""
+      s""""emptied":[${emptied.mkString(",")}]$bid$cb$cc$ep$fl,"dir":"$d"}"""
     val won = writeAtomicClaiming(commitPath(version), json)
     if (won) commitCache.put(version,
-      CommitInfo(version, buckets, emptied, batchId, cdfBytes, d, files, epoch))
+      CommitInfo(version, buckets, emptied, batchId, cdfBytes, d, files, epoch,
+        cdfUp, cdfDel))
     won
   }
 
@@ -344,6 +357,20 @@ final class CommitLog(rootPath: String, conf: Configuration) {
   def cdfBytesByVersion(fromExclusive: Long, upTo: Long): Seq[(Long, Long)] =
     versions().filter(v => v > fromExclusive && v <= upTo)
       .map(v => v -> readCommit(v).cdfBytes)
+
+  /** Summed change-row counts `(upserts, deletes)` over commits in
+    * `(fromExclusive, upTo]`; None if ANY commit in the window predates
+    * count recording — callers must then fall back to counting the feed
+    * itself. Served from the commit cache like [[cdfBytesByVersion]]. */
+  def cdfCountsBetween(fromExclusive: Long, upTo: Long): Option[(Long, Long)] = {
+    var up = 0L; var del = 0L
+    versions().iterator.filter(v => v > fromExclusive && v <= upTo).foreach { v =>
+      val c = readCommit(v)
+      if (c.cdfUp < 0 || c.cdfDel < 0) return None
+      up += c.cdfUp; del += c.cdfDel
+    }
+    Some((up, del))
+  }
 
   /** Highest batchId among commits in `(fromExclusive, upTo]`; -1 if
     * none — the incremental freshening step for a batchId cache that

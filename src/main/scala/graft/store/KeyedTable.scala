@@ -301,6 +301,14 @@ final class KeyedTable private (
         .where(col("_commit_version") > sinceVersion)
   }
 
+  /** Summed change-row counts `(upserts, deletes)` over commits in
+    * `(afterVersion, upTo]`, from the log's recorded per-commit counts —
+    * no Spark job, no file IO beyond cached commit parses. None if any
+    * commit in the window predates count recording; callers then count
+    * the feed itself (the batch drain's pin-job fallback). */
+  def changeCountsBetween(afterVersion: Long, upTo: Long): Option[(Long, Long)] =
+    log.cdfCountsBetween(afterVersion, math.min(upTo, latestVersion))
+
   /** The change feed as a Structured Streaming source — log-indexed
     * ([[CdfStreamSource]]): checkpoint offsets map to commit versions
     * through the cached log, so each trigger lists only ITS window's
@@ -521,7 +529,7 @@ final class KeyedTable private (
             .select(dataCols.map(c => col(s"u.$c").alias(c)): _*)
             .withColumn("_change_type", lit("delete"))
           spark.sparkContext.setJobDescription("graft:merge:write")
-          writeFused(dir, newVersion, remaining, removed,
+          val (cdfUp, cdfDel) = writeFused(dir, newVersion, remaining, removed,
             hashSort = hashSortNeeded(readBytes, stagedCount))
           spark.sparkContext.setJobDescription(null)
           // buckets the delete emptied entirely get tombstoned; the rest
@@ -535,7 +543,8 @@ final class KeyedTable private (
           val emptied = touched.filterNot(manifest.contains)
           preCommitHook()
           if (log.commit(newVersion, written, emptied, cdfBytes = cdfBytesOf(dir),
-              dir = dir, files = Some(manifest), epoch = planEpoch)) {
+              dir = dir, files = Some(manifest), epoch = planEpoch,
+              cdfUp = cdfUp, cdfDel = cdfDel)) {
             publishCdf(dir)
             bvCache = (newVersion,
               bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
@@ -632,7 +641,7 @@ final class KeyedTable private (
         .select(dataCols.map(col): _*)
         .withColumn("_change_type", lit("delete"))
       spark.sparkContext.setJobDescription("graft:deleteWhere:write")
-      writeFused(dir, newVersion, remaining, removed,
+      val (cdfUp, cdfDel) = writeFused(dir, newVersion, remaining, removed,
         hashSort = hashSortNeeded(readBytes, 0L))
       spark.sparkContext.setJobDescription(null)
       val newFiles = writtenFileStats(dir)
@@ -643,7 +652,8 @@ final class KeyedTable private (
       val emptied = touched.toSeq.filterNot(manifest.contains)
       preCommitHook()
       if (log.commit(newVersion, written, emptied, cdfBytes = cdfBytesOf(dir),
-          dir = dir, files = Some(manifest), epoch = planEpoch)) {
+          dir = dir, files = Some(manifest), epoch = planEpoch,
+          cdfUp = cdfUp, cdfDel = cdfDel)) {
         publishCdf(dir)
         bvCache = (newVersion,
           bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
@@ -713,7 +723,8 @@ final class KeyedTable private (
       val emptied = touched.toSeq.filterNot(manifest.contains)
       preCommitHook()
       if (log.commit(newVersion, written, emptied, cdfBytes = 0L,
-          dir = dir, files = Some(manifest), epoch = planEpoch)) {
+          dir = dir, files = Some(manifest), epoch = planEpoch,
+          cdfUp = 0L, cdfDel = 0L)) {
         publishCdf(dir)
         bvCache = (newVersion,
           bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
@@ -839,7 +850,8 @@ final class KeyedTable private (
       val emptied = bv.keys.toSeq.filterNot(manifest.contains)
       preCommitHook()
       if (log.commit(newVersion, written, emptied, dir = dir,
-          files = Some(manifest), epoch = stepEpoch)) {
+          files = Some(manifest), epoch = stepEpoch,
+          cdfUp = 0L, cdfDel = 0L)) {
         bvCache = (newVersion,
           bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
             -- emptied)
@@ -912,7 +924,8 @@ final class KeyedTable private (
       val manifest = writtenFileStats(dir)
       val written = manifest.keys.toSeq
       if (log.commit(newVersion, written, oldLive.filterNot(manifest.contains),
-          dir = dir, files = Some(manifest), epoch = newBuckets)) {
+          dir = dir, files = Some(manifest), epoch = newBuckets,
+          cdfUp = 0L, cdfDel = 0L)) {
         swapMeta()
         log.clearRebucketMarker()
         bvCache = (newVersion, written.map(_ -> newVersion).toMap)
@@ -1151,6 +1164,8 @@ final class KeyedTable private (
           }.toMap
         // state a lost claim leaves behind for the next attempt
         var prevDir: String = null
+        var prevUp: Long = -1L
+        var prevDel: Long = -1L
         var prevBv: Map[Int, Long] = null
         var prevWritten: Seq[Int] = null
         var prevEmptied: Seq[Int] = null
@@ -1187,7 +1202,8 @@ final class KeyedTable private (
             restampCdf(prevDir, newVersion)
             preCommitHook()
             if (log.commit(newVersion, prevWritten, prevEmptied, batchId,
-                cdfBytesOf(prevDir), prevDir, Option(prevManifest), planEpoch)) {
+                cdfBytesOf(prevDir), prevDir, Option(prevManifest), planEpoch,
+                cdfUp = prevUp, cdfDel = prevDel)) {
               publishCdf(prevDir)
               bvCache = (newVersion,
                 bucketVersionsAt(newVersion - 1) ++ prevWritten.map(_ -> newVersion)
@@ -1245,9 +1261,12 @@ final class KeyedTable private (
               val clamp = writeParts.filter(_ < prevParts.toInt)
               clamp.foreach(n =>
                 spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-              try timed("write")(writeFused(dir, newVersion, newContent, cdf,
-                hashSort = hashSortNeeded(readBytes, stagedCount)))
-              finally if (clamp.isDefined)
+              var cdfUp = -1L; var cdfDel = -1L
+              try {
+                val counts = timed("write")(writeFused(dir, newVersion, newContent,
+                  cdf, hashSort = hashSortNeeded(readBytes, stagedCount)))
+                cdfUp = counts._1; cdfDel = counts._2
+              } finally if (clamp.isDefined)
                 spark.conf.set("spark.sql.shuffle.partitions", prevParts)
               spark.sparkContext.setJobDescription(null)
               // manifest = carried references + the attempt's new files;
@@ -1263,7 +1282,8 @@ final class KeyedTable private (
               val emptied = affected.filterNot(manifest.contains)
               preCommitHook()
               if (timed("commit")(log.commit(newVersion, written, emptied, batchId,
-                  cdfBytesOf(dir), dir, Some(manifest), planEpoch))) {
+                  cdfBytesOf(dir), dir, Some(manifest), planEpoch,
+                  cdfUp = cdfUp, cdfDel = cdfDel))) {
                 timed("publish")(publishCdf(dir))
                 // advance the replay cache incrementally
                 bvCache = (newVersion,
@@ -1279,6 +1299,7 @@ final class KeyedTable private (
                 prevDir = dir; prevBv = bv
                 prevWritten = written; prevEmptied = emptied
                 prevManifest = manifest
+                prevUp = cdfUp; prevDel = cdfDel
                 require(attempt <= occMaxRetries,
                   s"merge lost $attempt optimistic commit claims on $path; " +
                     "raise spark.graft.occ.maxRetries or reduce writer contention")
@@ -1370,9 +1391,17 @@ final class KeyedTable private (
     * change rows at the HIDDEN `cdf/.pending_<dir>` (published by
     * rename only after the claim wins, so no reader ever sees rows of a
     * losing attempt). */
+  /** Returns the commit's observed change-row counts
+    * `(upserts, deletes)` — collected DURING the write via a
+    * CollectMetrics node on the cdf side (no extra job, exactly-once
+    * per-partition accumulator semantics), or `(-1, -1)` if metric
+    * delivery timed out (listener-bus pressure; callers record the
+    * commit without counts and downstream drains fall back to a count
+    * job). The counts feed the commit log so batch drains can derive a
+    * window's row/delete profile without scanning the feed. */
   private def writeFused(dir: String, newVersion: Long, newContent: DataFrame,
       cdf: DataFrame, sortKeys: Seq[Column] = Nil,
-      hashSort: Boolean = true): Unit = {
+      hashSort: Boolean = true): (Long, Long) = {
     // normalize to the declared schema: merge arithmetic can widen
     // types (e.g. decimal(28,6)+decimal(28,6) → decimal(29,6)), and a
     // widened file would break the explicit-schema bucket reads
@@ -1395,11 +1424,16 @@ final class KeyedTable private (
     // instead of fragmenting a drain into one trigger per commit
     val cdfFiles = math.max(1, spark.conf
       .getOption("spark.graft.merge.cdfFiles").map(_.toInt).getOrElse(4))
+    val obs = org.apache.spark.sql.Observation(s"graft_cdf_$dir")
     val cdfSide = normalized(cdf, Seq(col("_change_type")))
       .withColumn(KHashCol, lit(null).cast(LongType))
       .withColumn("_commit_version", lit(newVersion))
       .withColumn(BucketCol, pmod(bucketExpr(col), lit(cdfFiles)).cast("int"))
       .withColumn(SideCol, lit("c"))
+      .observe(obs,
+        count(when(col("_change_type") =!= "delete" &&
+          col("_change_type") =!= "update_preimage", 1)).alias("up"),
+        count(when(col("_change_type") === "delete", 1)).alias("del"))
     val tmp = s"$path/_tmp_$dir"
     val shuffled = dataSide.unionByName(cdfSide)
       .withColumnRenamed(BucketCol, "b")
@@ -1453,6 +1487,13 @@ final class KeyedTable private (
       }
     }
     fs.delete(P(tmp), true)
+    // metric delivery rides the async listener bus; bounded wait so a
+    // dropped event can never hang the commit path
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(5, "seconds"))
+      (row.getAs[Long]("up"), row.getAs[Long]("del"))
+    } catch { case _: java.util.concurrent.TimeoutException => (-1L, -1L) }
   }
 
   /** Latest-wins dedup of a batch by full key (joins.py:556-561). */

@@ -117,6 +117,23 @@ final class Stream private (
     others.foldLeft(own)((acc, o) => acc.unionByName(o.changesBatch(after, upTo)))
   }
 
+  /** This stream's change-row profile `(upserts, deletes)` over a drain
+    * window, derived from the source tables' commit-log counts — the
+    * log-side twin of counting [[changesBatch]]'s rows with a Spark job.
+    * Upper bounds when a `.to` transform filters rows (safe: callers
+    * use the counts to SKIP work only at zero). None if any window
+    * commit predates count recording. */
+  private[streaming] def logCounts(after: String => Long,
+      upTo: String => Long): Option[(Long, Long)] = {
+    val own = table.changeCountsBetween(
+      math.max(after(table.path), startV), upTo(table.path))
+      // a deletes-off stream filters delete rows out of its feed
+      .map { case (u, d) => if (deletesOn) (u, d) else (u, 0L) }
+    others.foldLeft(own) { (acc, o) =>
+      for (a <- acc; b <- o.logCounts(after, upTo)) yield (a._1 + b._1, a._2 + b._2)
+    }
+  }
+
   /** Static snapshot pinned at a version (streams.py:203-208). For a
     * unioned stream the pin applies to the primary table; union members
     * snapshot at their own latest. */

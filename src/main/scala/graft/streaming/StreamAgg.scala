@@ -105,8 +105,14 @@ final class StreamAgg(
       updateExprs = Some(updateExprs),
       insertExprs = if (insertExprs.isEmpty) None else Some(insertExprs))
 
-    def mergeAgg(batch: DataFrame, batchId: Long): Unit = {
-      if (batch.isEmpty) return // empty microbatch: skip the agg+merge plan
+    def mergeAgg(batch: DataFrame, batchId: Long): Unit =
+      mergeAggKnown(batch, batchId, knownNonEmpty = false)
+
+    def mergeAggKnown(batch: DataFrame, batchId: Long,
+        knownNonEmpty: Boolean): Unit = {
+      // empty microbatch: skip the agg+merge plan. The batch drain
+      // proves non-emptiness from the commit log and skips this job.
+      if (!knownNonEmpty && batch.isEmpty) return
       val data = batch
       // deletes (present only when the source opted into handleDeletes)
       // retract exactly like update pre-images: their contribution is
@@ -158,9 +164,15 @@ final class StreamAgg(
           def run(target: DrainState.St): Unit = {
             val after = (p: String) => st.versions.getOrElse(p, -1L)
             val upTo = (p: String) => target.versions.getOrElse(p, Long.MaxValue)
+            // log-derived window profile: a provably-empty window skips
+            // the merge; a provably-non-empty one skips the isEmpty job
+            val counts = src.logCounts(after, upTo)
             val hb = DrainState.heartbeat(spark, dir)
-            try mergeAgg(src.changesBatch(after, upTo), target.next - 1)
-            finally hb.close()
+            try {
+              if (!counts.exists { case (u, d) => u + d == 0L })
+                mergeAggKnown(src.changesBatch(after, upTo), target.next - 1,
+                  knownNonEmpty = counts.isDefined)
+            } finally hb.close()
             DrainState.commit(spark, dir, target)
           }
           if (DrainState.beginClaim(spark, dir, DrainState.St(step, st.next + 1)))

@@ -69,6 +69,13 @@ object ProjOp {
   * (stages this join into an intermediate KeyedTable first, like
   * joins.py:812-873).
   */
+/** A drain step's microbatch profile, derived from the source tables'
+  * commit-log counts: per-side upsert/delete row counts over the window
+  * and the static pin versions (the window's end per primary table).
+  * Lets the batch drain skip the per-microbatch pin/count job. */
+private[streaming] final case class DrainMeta(
+    lUp: Long, lDel: Long, rUp: Long, rDel: Long, lPin: Long, rPin: Long)
+
 final class JoinedStream(
     val left: Stream,
     val right: Stream,
@@ -247,7 +254,11 @@ final class JoinedStream(
     // cached so repeated deleting batches skip the open-time recovery scan
     val retractIdx = scala.collection.mutable.Map.empty[String, KeyedTable]
 
-    def mergeJoin(batch: DataFrame, batchId: Long): Unit = {
+    def mergeJoin(batch: DataFrame, batchId: Long): Unit =
+      mergeJoinMeta(batch, batchId, None)
+
+    def mergeJoinMeta(batch: DataFrame, batchId: Long,
+        drain: Option[DrainMeta]): Unit = {
       val lRows = batch
         .where(col("l").isNotNull && col("l._change_type") =!= "update_preimage" &&
           col("l._change_type") =!= "delete")
@@ -256,30 +267,38 @@ final class JoinedStream(
         .where(col("r").isNotNull && col("r._change_type") =!= "update_preimage" &&
           col("r._change_type") =!= "delete")
         .select("r.*")
-      // ONE action for both version pins (the reference unions two aggs
-      // for the same reason, joins.py:403-408)
-      batch.sparkSession.sparkContext.setJobDescription("graft:join:pin")
-      // ONE action: version pins, row count, and per-side delete counts
-      // (so deleteless batches skip the retraction pass entirely)
-      val upsertish = (side: String) => col(s"$side").isNotNull &&
-        col(s"$side._change_type") =!= "update_preimage" &&
-        col(s"$side._change_type") =!= "delete"
-      val vRow = batch.agg(
-        max(col("l._commit_version")).alias("lv"),
-        max(col("r._commit_version")).alias("rv"),
-        count(lit(1)).alias("n"),
-        count(when(col("l._change_type") === "delete", 1)).alias("ld"),
-        count(when(col("r._change_type") === "delete", 1)).alias("rd"),
-        count(when(upsertish("l"), 1)).alias("lc"),
-        count(when(upsertish("r"), 1)).alias("rc")).collect().head
-      batch.sparkSession.sparkContext.setJobDescription(null)
+      // microbatch profile: version pins, upsert and delete counts per
+      // side. The batch drain derives all of it from the commit log's
+      // recorded per-commit counts (DrainMeta — no job at all); the
+      // streaming path runs ONE aggregate action over the feed (the
+      // reference unions two aggs for the same reason, joins.py:403-408)
+      val (n, lDeleted, rDeleted, lCnt, rCnt, lMax, rMax) = drain match {
+        case Some(m) =>
+          (m.lUp + m.lDel + m.rUp + m.rDel, m.lDel > 0, m.rDel > 0,
+            m.lUp, m.rUp, m.lPin, m.rPin)
+        case None =>
+          batch.sparkSession.sparkContext.setJobDescription("graft:join:pin")
+          val upsertish = (side: String) => col(s"$side").isNotNull &&
+            col(s"$side._change_type") =!= "update_preimage" &&
+            col(s"$side._change_type") =!= "delete"
+          val vRow = batch.agg(
+            max(col("l._commit_version")).alias("lv"),
+            max(col("r._commit_version")).alias("rv"),
+            count(lit(1)).alias("n"),
+            count(when(col("l._change_type") === "delete", 1)).alias("ld"),
+            count(when(col("r._change_type") === "delete", 1)).alias("rd"),
+            count(when(upsertish("l"), 1)).alias("lc"),
+            count(when(upsertish("r"), 1)).alias("rc")).collect().head
+          batch.sparkSession.sparkContext.setJobDescription(null)
+          (vRow.getLong(2), vRow.getLong(3) > 0, vRow.getLong(4) > 0,
+            vRow.getLong(5), vRow.getLong(6),
+            if (vRow.isNullAt(0)) -1L else vRow.getLong(0),
+            if (vRow.isNullAt(1)) -1L else vRow.getLong(1))
+      }
       if (sys.env.contains("GRAFT_DEBUG_MERGE"))
-        println(s"[mb] batch=$batchId rows=${vRow.getLong(2)} lv=${vRow.get(0)} rv=${vRow.get(1)}")
-      if (vRow.getLong(2) == 0L) return // empty microbatch: nothing to do
-      val (lDeletes, rDeletes) = (vRow.getLong(3) > 0, vRow.getLong(4) > 0)
-      val (lCnt, rCnt) = (vRow.getLong(5), vRow.getLong(6))
-      val lMax = if (vRow.isNullAt(0)) -1L else vRow.getLong(0)
-      val rMax = if (vRow.isNullAt(1)) -1L else vRow.getLong(1)
+        println(s"[mb] batch=$batchId rows=$n lv=$lMax rv=$rMax")
+      if (n == 0L) return // empty microbatch: nothing to do
+      val (lDeletes, rDeletes) = (lDeleted, rDeleted)
       // pin statics at the batch's max commit version for deterministic
       // reads under lazy evaluation (joins.py:409-428)
       val lPin = if (lMax >= 0) lMax else lastLeftVersion
@@ -458,10 +477,22 @@ final class JoinedStream(
           def run(target: DrainState.St): Unit = {
             val after = (p: String) => st.versions.getOrElse(p, -1L)
             val upTo = (p: String) => target.versions.getOrElse(p, Long.MaxValue)
+            // log-derived microbatch profile: pins at the window end,
+            // counts summed from per-commit records — the pin job is
+            // skipped entirely, and an all-layout-commit window (counts
+            // 0/0) skips even the merge call
+            val meta = for {
+              (lu, ld) <- left.logCounts(after, upTo)
+              (ru, rd) <- right.logCounts(after, upTo)
+            } yield DrainMeta(lu, ld, ru, rd,
+              lPin = upTo(left.table.path),
+              rPin = upTo(right.table.path))
             val hb = DrainState.heartbeat(spark, dir)
-            try mergeJoin(pack(left.changesBatch(after, upTo),
-              right.changesBatch(after, upTo)), target.next - 1)
-            finally hb.close()
+            try {
+              if (!meta.exists(m => m.lUp + m.lDel + m.rUp + m.rDel == 0L))
+                mergeJoinMeta(pack(left.changesBatch(after, upTo),
+                  right.changesBatch(after, upTo)), target.next - 1, meta)
+            } finally hb.close()
             DrainState.commit(spark, dir, target)
           }
           if (DrainState.beginClaim(spark, dir, DrainState.St(step, st.next + 1)))
