@@ -246,7 +246,7 @@ final class KeyedTable private (
     * bucket, not the table (the reader-side counterpart of merge's
     * file pruning). `keys` is assumed point-lookup-sized: its distinct
     * hashes are collected to the driver. */
-  def snapshotForKeys(keys: DataFrame): DataFrame = {
+  def snapshotForKeys(keys: DataFrame, version: Long = -1L): DataFrame = {
     require(meta.bucketKeys.forall(keys.columns.contains),
       s"keys must carry all bucket key columns ${meta.bucketKeys.mkString(",")}")
     if (autoMergeOn) refreshMeta()
@@ -256,7 +256,7 @@ final class KeyedTable private (
       .getSeq[Long](0).sorted.toArray
     val buckets = hashes
       .map(h => java.lang.Math.floorMod(h, meta.numBuckets.toLong).toInt).toSet
-    val bv = bucketVersionsAt(latestVersion)
+    val bv = bucketVersionsAt(if (version < 0) latestVersion else version)
       .filter { case (b, _) => buckets.contains(b) }
     if (bv.isEmpty) emptyDf
     else {

@@ -41,7 +41,8 @@ final class Stream private (
     private val others: Seq[Stream] = Nil,
     private val startV: Long = -1L,
     private[streaming] val deletesOn: Boolean = false,
-    private val maxBytes: Long = 1L << 30) {
+    private val maxBytes: Long = 1L << 30,
+    private[streaming] val hasTransform: Boolean = false) {
 
   def primaryKeys(keys: String*): Stream = copy(pks2 = keys)
   def sequenceBy(cols: String*): Stream = copy(seq2 = cols)
@@ -70,7 +71,7 @@ final class Stream private (
   /** Source transform applied to both the change stream and the static
     * snapshot (streams.py:235-240). */
   def to(f: DataFrame => DataFrame): Stream =
-    copy(transform2 = df => f(transform(df)))
+    copy(transform2 = df => f(transform(df)), hasTransform2 = true)
 
   def apply(colName: String): ColumnSel = ColumnSel(this, colName)
 
@@ -166,6 +167,12 @@ final class Stream private (
     p.getParent.toString
   }
 
+  /** True when this stream's static snapshot is exactly its table's
+    * snapshot: no source transform and no union members — the shape
+    * under which a join merge may swap the full static scan for a
+    * bucket-pruned point read of the table. */
+  private[streaming] def isPlainTable: Boolean = !hasTransform && others.isEmpty
+
   private def copy(
       pks2: Seq[String] = pks,
       seq2: Seq[String] = seqCols,
@@ -175,9 +182,10 @@ final class Stream private (
       others2: Seq[Stream] = others,
       startV2: Long = startV,
       deletes2: Boolean = deletesOn,
-      maxBytes2: Long = maxBytes): Stream =
+      maxBytes2: Long = maxBytes,
+      hasTransform2: Boolean = hasTransform): Stream =
     new Stream(spark, table, pks2, seq2, transform2, upstream2, mft2, others2,
-      startV2, deletes2, maxBytes2)
+      startV2, deletes2, maxBytes2, hasTransform2)
 
   private[streaming] def withUpstream(h: Seq[StageHandle]): Stream = copy(upstream2 = h)
 }

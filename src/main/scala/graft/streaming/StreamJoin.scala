@@ -254,6 +254,75 @@ final class JoinedStream(
     // cached so repeated deleting batches skip the open-time recovery scan
     val retractIdx = scala.collection.mutable.Map.empty[String, KeyedTable]
 
+    // equality column pairs (leftName, rightName) of the join condition,
+    // recovered from the Catalyst expression: conjunct EqualTo over bare
+    // attributes of the two frames. Non-equi/OR/cast conjuncts simply
+    // contribute no pairs — callers treat missing coverage as "cannot
+    // prune", never as an error.
+    def equiPairs(lDf: DataFrame, rDf: DataFrame): Seq[(String, String)] = {
+      import org.apache.spark.sql.catalyst.expressions.{
+        And, AttributeReference, EqualTo, Expression}
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      // resolve the condition by analyzing the join itself (a plan-only
+      // operation): Spark 4 Columns are lazy nodes, so the raw condition
+      // carries no resolved attributes to inspect
+      val analyzed = lDf.join(rDf, joinExpr(lDf, rDf), "inner")
+        .queryExecution.analyzed
+      val lAttrs = lDf.queryExecution.analyzed.output.map(a => a.exprId -> a.name).toMap
+      val rAttrs = rDf.queryExecution.analyzed.output.map(a => a.exprId -> a.name).toMap
+      def conj(e: Expression): Seq[Expression] = e match {
+        case And(a, b) => conj(a) ++ conj(b)
+        case x         => Seq(x)
+      }
+      analyzed.collectFirst { case Join(_, _, _, Some(c), _) => c }
+        .toSeq.flatMap(conj).collect {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if lAttrs.contains(a.exprId) && rAttrs.contains(b.exprId) =>
+            lAttrs(a.exprId) -> rAttrs(b.exprId)
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if rAttrs.contains(a.exprId) && lAttrs.contains(b.exprId) =>
+            lAttrs(b.exprId) -> rAttrs(a.exprId)
+        }
+    }
+
+    /** Bucket-pruned static side for one join half. The full static
+      * scan per microbatch is THE scale bottleneck of delta-joins — at
+      * 100 TB each commit would re-read the whole static table. When
+      * the static stream is a plain table (no transform/union), the
+      * probe batch is small (row count already known from the log or
+      * the pin aggregate — no extra job), the table is big enough to
+      * beat the pruning job's overhead, and the join's equality pairs
+      * cover the table's bucket keys, the scan is swapped for
+      * [[KeyedTable.snapshotForKeys]]: hash the probe keys, read only
+      * the files whose manifest hash range can match (version-pinned).
+      * Pruned-out rows can never satisfy the equality conjuncts, so
+      * inner/left/right halves are unaffected. */
+    def prunedStatic(static: Stream, pin: Long, probe: DataFrame,
+        probeRows: Long, full: DataFrame, staticIsLeft: Boolean): DataFrame = {
+      val conf = spark.conf
+      val minBytes = conf.getOption("spark.graft.join.staticPrune.minBytes")
+        .map(_.toLong).getOrElse(256L << 20)
+      val maxKeys = conf.getOption("spark.graft.join.staticPrune.maxKeys")
+        .map(_.toLong).getOrElse(1L << 20)
+      if (!static.isPlainTable || probeRows <= 0 || probeRows > maxKeys ||
+          static.table.liveManifestBytes < minBytes) full
+      else {
+        val pairs =
+          if (staticIsLeft) equiPairs(full, probe).map(_.swap)
+          else equiPairs(probe, full)
+        // probe column per static bucket key (first pair wins on dups)
+        val byStaticCol = pairs.groupBy(_._2).map { case (s, ps) => s -> ps.head._1 }
+        val bk = static.table.meta.bucketKeys
+        if (!bk.forall(byStaticCol.contains)) full
+        else {
+          spark.sparkContext.setJobDescription("graft:join:prune")
+          try static.table.snapshotForKeys(
+            probe.select(bk.map(k => col(byStaticCol(k)).alias(k)): _*), pin)
+          finally spark.sparkContext.setJobDescription(null)
+        }
+      }
+    }
+
     def mergeJoin(batch: DataFrame, batchId: Long): Unit =
       mergeJoinMeta(batch, batchId, None)
 
@@ -321,16 +390,23 @@ final class JoinedStream(
       val lBatch = latestPerKey(lRows, left.pks, left.seqCols)
       val rBatch = latestPerKey(rRows, right.pks, right.seqCols)
 
+      // each half probes a (small) batch against the other side's
+      // static — swap the full static scan for a bucket-pruned point
+      // read when the equality keys cover that table's bucket keys
+      val rStaticH1 = prunedStatic(right, rPin, lBatch, lCnt, rStatic,
+        staticIsLeft = false)
+      val lStaticH2 = prunedStatic(left, lPin, rBatch, rCnt, lStatic,
+        staticIsLeft = true)
       // half 1: left-batch rows joined to pinned right static (joins.py:310)
       val newLeft = project(
-        broadcast(lBatch).join(rStatic, joinExpr(lBatch, rStatic),
+        broadcast(lBatch).join(rStaticH1, joinExpr(lBatch, rStaticH1),
           if (joinType == "left") "left" else "inner"),
-        lBatch, rStatic)
+        lBatch, rStaticH1)
       // half 2: right-batch rows joined to pinned left static (joins.py:314)
       val newRight = project(
-        lStatic.join(broadcast(rBatch), joinExpr(lStatic, rBatch),
+        lStaticH2.join(broadcast(rBatch), joinExpr(lStaticH2, rBatch),
           if (joinType == "right") "right" else "inner"),
-        lStatic, rBatch)
+        lStaticH2, rBatch)
 
       // unify rows discovered from both sides in the same batch
       // (joins.py:318-343): full-outer on the output key, coalesce.

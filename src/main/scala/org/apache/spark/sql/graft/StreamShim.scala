@@ -35,4 +35,12 @@ object StreamShim {
   def emptyStreamingBatch(spark: SparkSession, schema: StructType): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
       LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
+
+  /** Catalyst expression behind a classic-mode Column —
+    * `ExpressionUtils.expression` is `private[sql]` in Spark 4 (the
+    * Column API is Connect-neutral); join-key analysis for static-side
+    * pruning needs the resolved attribute tree. */
+  def expressionOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
