@@ -515,6 +515,39 @@ object CdcQueries {
     kt.snapshot()
   }
 
+  /** Driver-certified static-side pruning (SURVEY §6l-2-2): the same
+    * incremental inner join drained with pruning FORCED ON
+    * (minBytes=0) — every join half reads only the probe batch's
+    * buckets of the other side's table instead of its full snapshot —
+    * must equal the plain SQL join, across seed, late-arrival, and
+    * update waves. */
+  def joinPruneStatic(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Stream
+    val root = freshDir()
+    val oDf = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(s, d).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(s, s"$root/orders", oDf.schema, Seq("o_orderkey"), numBuckets = 8)
+    val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
+    val p = Stream.fromKeyedTable(oT)
+      .join(Stream.fromKeyedTable(cT), "inner")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .writeToPath(s"$root/out")
+    s.conf.set("spark.graft.join.staticPrune.minBytes", "0")
+    try {
+      cT.upsert(cDf.where(col("c_custkey") % 2 === 0), uniqueKeys = true)
+      oT.upsert(oDf.where(col("o_orderkey") % 2 === 0), uniqueKeys = true)
+      p.runIncremental()
+      // late right rows: their batch probes the left static pruned
+      oT.upsert(oDf.where(col("o_orderkey") % 2 === 1), uniqueKeys = true)
+      cT.upsert(cDf.where(col("c_custkey") % 2 === 1), uniqueKeys = true)
+      p.runIncremental()
+      oT.upsert(oDf.where(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), uniqueKeys = true)
+      p.runIncremental()
+    } finally s.conf.unset("spark.graft.join.staticPrune.minBytes")
+    KeyedTable.forPath(s, s"$root/out").snapshot()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maintenance_cycle" -> (maintenanceCycle _),
     "cdc_time_travel" -> (cdcTimeTravel _),
@@ -526,6 +559,7 @@ object CdcQueries {
     "cdc_delete_propagation" -> (cdcDeletePropagation _),
     "cdc_agg_delete_retract" -> (cdcAggDeleteRetract _),
     "cdc_join_incremental" -> (cdcJoinIncremental _),
+    "join_prune_static" -> (joinPruneStatic _),
     "cdc_agg_reduce_incremental" -> (cdcAggReduceIncremental _),
     "cdc_upsert_snapshot" -> (cdcUpsertSnapshot _),
     "cdc_seq_latest_wins" -> (cdcSeqLatestWins _),
@@ -657,6 +691,12 @@ object CdcQueries {
     "cdc_join_incremental" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+    "join_prune_static" ->
+      """SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           c_custkey, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
     "cdc_agg_reduce_incremental" ->
       """WITH u AS (
            SELECT l_orderkey, l_returnflag, l_quantity, row_number() OVER (
