@@ -358,18 +358,24 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     versions().filter(v => v > fromExclusive && v <= upTo)
       .map(v => v -> readCommit(v).cdfBytes)
 
-  /** Summed change-row counts `(upserts, deletes)` over commits in
-    * `(fromExclusive, upTo]`; None if ANY commit in the window predates
-    * count recording — callers must then fall back to counting the feed
-    * itself. Served from the commit cache like [[cdfBytesByVersion]]. */
-  def cdfCountsBetween(fromExclusive: Long, upTo: Long): Option[(Long, Long)] = {
-    var up = 0L; var del = 0L
+  /** Summed change-row counts `(upserts, deletes, contributing
+    * commits)` over commits in `(fromExclusive, upTo]` — the third
+    * field counts commits that actually carried change rows (a
+    * 1-commit window's feed is key-unique by construction, letting a
+    * drain skip its within-batch dedup). None if ANY commit in the
+    * window predates count recording — callers must then fall back to
+    * counting the feed itself. Served from the commit cache like
+    * [[cdfBytesByVersion]]. */
+  def cdfCountsBetween(fromExclusive: Long, upTo: Long)
+      : Option[(Long, Long, Int)] = {
+    var up = 0L; var del = 0L; var n = 0
     versions().iterator.filter(v => v > fromExclusive && v <= upTo).foreach { v =>
       val c = readCommit(v)
       if (c.cdfUp < 0 || c.cdfDel < 0) return None
       up += c.cdfUp; del += c.cdfDel
+      if (c.cdfUp + c.cdfDel > 0) n += 1
     }
-    Some((up, del))
+    Some((up, del, n))
   }
 
   /** Highest batchId among commits in `(fromExclusive, upTo]`; -1 if

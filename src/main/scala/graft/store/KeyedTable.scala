@@ -301,12 +301,14 @@ final class KeyedTable private (
         .where(col("_commit_version") > sinceVersion)
   }
 
-  /** Summed change-row counts `(upserts, deletes)` over commits in
-    * `(afterVersion, upTo]`, from the log's recorded per-commit counts —
-    * no Spark job, no file IO beyond cached commit parses. None if any
-    * commit in the window predates count recording; callers then count
-    * the feed itself (the batch drain's pin-job fallback). */
-  def changeCountsBetween(afterVersion: Long, upTo: Long): Option[(Long, Long)] =
+  /** Summed change-row counts `(upserts, deletes, contributing
+    * commits)` over commits in `(afterVersion, upTo]`, from the log's
+    * recorded per-commit counts — no Spark job, no file IO beyond
+    * cached commit parses. None if any commit in the window predates
+    * count recording; callers then count the feed itself (the batch
+    * drain's pin-job fallback). */
+  def changeCountsBetween(afterVersion: Long, upTo: Long)
+      : Option[(Long, Long, Int)] =
     log.cdfCountsBetween(afterVersion, math.min(upTo, latestVersion))
 
   /** The change feed as a Structured Streaming source — log-indexed

@@ -169,7 +169,7 @@ final class StreamAgg(
             val counts = src.logCounts(after, upTo)
             val hb = DrainState.heartbeat(spark, dir)
             try {
-              if (!counts.exists { case (u, d) => u + d == 0L })
+              if (!counts.exists { case (u, d, _) => u + d == 0L })
                 mergeAggKnown(src.changesBatch(after, upTo), target.next - 1,
                   knownNonEmpty = counts.isDefined)
             } finally hb.close()

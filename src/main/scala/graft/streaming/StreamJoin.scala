@@ -74,7 +74,8 @@ object ProjOp {
   * and the static pin versions (the window's end per primary table).
   * Lets the batch drain skip the per-microbatch pin/count job. */
 private[streaming] final case class DrainMeta(
-    lUp: Long, lDel: Long, rUp: Long, rDel: Long, lPin: Long, rPin: Long)
+    lUp: Long, lDel: Long, rUp: Long, rDel: Long, lPin: Long, rPin: Long,
+    lCommits: Int = -1, rCommits: Int = -1)
 
 final class JoinedStream(
     val left: Stream,
@@ -387,8 +388,23 @@ final class JoinedStream(
         df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
           .drop("__rn", "_change_type", "_commit_version")
       }
-      val lBatch = latestPerKey(lRows, left.pks, left.seqCols)
-      val rBatch = latestPerKey(rRows, right.pks, right.seqCols)
+      // a single contributing commit's feed is key-unique by
+      // construction (each merge writes at most one post-image per full
+      // table key), so its within-batch latest-wins window — a shuffle —
+      // is a no-op, skipped when the log proves the window is 1 commit.
+      // Only when the stream is the plain table (a transform could
+      // duplicate rows) keyed exactly by the table's key (a narrower
+      // user-declared pk set would still need the dedup).
+      def keyUniqueWindow(side: Stream, commits: Int): Boolean =
+        commits == 1 && side.isPlainTable && side.pks == side.table.meta.keys
+      val lBatch =
+        if (drain.exists(m => keyUniqueWindow(left, m.lCommits)))
+          lRows.drop("_change_type", "_commit_version")
+        else latestPerKey(lRows, left.pks, left.seqCols)
+      val rBatch =
+        if (drain.exists(m => keyUniqueWindow(right, m.rCommits)))
+          rRows.drop("_change_type", "_commit_version")
+        else latestPerKey(rRows, right.pks, right.seqCols)
 
       // each half probes a (small) batch against the other side's
       // static — swap the full static scan for a bucket-pruned point
@@ -558,11 +574,12 @@ final class JoinedStream(
             // skipped entirely, and an all-layout-commit window (counts
             // 0/0) skips even the merge call
             val meta = for {
-              (lu, ld) <- left.logCounts(after, upTo)
-              (ru, rd) <- right.logCounts(after, upTo)
+              (lu, ld, ln) <- left.logCounts(after, upTo)
+              (ru, rd, rn) <- right.logCounts(after, upTo)
             } yield DrainMeta(lu, ld, ru, rd,
               lPin = upTo(left.table.path),
-              rPin = upTo(right.table.path))
+              rPin = upTo(right.table.path),
+              lCommits = ln, rCommits = rn)
             val hb = DrainState.heartbeat(spark, dir)
             try {
               if (!meta.exists(m => m.lUp + m.lDel + m.rUp + m.rDel == 0L))

@@ -50,7 +50,7 @@ class DrainFastPathSpec extends AnyFunSuite {
       assert(c.cdfUp == up, s"v$v cdfUp ${c.cdfUp} != $up")
       assert(c.cdfDel == del, s"v$v cdfDel ${c.cdfDel} != $del")
     }
-    assert(log.cdfCountsBetween(0L, 3L).contains((600L, 20L)))
+    assert(log.cdfCountsBetween(0L, 3L).contains((600L, 20L, 3)))
   }
 
   test("drained join pipeline runs no pin job and matches the batch fixpoint") {
@@ -90,6 +90,53 @@ class DrainFastPathSpec extends AnyFunSuite {
       .join(cT.snapshot(), col("o_custkey") === col("c_custkey"), "inner")
     assertSameRows(out.snapshot().select(want.columns.map(col): _*), want,
       "drained join != batch join")
+  }
+
+  test("count-less commits (pre-recording format) fall back to the pin job") {
+    val root = tmp()
+    val oDf = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").limit(300)
+    val cDf = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val oT = KeyedTable.create(spark, s"$root/orders", oDf.schema,
+      Seq("o_orderkey"), numBuckets = 4)
+    val cT = KeyedTable.create(spark, s"$root/customer", cDf.schema,
+      Seq("c_custkey"), numBuckets = 4)
+    cT.upsert(cDf, uniqueKeys = true)
+    oT.upsert(oDf, uniqueKeys = true)
+    // strip the recorded counts from the orders commit — simulating a
+    // table written before count recording existed
+    val cf = new java.io.File(s"$root/orders/_log").listFiles()
+      .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith("_")).head
+    val json = new String(java.nio.file.Files.readAllBytes(cf.toPath), "UTF-8")
+    java.nio.file.Files.write(cf.toPath,
+      json.replaceAll(""","cdfUp":\d+,"cdfDel":\d+""", "").getBytes("UTF-8"))
+    new java.io.File(cf.getParent, s".${cf.getName}.crc").delete() // hadoop checksum sidecar
+    // fresh handles AFTER the surgery: the writer's own handle has the
+    // counts cached (commit files are immutable in real deployments)
+    val pipe = Stream.fromPath(spark, s"$root/orders")
+      .join(Stream.fromPath(spark, s"$root/customer"), "inner")
+      .on((l, r) => l("o_custkey") === r("c_custkey"))
+      .writeToPath(s"$root/out")
+
+    val descriptions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val d = js.properties.getProperty("spark.job.description")
+        if (d != null) descriptions.add(d)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      pipe.runIncremental()
+      Thread.sleep(500) // async listener bus
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(descriptions.contains("graft:join:pin"),
+      "count-less window must take the pin-job fallback")
+    val out = KeyedTable.forPath(spark, s"$root/out")
+    val want = oT.snapshot()
+      .join(cT.snapshot(), col("o_custkey") === col("c_custkey"), "inner")
+    assertSameRows(out.snapshot().select(want.columns.map(col): _*), want,
+      "fallback drain != batch join")
   }
 
   test("a layout-only commit window drains as a filesystem no-op") {
