@@ -46,7 +46,8 @@ final class CommitInfo(
     filesThunk: () => Option[Map[Int, Seq[FileEntry]]],
     val epoch: Int,
     val cdfUp: Long = -1L,
-    val cdfDel: Long = -1L) {
+    val cdfDel: Long = -1L,
+    val cdfPre: Long = -1L) {
   /** LAZY: a spilled manifest's parquet sidecar is only read when a
     * consumer actually needs the file list — log replay
     * (bucketVersions/batchId folds) touches only the scalar fields, so
@@ -59,16 +60,18 @@ object CommitInfo {
   def apply(version: Long, buckets: Seq[Int], emptied: Seq[Int],
       batchId: Long, cdfBytes: Long, dir: String,
       files: Option[Map[Int, Seq[FileEntry]]] = None,
-      epoch: Int = -1, cdfUp: Long = -1L, cdfDel: Long = -1L): CommitInfo =
+      epoch: Int = -1, cdfUp: Long = -1L, cdfDel: Long = -1L,
+      cdfPre: Long = -1L): CommitInfo =
     new CommitInfo(version, buckets, emptied, batchId, cdfBytes, dir,
-      () => files, epoch, cdfUp, cdfDel)
+      () => files, epoch, cdfUp, cdfDel, cdfPre)
 
   def lazyFiles(version: Long, buckets: Seq[Int], emptied: Seq[Int],
       batchId: Long, cdfBytes: Long, dir: String,
       filesThunk: () => Option[Map[Int, Seq[FileEntry]]],
-      epoch: Int, cdfUp: Long = -1L, cdfDel: Long = -1L): CommitInfo =
+      epoch: Int, cdfUp: Long = -1L, cdfDel: Long = -1L,
+      cdfPre: Long = -1L): CommitInfo =
     new CommitInfo(version, buckets, emptied, batchId, cdfBytes, dir,
-      filesThunk, epoch, cdfUp, cdfDel)
+      filesThunk, epoch, cdfUp, cdfDel, cdfPre)
 }
 
 /** Minimal JSON commit log for a [[KeyedTable]].
@@ -158,6 +161,8 @@ final class CommitLog(rootPath: String, conf: Configuration) {
         cdfUp = """"cdfUp":(-?\d+)""".r.findFirstMatchIn(json)
           .map(_.group(1).toLong).getOrElse(-1L),
         cdfDel = """"cdfDel":(-?\d+)""".r.findFirstMatchIn(json)
+          .map(_.group(1).toLong).getOrElse(-1L),
+        cdfPre = """"cdfPre":(-?\d+)""".r.findFirstMatchIn(json)
           .map(_.group(1).toLong).getOrElse(-1L))
       commitCache.put(v, info)
       info
@@ -325,7 +330,7 @@ final class CommitLog(rootPath: String, conf: Configuration) {
   def commit(version: Long, buckets: Seq[Int], emptied: Seq[Int] = Nil,
       batchId: Long = -1L, cdfBytes: Long = -1L, dir: String = null,
       files: Option[Map[Int, Seq[FileEntry]]] = None, epoch: Int = -1,
-      cdfUp: Long = -1L, cdfDel: Long = -1L): Boolean = {
+      cdfUp: Long = -1L, cdfDel: Long = -1L, cdfPre: Long = -1L): Boolean = {
     val d = if (dir == null) s"v=$version" else dir
     val bid = if (batchId >= 0) s""","batchId":$batchId""" else ""
     val cb = if (cdfBytes >= 0) s""","cdfBytes":$cdfBytes""" else ""
@@ -333,7 +338,8 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     // deletes) — lets a batch drain derive its microbatch's row/delete
     // profile from the log instead of running a count job over the feed
     val cc = if (cdfUp >= 0 && cdfDel >= 0)
-      s""","cdfUp":$cdfUp,"cdfDel":$cdfDel""" else ""
+      s""","cdfUp":$cdfUp,"cdfDel":$cdfDel""" +
+        (if (cdfPre >= 0) s""","cdfPre":$cdfPre""" else "") else ""
     val ep = if (epoch >= 0) s""","epoch":$epoch""" else ""
     val fl = files match {
       case Some(m) if m.valuesIterator.map(_.size).sum >= manifestSpillEntries() =>
@@ -346,7 +352,7 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     val won = writeAtomicClaiming(commitPath(version), json)
     if (won) commitCache.put(version,
       CommitInfo(version, buckets, emptied, batchId, cdfBytes, d, files, epoch,
-        cdfUp, cdfDel))
+        cdfUp, cdfDel, cdfPre))
     won
   }
 
@@ -358,24 +364,27 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     versions().filter(v => v > fromExclusive && v <= upTo)
       .map(v => v -> readCommit(v).cdfBytes)
 
-  /** Summed change-row counts `(upserts, deletes, contributing
-    * commits)` over commits in `(fromExclusive, upTo]` — the third
-    * field counts commits that actually carried change rows (a
+  /** Summed change-row counts `(upserts, deletes, preimages,
+    * contributing commits)` over commits in `(fromExclusive, upTo]` —
+    * the last field counts commits that actually carried change rows (a
     * 1-commit window's feed is key-unique by construction, letting a
     * drain skip its within-batch dedup). None if ANY commit in the
     * window predates count recording — callers must then fall back to
     * counting the feed itself. Served from the commit cache like
     * [[cdfBytesByVersion]]. */
   def cdfCountsBetween(fromExclusive: Long, upTo: Long)
-      : Option[(Long, Long, Int)] = {
-    var up = 0L; var del = 0L; var n = 0
+      : Option[(Long, Long, Long, Int)] = {
+    var up = 0L; var del = 0L; var pre = 0L; var n = 0
     versions().iterator.filter(v => v > fromExclusive && v <= upTo).foreach { v =>
       val c = readCommit(v)
       if (c.cdfUp < 0 || c.cdfDel < 0) return None
       up += c.cdfUp; del += c.cdfDel
+      // commits written before preimage recording count as "unknown
+      // retractions present" so consumers stay conservative
+      pre += (if (c.cdfPre >= 0) c.cdfPre else math.max(c.cdfUp, 1L))
       if (c.cdfUp + c.cdfDel > 0) n += 1
     }
-    Some((up, del, n))
+    Some((up, del, pre, n))
   }
 
   /** Highest batchId among commits in `(fromExclusive, upTo]`; -1 if

@@ -308,7 +308,7 @@ final class KeyedTable private (
     * count recording; callers then count the feed itself (the batch
     * drain's pin-job fallback). */
   def changeCountsBetween(afterVersion: Long, upTo: Long)
-      : Option[(Long, Long, Int)] =
+      : Option[(Long, Long, Long, Int)] =
     log.cdfCountsBetween(afterVersion, math.min(upTo, latestVersion))
 
   /** The change feed as a Structured Streaming source — log-indexed
@@ -531,8 +531,8 @@ final class KeyedTable private (
             .select(dataCols.map(c => col(s"u.$c").alias(c)): _*)
             .withColumn("_change_type", lit("delete"))
           spark.sparkContext.setJobDescription("graft:merge:write")
-          val (cdfUp, cdfDel) = writeFused(dir, newVersion, remaining, removed,
-            hashSort = hashSortNeeded(readBytes, stagedCount))
+          val (cdfUp, cdfDel, cdfPre) = writeFused(dir, newVersion, remaining,
+            removed, hashSort = hashSortNeeded(readBytes, stagedCount))
           spark.sparkContext.setJobDescription(null)
           // buckets the delete emptied entirely get tombstoned; the rest
           // point at carried + rewritten files
@@ -546,7 +546,7 @@ final class KeyedTable private (
           preCommitHook()
           if (log.commit(newVersion, written, emptied, cdfBytes = cdfBytesOf(dir),
               dir = dir, files = Some(manifest), epoch = planEpoch,
-              cdfUp = cdfUp, cdfDel = cdfDel)) {
+              cdfUp = cdfUp, cdfDel = cdfDel, cdfPre = cdfPre)) {
             publishCdf(dir)
             bvCache = (newVersion,
               bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
@@ -643,8 +643,8 @@ final class KeyedTable private (
         .select(dataCols.map(col): _*)
         .withColumn("_change_type", lit("delete"))
       spark.sparkContext.setJobDescription("graft:deleteWhere:write")
-      val (cdfUp, cdfDel) = writeFused(dir, newVersion, remaining, removed,
-        hashSort = hashSortNeeded(readBytes, 0L))
+      val (cdfUp, cdfDel, cdfPre) = writeFused(dir, newVersion, remaining,
+        removed, hashSort = hashSortNeeded(readBytes, 0L))
       spark.sparkContext.setJobDescription(null)
       val newFiles = writtenFileStats(dir)
       val manifest = touched.toSeq.map { b =>
@@ -655,7 +655,7 @@ final class KeyedTable private (
       preCommitHook()
       if (log.commit(newVersion, written, emptied, cdfBytes = cdfBytesOf(dir),
           dir = dir, files = Some(manifest), epoch = planEpoch,
-          cdfUp = cdfUp, cdfDel = cdfDel)) {
+          cdfUp = cdfUp, cdfDel = cdfDel, cdfPre = cdfPre)) {
         publishCdf(dir)
         bvCache = (newVersion,
           bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
@@ -726,7 +726,7 @@ final class KeyedTable private (
       preCommitHook()
       if (log.commit(newVersion, written, emptied, cdfBytes = 0L,
           dir = dir, files = Some(manifest), epoch = planEpoch,
-          cdfUp = 0L, cdfDel = 0L)) {
+          cdfUp = 0L, cdfDel = 0L, cdfPre = 0L)) {
         publishCdf(dir)
         bvCache = (newVersion,
           bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
@@ -853,7 +853,7 @@ final class KeyedTable private (
       preCommitHook()
       if (log.commit(newVersion, written, emptied, dir = dir,
           files = Some(manifest), epoch = stepEpoch,
-          cdfUp = 0L, cdfDel = 0L)) {
+          cdfUp = 0L, cdfDel = 0L, cdfPre = 0L)) {
         bvCache = (newVersion,
           bucketVersionsAt(newVersion - 1) ++ written.map(_ -> newVersion)
             -- emptied)
@@ -927,7 +927,7 @@ final class KeyedTable private (
       val written = manifest.keys.toSeq
       if (log.commit(newVersion, written, oldLive.filterNot(manifest.contains),
           dir = dir, files = Some(manifest), epoch = newBuckets,
-          cdfUp = 0L, cdfDel = 0L)) {
+          cdfUp = 0L, cdfDel = 0L, cdfPre = 0L)) {
         swapMeta()
         log.clearRebucketMarker()
         bvCache = (newVersion, written.map(_ -> newVersion).toMap)
@@ -1168,6 +1168,7 @@ final class KeyedTable private (
         var prevDir: String = null
         var prevUp: Long = -1L
         var prevDel: Long = -1L
+        var prevPre: Long = -1L
         var prevBv: Map[Int, Long] = null
         var prevWritten: Seq[Int] = null
         var prevEmptied: Seq[Int] = null
@@ -1205,7 +1206,7 @@ final class KeyedTable private (
             preCommitHook()
             if (log.commit(newVersion, prevWritten, prevEmptied, batchId,
                 cdfBytesOf(prevDir), prevDir, Option(prevManifest), planEpoch,
-                cdfUp = prevUp, cdfDel = prevDel)) {
+                cdfUp = prevUp, cdfDel = prevDel, cdfPre = prevPre)) {
               publishCdf(prevDir)
               bvCache = (newVersion,
                 bucketVersionsAt(newVersion - 1) ++ prevWritten.map(_ -> newVersion)
@@ -1263,11 +1264,11 @@ final class KeyedTable private (
               val clamp = writeParts.filter(_ < prevParts.toInt)
               clamp.foreach(n =>
                 spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-              var cdfUp = -1L; var cdfDel = -1L
+              var cdfUp = -1L; var cdfDel = -1L; var cdfPre = -1L
               try {
                 val counts = timed("write")(writeFused(dir, newVersion, newContent,
                   cdf, hashSort = hashSortNeeded(readBytes, stagedCount)))
-                cdfUp = counts._1; cdfDel = counts._2
+                cdfUp = counts._1; cdfDel = counts._2; cdfPre = counts._3
               } finally if (clamp.isDefined)
                 spark.conf.set("spark.sql.shuffle.partitions", prevParts)
               spark.sparkContext.setJobDescription(null)
@@ -1285,7 +1286,7 @@ final class KeyedTable private (
               preCommitHook()
               if (timed("commit")(log.commit(newVersion, written, emptied, batchId,
                   cdfBytesOf(dir), dir, Some(manifest), planEpoch,
-                  cdfUp = cdfUp, cdfDel = cdfDel))) {
+                  cdfUp = cdfUp, cdfDel = cdfDel, cdfPre = cdfPre))) {
                 timed("publish")(publishCdf(dir))
                 // advance the replay cache incrementally
                 bvCache = (newVersion,
@@ -1301,7 +1302,7 @@ final class KeyedTable private (
                 prevDir = dir; prevBv = bv
                 prevWritten = written; prevEmptied = emptied
                 prevManifest = manifest
-                prevUp = cdfUp; prevDel = cdfDel
+                prevUp = cdfUp; prevDel = cdfDel; prevPre = cdfPre
                 require(attempt <= occMaxRetries,
                   s"merge lost $attempt optimistic commit claims on $path; " +
                     "raise spark.graft.occ.maxRetries or reduce writer contention")
@@ -1403,7 +1404,7 @@ final class KeyedTable private (
     * window's row/delete profile without scanning the feed. */
   private def writeFused(dir: String, newVersion: Long, newContent: DataFrame,
       cdf: DataFrame, sortKeys: Seq[Column] = Nil,
-      hashSort: Boolean = true): (Long, Long) = {
+      hashSort: Boolean = true): (Long, Long, Long) = {
     // normalize to the declared schema: merge arithmetic can widen
     // types (e.g. decimal(28,6)+decimal(28,6) → decimal(29,6)), and a
     // widened file would break the explicit-schema bucket reads
@@ -1435,7 +1436,8 @@ final class KeyedTable private (
       .observe(obs,
         count(when(col("_change_type") =!= "delete" &&
           col("_change_type") =!= "update_preimage", 1)).alias("up"),
-        count(when(col("_change_type") === "delete", 1)).alias("del"))
+        count(when(col("_change_type") === "delete", 1)).alias("del"),
+        count(when(col("_change_type") === "update_preimage", 1)).alias("pre"))
     val tmp = s"$path/_tmp_$dir"
     val shuffled = dataSide.unionByName(cdfSide)
       .withColumnRenamed(BucketCol, "b")
@@ -1494,8 +1496,8 @@ final class KeyedTable private (
     try {
       val row = scala.concurrent.Await.result(obs.future,
         scala.concurrent.duration.Duration(5, "seconds"))
-      (row.getAs[Long]("up"), row.getAs[Long]("del"))
-    } catch { case _: java.util.concurrent.TimeoutException => (-1L, -1L) }
+      (row.getAs[Long]("up"), row.getAs[Long]("del"), row.getAs[Long]("pre"))
+    } catch { case _: java.util.concurrent.TimeoutException => (-1L, -1L, -1L) }
   }
 
   /** Latest-wins dedup of a batch by full key (joins.py:556-561). */

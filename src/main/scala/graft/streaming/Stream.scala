@@ -118,23 +118,24 @@ final class Stream private (
     others.foldLeft(own)((acc, o) => acc.unionByName(o.changesBatch(after, upTo)))
   }
 
-  /** This stream's change-row profile `(upserts, deletes, contributing
-    * commits)` over a drain window, derived from the source tables'
-    * commit-log counts — the log-side twin of counting
+  /** This stream's change-row profile `(upserts, deletes, preimages,
+    * contributing commits)` over a drain window, derived from the
+    * source tables' commit-log counts — the log-side twin of counting
     * [[changesBatch]]'s rows with a Spark job. Row counts are upper
     * bounds when a `.to` transform filters rows (safe: callers use the
     * counts to SKIP work only at zero, and a transform cannot introduce
     * duplicate keys into a single commit's feed). None if any window
     * commit predates count recording. */
   private[streaming] def logCounts(after: String => Long,
-      upTo: String => Long): Option[(Long, Long, Int)] = {
+      upTo: String => Long): Option[(Long, Long, Long, Int)] = {
     val own = table.changeCountsBetween(
       math.max(after(table.path), startV), upTo(table.path))
-      // a deletes-off stream filters delete rows out of its feed
-      .map { case (u, d, n) => if (deletesOn) (u, d, n) else (u, 0L, n) }
+      // a deletes-off stream filters delete rows out of its feed;
+      // preimages flow either way
+      .map { case (u, d, pre, n) => if (deletesOn) (u, d, pre, n) else (u, 0L, pre, n) }
     others.foldLeft(own) { (acc, o) =>
       for (a <- acc; b <- o.logCounts(after, upTo))
-        yield (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+        yield (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4)
     }
   }
 

@@ -109,7 +109,7 @@ final class StreamAgg(
       mergeAggKnown(batch, batchId, knownNonEmpty = false)
 
     def mergeAggKnown(batch: DataFrame, batchId: Long,
-        knownNonEmpty: Boolean): Unit = {
+        knownNonEmpty: Boolean, noRetractions: Boolean = false): Unit = {
       // empty microbatch: skip the agg+merge plan. The batch drain
       // proves non-emptiness from the commit log and skips this job.
       if (!knownNonEmpty && batch.isEmpty) return
@@ -120,9 +120,17 @@ final class StreamAgg(
       val plus = data.where(col("_change_type") =!= "update_preimage" &&
           col("_change_type") =!= "delete")
         .groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-      val minus = data.where(col("_change_type") === "update_preimage" ||
-          col("_change_type") === "delete")
-        .groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      // append-only window (the log proves zero preimages/deletes): the
+      // minus side is an EMPTY relation — Catalyst's empty-relation
+      // propagation then erases the full-outer join and its shuffle
+      // from the plan, leaving the plus aggregate alone
+      val minus =
+        if (noRetractions)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            plus.schema)
+        else data.where(col("_change_type") === "update_preimage" ||
+            col("_change_type") === "delete")
+          .groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       val p = plus.alias("p")
       val m = minus.alias("m")
       val keyEq = groupCols.map(k => col(s"p.$k") <=> col(s"m.$k")).reduce(_ && _)
@@ -169,9 +177,11 @@ final class StreamAgg(
             val counts = src.logCounts(after, upTo)
             val hb = DrainState.heartbeat(spark, dir)
             try {
-              if (!counts.exists { case (u, d, _) => u + d == 0L })
+              if (!counts.exists { case (u, d, _, _) => u + d == 0L })
                 mergeAggKnown(src.changesBatch(after, upTo), target.next - 1,
-                  knownNonEmpty = counts.isDefined)
+                  knownNonEmpty = counts.isDefined,
+                  noRetractions = counts.exists { case (_, d, pre, _) =>
+                    pre == 0L && (d == 0L || !src.deletesOn) })
             } finally hb.close()
             DrainState.commit(spark, dir, target)
           }

@@ -574,8 +574,8 @@ final class JoinedStream(
             // skipped entirely, and an all-layout-commit window (counts
             // 0/0) skips even the merge call
             val meta = for {
-              (lu, ld, ln) <- left.logCounts(after, upTo)
-              (ru, rd, rn) <- right.logCounts(after, upTo)
+              (lu, ld, _, ln) <- left.logCounts(after, upTo)
+              (ru, rd, _, rn) <- right.logCounts(after, upTo)
             } yield DrainMeta(lu, ld, ru, rd,
               lPin = upTo(left.table.path),
               rPin = upTo(right.table.path),

@@ -50,7 +50,8 @@ class DrainFastPathSpec extends AnyFunSuite {
       assert(c.cdfUp == up, s"v$v cdfUp ${c.cdfUp} != $up")
       assert(c.cdfDel == del, s"v$v cdfDel ${c.cdfDel} != $del")
     }
-    assert(log.cdfCountsBetween(0L, 3L).contains((600L, 20L, 3)))
+    // 500 inserts + 100 update postimages = 600 up; 100 preimages; 20 deletes
+    assert(log.cdfCountsBetween(0L, 3L).contains((600L, 20L, 100L, 3)))
   }
 
   test("drained join pipeline runs no pin job and matches the batch fixpoint") {
