@@ -80,6 +80,12 @@ final class CdfStreamSource(
     * (a streaming-marked frame refuses batch execution/inputFiles). */
   private[store] def batchDf(fromExclusive: Long, toInclusive: Long)
       : Option[DataFrame] = {
+    // a checkpoint window reaching below the truncation floor would
+    // silently come back partial — fail loudly (same contract as
+    // changesSince)
+    require(fromExclusive >= log.truncationFloor,
+      s"stream offset $fromExclusive is below the log truncation floor " +
+        s"${log.truncationFloor} on $tablePath")
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     val dirs = log.versions().filter(v => v > fromExclusive && v <= toInclusive)
       .map(v => new Path(s"$tablePath/cdf/${log.dirOf(v)}"))

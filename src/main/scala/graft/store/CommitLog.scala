@@ -113,6 +113,102 @@ final class CommitLog(rootPath: String, conf: Configuration) {
   private val commitCache =
     new java.util.concurrent.ConcurrentHashMap[Long, CommitInfo]()
 
+  // --- log truncation (Delta logRetention analog, SURVEY §6l-2) ---------
+  // `_floor.json` records the highest TRUNCATED version and the
+  // manifest-bearing checkpoint that backs reads of still-live files
+  // owned by truncated commits. Loaded lazily; refreshed when a missing
+  // commit file is encountered (another process may have truncated).
+  @volatile private var floorCache: Option[(Long, Long)] = None
+  private def floorPath = new Path(logDir, "_floor.json")
+
+  private def loadFloor(fresh: Boolean = false): (Long, Long) = {
+    val cached = floorCache
+    if (!fresh && cached.isDefined) cached.get
+    else {
+      val f =
+        if (!fs.exists(floorPath)) (-1L, -1L)
+        else {
+          val json = readFully(floorPath)
+          (""""floor":(-?\d+)""".r.findFirstMatchIn(json)
+            .map(_.group(1).toLong).getOrElse(-1L),
+           """"ckpt":(-?\d+)""".r.findFirstMatchIn(json)
+            .map(_.group(1).toLong).getOrElse(-1L))
+        }
+      floorCache = Some(f)
+      f
+    }
+  }
+
+  /** Highest truncated version; -1 when the log was never truncated.
+    * Snapshots, change feeds, and time travel at or below the floor are
+    * unavailable (the reference stack's Delta logRetention contract). */
+  def truncationFloor: Long = loadFloor()._1
+
+  private[store] def writeFloor(floor: Long, ckptV: Long): Unit = {
+    writeAtomic(floorPath, s"""{"floor":$floor,"ckpt":$ckptV}""",
+      overwrite = true)
+    floorCache = Some((floor, ckptV))
+  }
+
+  /** Full checkpoint carrying the live FILE manifest (not just bucket
+    * versions) as a parquet sidecar — commits at or below it become
+    * deletable because every still-referenced file list survives here. */
+  private[store] def checkpointWithManifest(version: Long, map: Map[Int, Long],
+      maxBatchId: Long, files: Map[Int, Seq[FileEntry]]): Unit = {
+    val ref = writeManifestParquet(s"ckpt-$version", files)
+    val entries = map.toSeq.sortBy(_._1)
+      .map { case (b, v) => s"[$b,$v]" }.mkString(",")
+    writeAtomic(ckptPath(version),
+      s"""{"version":$version,"maxBatchId":$maxBatchId,"filesRef":"$ref","entries":[$entries]}""",
+      overwrite = true)
+  }
+
+  private def checkpointManifest(v: Long): Option[Map[Int, Seq[FileEntry]]] = {
+    if (!fs.exists(ckptPath(v))) None
+    else """"filesRef":"([^"]+)"""".r.findFirstMatchIn(readFully(ckptPath(v)))
+      .map(m => readManifestParquet(m.group(1)))
+  }
+
+  /** Deletes commit files (and their spilled manifest sidecars) at or
+    * below `floor`, plus superseded checkpoints/manifest sidecars.
+    * Callers must have written the floor marker and a covering
+    * manifest checkpoint FIRST — see KeyedTable.truncateLog. */
+  private[store] def deleteCommitsUpTo(floor: Long): Unit = {
+    versions().filter(_ <= floor).foreach { v =>
+      val dir = try Some(readCommit(v).dir) catch { case _: Exception => None }
+      dir.foreach(d =>
+        fs.delete(new Path(logDir, manifestSidecarName(d)), false))
+      fs.delete(commitPath(v), false)
+      commitCache.remove(v)
+    }
+    fs.listStatus(logDir).foreach { st =>
+      val n = st.getPath.getName
+      def numSuffix(pre: String, suf: String): Option[Long] =
+        if (n.startsWith(pre) && n.endsWith(suf))
+          scala.util.Try(n.stripPrefix(pre).stripSuffix(suf).toLong).toOption
+        else None
+      if (numSuffix("_ckpt_", ".json").exists(_ <= floor) ||
+          numSuffix("_manifest_ckpt-", ".parquet").exists(_ <= floor))
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  /** A truncated commit that still OWNS live buckets (untouched since
+    * before the floor) synthesizes its file lists from the floor
+    * checkpoint's manifest — everything else about it is gone. */
+  private def synthesizeTruncated(v: Long, ckptV: Long): CommitInfo = {
+    val owned = latestCheckpointAt(ckptV) match {
+      case Some((cv, map, _)) if cv == ckptV =>
+        map.collect { case (b, ver) if ver == v => b }.toSeq
+      case _ => Nil
+    }
+    val files = checkpointManifest(ckptV)
+      .map(m => m.filter { case (b, _) => owned.contains(b) })
+    val info = CommitInfo(v, owned, Nil, -1L, -1L, s"v=$v", files, -1)
+    commitCache.put(v, info)
+    info
+  }
+
   def exists: Boolean = fs.exists(new Path(logDir, "_meta.json"))
 
   def writeMeta(json: String): Unit = {
@@ -134,12 +230,23 @@ final class CommitLog(rootPath: String, conf: Configuration) {
 
   def latestVersion(): Long = versions().lastOption.getOrElse(0L)
 
-  /** Cached parse of one commit file. */
+  /** Cached parse of one commit file. Truncated commits (log
+    * truncation floor) synthesize their still-live file lists from the
+    * floor checkpoint's manifest. */
   def readCommit(v: Long): CommitInfo = {
     val cached = commitCache.get(v)
     if (cached != null) cached
-    else {
-      val json = readFully(commitPath(v))
+    else readCommitUncached(v)
+  }
+
+  private def readCommitUncached(v: Long): CommitInfo = {
+    {
+      val json = try readFully(commitPath(v)) catch {
+        case e: java.io.FileNotFoundException =>
+          val (floor, ckptV) = loadFloor(fresh = true)
+          if (v <= floor && ckptV >= 0) return synthesizeTruncated(v, ckptV)
+          else throw e
+      }
       val filesRef = """"filesRef":"([^"]+)"""".r.findFirstMatchIn(json)
         .map(_.group(1))
       val info = CommitInfo.lazyFiles(

@@ -187,6 +187,9 @@ final class KeyedTable private (
   def snapshot(version: Long = -1L): DataFrame = {
     if (autoMergeOn) refreshMeta() // an evolved writer's columns must appear
     val v = if (version < 0) latestVersion else version
+    require(version < 0 || v > log.truncationFloor,
+      s"time travel to version $v is below the log truncation floor " +
+        s"${log.truncationFloor} on $path")
     val bv = bucketVersionsAt(v)
     if (bv.isEmpty) emptyDf
     else readBuckets(bv.toSeq)
@@ -286,6 +289,10 @@ final class KeyedTable private (
     * out. */
   def changesSince(sinceVersion: Long): DataFrame = {
     if (autoMergeOn) refreshMeta() // evolved cdf columns must appear
+    // below-floor feeds would silently come back partial — fail loudly
+    require(sinceVersion >= log.truncationFloor,
+      s"change feed from version $sinceVersion is below the log truncation " +
+        s"floor ${log.truncationFloor} on $path")
     val fs = hfs
     val paths = log.versions().filter(_ > sinceVersion)
       .map(v => new org.apache.hadoop.fs.Path(s"$path/cdf/${log.dirOf(v)}"))
@@ -1051,12 +1058,42 @@ final class KeyedTable private (
       fs.listStatus(logRoot).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("_manifest_") && n.endsWith(".parquet") &&
+            !n.startsWith("_manifest_ckpt-") && // truncation checkpoints
             !committedDirs.contains(
               n.stripPrefix("_manifest_").stripSuffix(".parquet")) &&
             deadPending(st))
           fs.delete(st.getPath, false)
       }
     }
+  }
+
+  /** Bounds commit-log growth for long-lived tables (Delta's
+    * logRetentionDuration analog): writes a checkpoint AT THE OLDEST
+    * RETAINED VERSION that carries the full live file manifest (parquet
+    * sidecar), records the truncation floor, then deletes every commit
+    * file at or below the floor. Reads at retained versions replay from
+    * the checkpoint; files carried forward from truncated commits stay
+    * readable through the checkpoint manifest. Time travel and change
+    * feeds at or below the floor become unavailable and fail loudly.
+    * Call AFTER vacuum with a retention at least as long — truncation
+    * below a live reader's window is the same contract violation as
+    * vacuuming under it. */
+  def truncateLog(retainVersions: Int = 100): Unit = synchronized {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val vs = log.versions()
+    if (vs.size <= retainVersions) return
+    val ckptV = vs.takeRight(retainVersions).head
+    val floor = ckptV - 1
+    if (floor < vs.head) return
+    val bv = bucketVersionsAt(ckptV)
+    val manifest: Map[Int, Seq[FileEntry]] = bv.toSeq.flatMap { case (b, v) =>
+      log.readCommit(v).files.flatMap(_.get(b)).map(es => b -> es)
+    }.toMap
+    require(bv.keySet.forall(manifest.contains),
+      s"cannot truncate through pre-manifest commits on $path")
+    log.checkpointWithManifest(ckptV, bv, log.maxBatchIdAt(ckptV), manifest)
+    log.writeFloor(floor, ckptV)
+    log.deleteCommitsUpTo(floor)
   }
 
   /** Merge `batch` into the table; returns the new version.

@@ -1,0 +1,105 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+import java.nio.file.Files
+
+/** Commit-log truncation (Delta logRetention analog, SURVEY §6l-2):
+  * `truncateLog` checkpoints the full live file manifest at the oldest
+  * retained version, records the floor, and deletes older commit
+  * files. Reads at retained versions must be unaffected — including
+  * buckets whose OWNING commit was truncated (their file lists come
+  * from the checkpoint manifest) — while reads at or below the floor
+  * fail loudly instead of coming back partial.
+  */
+class LogTruncationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(): String = Files.createTempDirectory("gtr").toString
+
+  private def mkTable(root: String): (KeyedTable, org.apache.spark.sql.DataFrame) = {
+    val df = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").limit(200)
+    val t = KeyedTable.create(spark, s"$root/t", df.schema, Seq("o_orderkey"),
+      numBuckets = 8)
+    t.upsert(df, uniqueKeys = true) // v1: every bucket owned by v1
+    // v2..v6: single-key upserts — only ONE bucket's owning version
+    // advances; the rest stay owned by (soon-truncated) v1
+    (2 to 6).foreach { i =>
+      t.upsert(df.limit(1).withColumn("o_totalprice", lit(i.toDouble)),
+        uniqueKeys = true)
+    }
+    (t, df)
+  }
+
+  test("truncation preserves snapshots, point reads, merges, and cold opens") {
+    val root = tmp()
+    val (t, df) = mkTable(root)
+    val before = t.snapshot().orderBy("o_orderkey").collect()
+    t.truncateLog(retainVersions = 2) // keep v5, v6; floor = 4
+    val log = new CommitLog(s"$root/t", spark.sessionState.newHadoopConf())
+    assert(log.versions() == Seq(5L, 6L), s"got ${log.versions()}")
+    assert(log.truncationFloor == 4L)
+    // same-handle snapshot: buckets owned by truncated v1 read through
+    // the checkpoint manifest
+    assert(t.snapshot().orderBy("o_orderkey").collect().sameElements(before))
+    // bucket-pruned point read
+    val hit = t.snapshotForKeys(df.limit(1).select("o_orderkey")).collect()
+    assert(hit.length == 1 && hit.head.getDouble(2) == 6.0)
+    // cold open (fresh process): replay starts from the checkpoint
+    val t2 = KeyedTable.forPath(spark, s"$root/t")
+    assert(t2.snapshot().count() == 200)
+    // a NEW merge replays the bucket map + carried files correctly
+    t2.upsert(df.limit(50).withColumn("o_totalprice", lit(99.0)),
+      uniqueKeys = true)
+    assert(t2.snapshot().where(col("o_totalprice") === 99.0).count() == 50)
+    assert(t2.snapshot().count() == 200)
+  }
+
+  test("reads at or below the floor fail loudly; above it they work") {
+    val root = tmp()
+    val (t, _) = mkTable(root)
+    t.truncateLog(retainVersions = 2) // floor = 4
+    intercept[IllegalArgumentException] { t.snapshot(4L).count() }
+    intercept[IllegalArgumentException] { t.changesSince(3L).count() }
+    assert(t.snapshot(5L).count() == 200) // retained version still serves
+    assert(t.changesSince(4L).count() == 4L) // v5, v6 feeds (pre+post each)
+  }
+
+  test("vacuum after truncation keeps carried-forward files readable") {
+    val root = tmp()
+    val (t, _) = mkTable(root)
+    t.truncateLog(retainVersions = 2)
+    t.vacuum(retainVersions = 2)
+    assert(t.snapshot().count() == 200)
+    val t2 = KeyedTable.forPath(spark, s"$root/t")
+    assert(t2.snapshot().count() == 200)
+  }
+
+  test("a drained pipeline keeps draining across source truncation") {
+    import graft.streaming.Stream
+    val root = tmp()
+    val df = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").limit(300)
+    val t = KeyedTable.create(spark, s"$root/src", df.schema, Seq("o_orderkey"),
+      numBuckets = 4)
+    val pipe = Stream.fromKeyedTable(t)
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      .writeToPath(s"$root/out")
+    (1 to 4).foreach { i =>
+      t.upsert(df.where(col("o_orderkey") % 4 === i - 1), uniqueKeys = true)
+    }
+    pipe.runIncremental() // watermark = v4
+    t.truncateLog(retainVersions = 2) // floor = 2 < watermark — safe
+    t.upsert(df.limit(30).withColumn("o_totalprice", lit(1.0)), uniqueKeys = true)
+    pipe.runIncremental()
+    val out = KeyedTable.forPath(spark, s"$root/out")
+    val want = t.snapshot().groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    val got = out.snapshot().select("o_custkey", "cnt")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+}
