@@ -512,6 +512,9 @@ object CdcQueries {
     kt.rebucket(32)
     kt.deleteWhere(col("o_orderkey") % 13 === 0)
     kt.vacuum(retainVersions = 1)
+    // log truncation mid-lifecycle: the final snapshot must read buckets
+    // whose owning commits were truncated (checkpoint-manifest path)
+    kt.truncateLog(retainVersions = 2)
     kt.snapshot()
   }
 
