@@ -571,11 +571,12 @@ object OpsQueries {
   }
 
   /** B30 (codebook half): product-quantized embedding codes + per-row
-    * reconstruction error, plus the compressed ADC search path exercised
-    * by the rank column. Codebook training is deterministic (lowest-id
-    * seeds, engine-neutral rounding) but k-means is not SQL-expressible,
-    * so this gate is rows-only; the ADC-equals-reconstruction identity
-    * and dup-recovery are spec-asserted (ProductQuantizeSpec). */
+    * reconstruction error. Codebook training is deterministic
+    * (lowest-id seeds, squared-L2 ties to the lowest cid, engine-neutral
+    * rounding), so the DuckDB oracle replays the full per-sub-space
+    * Lloyd training as CTEs — a complete hash-checked gate; the
+    * ADC-equals-reconstruction identity and dup-recovery are
+    * additionally spec-asserted (ProductQuantizeSpec). */
   def quantizePq(s: SparkSession, d: String): DataFrame = {
     import graft.ops.ProductQuantize
     val corpus = Tables.embeddings(s, d)
@@ -589,7 +590,9 @@ object OpsQueries {
   /** B7c: IVF+PQ compressed ANN — coarse lists + residual PQ codes,
     * probed search over nprobe lists with per-list ADC tables (the
     * FAISS IVFPQ shape; at 100 TB the scan reads m bytes per vector in
-    * nprobe/nlist of the corpus). Rows-only like [[quantizePq]]. */
+    * nprobe/nlist of the corpus). Fully oracled like [[quantizePq]]:
+    * the DuckDB CTE replays coarse train, residual PQ train, and the
+    * probed ADC scan end to end. */
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     import graft.ops.ProductQuantize
     val corpus = Tables.embeddings(s, d)
@@ -1117,6 +1120,148 @@ object OpsQueries {
                  c.cid) AS rn
            FROM embeddings e CROSS JOIN c2 c)
          SELECT vec_id, cid AS cluster_id FROM a2 WHERE rn = 1""",
+    // B30b: full PQ replay — per sub-space (m=8, subDim=8) the same 2
+    // Lloyd iterations as cluster_kmeans (lowest-id seeds, squared-L2
+    // argmin with ties -> lowest cid, floor(x*1e6+0.5)/1e6 means),
+    // then codes + reconstruction error from the final codebook
+    "quantize_pq" -> """
+         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sub AS (SELECT CAST(s AS INT) AS s FROM range(8) t(s)),
+         es AS (SELECT e.vec_id, sub.s, list_slice(e.v, sub.s*8+1, sub.s*8+8) AS sv
+             FROM e CROSS JOIN sub),
+         c0 AS (SELECT s, CAST(vec_id AS INT) AS cid, sv AS cv FROM es WHERE vec_id < 16),
+         a0 AS (SELECT es.vec_id, es.s, c.cid, row_number() OVER (
+               PARTITION BY es.vec_id, es.s
+               ORDER BY list_sum(list_transform(list_zip(es.sv, c.cv),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+           FROM es JOIN c0 c USING (s)),
+         s0 AS (SELECT vec_id, s, cid FROM a0 WHERE rn = 1),
+         x0 AS (SELECT s0.s, s0.cid, generate_subscripts(es.sv, 1) AS i, unnest(es.sv) AS x
+           FROM es JOIN s0 ON es.vec_id = s0.vec_id AND es.s = s0.s),
+         m0 AS (SELECT s, cid, i, floor(avg(x)*1e6+0.5)/1e6 AS m FROM x0 GROUP BY s, cid, i),
+         u0 AS (SELECT s, cid, list(m ORDER BY i) AS cv FROM m0 GROUP BY s, cid),
+         c1 AS (SELECT c0.s, c0.cid, coalesce(u0.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u0 ON c0.s = u0.s AND c0.cid = u0.cid),
+         a1 AS (SELECT es.vec_id, es.s, c.cid, row_number() OVER (
+               PARTITION BY es.vec_id, es.s
+               ORDER BY list_sum(list_transform(list_zip(es.sv, c.cv),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+           FROM es JOIN c1 c USING (s)),
+         s1 AS (SELECT vec_id, s, cid FROM a1 WHERE rn = 1),
+         x1 AS (SELECT s1.s, s1.cid, generate_subscripts(es.sv, 1) AS i, unnest(es.sv) AS x
+           FROM es JOIN s1 ON es.vec_id = s1.vec_id AND es.s = s1.s),
+         m1 AS (SELECT s, cid, i, floor(avg(x)*1e6+0.5)/1e6 AS m FROM x1 GROUP BY s, cid, i),
+         u1 AS (SELECT s, cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY s, cid),
+         c2 AS (SELECT c1.s, c1.cid, coalesce(u1.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u1 ON c1.s = u1.s AND c1.cid = u1.cid),
+         a2 AS (SELECT es.vec_id, es.s, c.cid, row_number() OVER (
+               PARTITION BY es.vec_id, es.s
+               ORDER BY list_sum(list_transform(list_zip(es.sv, c.cv),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+           FROM es JOIN c2 c USING (s)),
+         s2 AS (SELECT vec_id, s, cid FROM a2 WHERE rn = 1),
+         codes AS (SELECT vec_id, string_agg(cid, ',' ORDER BY s) AS codes
+           FROM s2 GROUP BY vec_id),
+         r AS (SELECT s2.vec_id,
+               sum(list_sum(list_transform(list_zip(c2.cv, es.sv),
+                 p -> (p[1]-p[2])*(p[1]-p[2])))) AS sq
+           FROM s2 JOIN c2 ON c2.s = s2.s AND c2.cid = s2.cid
+             JOIN es ON es.vec_id = s2.vec_id AND es.s = s2.s
+           GROUP BY s2.vec_id)
+         SELECT codes.vec_id, codes.codes, round(sqrt(r.sq), 4) AS recon_err
+         FROM codes JOIN r USING (vec_id)""",
+    // B7c: IVF+PQ replay — coarse k-means (nlist=16, squared-L2), PQ on
+    // RESIDUALS vs the final coarse centroids, then nprobe=4 probed ADC
+    // with per-list residual query tables, top-20 by (round(adc,6), id)
+    "ann_ivfpq" -> """
+         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         g0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
+         b0 AS (SELECT e.vec_id, g.cid, row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(list_zip(e.v, g.cv),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))), g.cid) AS rn
+           FROM e CROSS JOIN g0 g),
+         t0 AS (SELECT vec_id, cid FROM b0 WHERE rn = 1),
+         y0 AS (SELECT t0.cid, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
+           FROM e JOIN t0 USING (vec_id)),
+         n0 AS (SELECT cid, i, floor(avg(x)*1e6+0.5)/1e6 AS m FROM y0 GROUP BY cid, i),
+         v0 AS (SELECT cid, list(m ORDER BY i) AS cv FROM n0 GROUP BY cid),
+         g1 AS (SELECT g0.cid, coalesce(v0.cv, g0.cv) AS cv FROM g0 LEFT JOIN v0 USING (cid)),
+         b1 AS (SELECT e.vec_id, g.cid, row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(list_zip(e.v, g.cv),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))), g.cid) AS rn
+           FROM e CROSS JOIN g1 g),
+         t1 AS (SELECT vec_id, cid FROM b1 WHERE rn = 1),
+         y1 AS (SELECT t1.cid, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
+           FROM e JOIN t1 USING (vec_id)),
+         n1 AS (SELECT cid, i, floor(avg(x)*1e6+0.5)/1e6 AS m FROM y1 GROUP BY cid, i),
+         v1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM n1 GROUP BY cid),
+         g2 AS (SELECT g1.cid, coalesce(v1.cv, g1.cv) AS cv FROM g1 LEFT JOIN v1 USING (cid)),
+         bf AS (SELECT e.vec_id, g.cid, row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(list_zip(e.v, g.cv),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))), g.cid) AS rn
+           FROM e CROSS JOIN g2 g),
+         lst AS (SELECT vec_id, cid AS lid FROM bf WHERE rn = 1),
+         rs AS (SELECT e.vec_id, lst.lid,
+               list_transform(list_zip(e.v, g2.cv), p -> p[1]-p[2]) AS rv
+           FROM e JOIN lst USING (vec_id) JOIN g2 ON g2.cid = lst.lid),
+         sub AS (SELECT CAST(s AS INT) AS s FROM range(8) t(s)),
+         es AS (SELECT rs.vec_id, sub.s, list_slice(rs.rv, sub.s*8+1, sub.s*8+8) AS sv
+           FROM rs CROSS JOIN sub),
+         c0 AS (SELECT s, CAST(vec_id AS INT) AS cid, sv AS cv FROM es WHERE vec_id < 16),
+         a0 AS (SELECT es.vec_id, es.s, c.cid, row_number() OVER (
+               PARTITION BY es.vec_id, es.s
+               ORDER BY list_sum(list_transform(list_zip(es.sv, c.cv),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+           FROM es JOIN c0 c USING (s)),
+         s0 AS (SELECT vec_id, s, cid FROM a0 WHERE rn = 1),
+         x0 AS (SELECT s0.s, s0.cid, generate_subscripts(es.sv, 1) AS i, unnest(es.sv) AS x
+           FROM es JOIN s0 ON es.vec_id = s0.vec_id AND es.s = s0.s),
+         m0 AS (SELECT s, cid, i, floor(avg(x)*1e6+0.5)/1e6 AS m FROM x0 GROUP BY s, cid, i),
+         u0 AS (SELECT s, cid, list(m ORDER BY i) AS cv FROM m0 GROUP BY s, cid),
+         c1 AS (SELECT c0.s, c0.cid, coalesce(u0.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u0 ON c0.s = u0.s AND c0.cid = u0.cid),
+         a1 AS (SELECT es.vec_id, es.s, c.cid, row_number() OVER (
+               PARTITION BY es.vec_id, es.s
+               ORDER BY list_sum(list_transform(list_zip(es.sv, c.cv),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+           FROM es JOIN c1 c USING (s)),
+         s1 AS (SELECT vec_id, s, cid FROM a1 WHERE rn = 1),
+         x1 AS (SELECT s1.s, s1.cid, generate_subscripts(es.sv, 1) AS i, unnest(es.sv) AS x
+           FROM es JOIN s1 ON es.vec_id = s1.vec_id AND es.s = s1.s),
+         m1 AS (SELECT s, cid, i, floor(avg(x)*1e6+0.5)/1e6 AS m FROM x1 GROUP BY s, cid, i),
+         u1 AS (SELECT s, cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY s, cid),
+         c2 AS (SELECT c1.s, c1.cid, coalesce(u1.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u1 ON c1.s = u1.s AND c1.cid = u1.cid),
+         a2 AS (SELECT es.vec_id, es.s, c.cid, row_number() OVER (
+               PARTITION BY es.vec_id, es.s
+               ORDER BY list_sum(list_transform(list_zip(es.sv, c.cv),
+                 p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+           FROM es JOIN c2 c USING (s)),
+         s2 AS (SELECT vec_id, s, cid FROM a2 WHERE rn = 1),
+         q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+         pd AS (SELECT g2.cid, list_sum(list_transform(list_zip(g2.cv, q.qv),
+               p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+           FROM g2 CROSS JOIN q),
+         pr AS (SELECT cid FROM pd ORDER BY d, cid LIMIT 4),
+         qr AS (SELECT g2.cid AS lid, sub.s,
+               list_slice(list_transform(list_zip(q.qv, g2.cv), p -> p[1]-p[2]),
+                 sub.s*8+1, sub.s*8+8) AS qsv
+           FROM g2 CROSS JOIN q CROSS JOIN sub
+           WHERE g2.cid IN (SELECT cid FROM pr)),
+         adcs AS (SELECT lst.vec_id,
+               sum(list_sum(list_transform(list_zip(c2.cv, qr.qsv),
+                 p -> (p[1]-p[2])*(p[1]-p[2])))) AS adc
+           FROM lst
+           JOIN s2 ON s2.vec_id = lst.vec_id
+           JOIN c2 ON c2.s = s2.s AND c2.cid = s2.cid
+           JOIN qr ON qr.lid = lst.lid AND qr.s = s2.s
+           WHERE lst.lid IN (SELECT cid FROM pr)
+           GROUP BY lst.vec_id),
+         top AS (SELECT vec_id AS neighbor_id, round(adc, 6) AS adc FROM adcs
+           ORDER BY round(adc, 6), vec_id LIMIT 20)
+         SELECT neighbor_id,
+           CAST(row_number() OVER (ORDER BY adc, neighbor_id) AS INT) AS rank, adc
+         FROM top""",
     "rank_bm25" -> """
          WITH tok AS (SELECT doc_id,
              unnest(string_split_regex(text, '\s+')) AS term FROM documents),

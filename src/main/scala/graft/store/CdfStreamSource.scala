@@ -83,7 +83,7 @@ final class CdfStreamSource(
     // a checkpoint window reaching below the truncation floor would
     // silently come back partial — fail loudly (same contract as
     // changesSince)
-    require(fromExclusive >= log.truncationFloor,
+    require(fromExclusive >= log.floorForRead(fromExclusive),
       s"stream offset $fromExclusive is below the log truncation floor " +
         s"${log.truncationFloor} on $tablePath")
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())

@@ -144,6 +144,23 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     * unavailable (the reference stack's Delta logRetention contract). */
   def truncationFloor: Long = loadFloor()._1
 
+  /** Truncation floor for serving a read window starting just above
+    * `fromExclusive`, stale-proof across processes: a long-lived handle
+    * caches floor=-1, another process truncates, and the cached guard
+    * would pass while `versions()` silently lists only the retained
+    * tail. Commit ids are sequential, so a listed head ABOVE
+    * `fromExclusive + 1` means commits this read needs are gone —
+    * re-read the floor file before answering, so the caller's
+    * below-floor require fails loudly instead of serving a partial
+    * feed. Costs one floor-file read only on the gap path. */
+  def floorForRead(fromExclusive: Long): Long = {
+    val cached = loadFloor()._1
+    if (fromExclusive < cached) cached
+    else if (versions().headOption.exists(h => fromExclusive + 1 < h))
+      loadFloor(fresh = true)._1
+    else cached
+  }
+
   private[store] def writeFloor(floor: Long, ckptV: Long): Unit = {
     writeAtomic(floorPath, s"""{"floor":$floor,"ckpt":$ckptV}""",
       overwrite = true)
@@ -307,6 +324,12 @@ final class CommitLog(rootPath: String, conf: Configuration) {
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
         .fromPath(new Path(logDir, name), gconf))
       .withConf(gconf)
+      // OVERWRITE keeps the write crash-retryable: a truncateLog that
+      // died between this sidecar and the floor write must be able to
+      // re-run at the same checkpoint version (the sidecar name is
+      // deterministic there; commit sidecars are attempt-unique and
+      // never collide either way)
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
       .withCompressionCodec(
         org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
       .build()
@@ -481,6 +504,12 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     * [[cdfBytesByVersion]]. */
   def cdfCountsBetween(fromExclusive: Long, upTo: Long)
       : Option[(Long, Long, Long, Int)] = {
+    // a window reaching below the truncation floor would sum only the
+    // retained tail — letting a drain whose watermark predates the
+    // truncation silently skip the lost changes (a zero sum bypasses
+    // the merge entirely). Force the changesBatch fallback instead,
+    // which fails loudly on exactly this scenario.
+    if (fromExclusive < floorForRead(fromExclusive)) return None
     var up = 0L; var del = 0L; var pre = 0L; var n = 0
     versions().iterator.filter(v => v > fromExclusive && v <= upTo).foreach { v =>
       val c = readCommit(v)
@@ -554,21 +583,22 @@ final class CommitLog(rootPath: String, conf: Configuration) {
       .getOrElse(Nil)
   }
 
-  /** Atomic create-if-absent: writes a temp file and renames it onto
-    * `target`. Hadoop rename refuses to clobber an existing target, so
-    * under concurrent attempts exactly one rename succeeds — that
-    * property IS the commit arbiter. Returns whether THIS call won. */
+  /** Atomic create-if-absent: writes a temp file and publishes it as
+    * `target` via [[AtomicClaim]] (HDFS: no-clobber rename; local FS:
+    * `link(2)` — local rename is check-then-clobber and would let two
+    * racing claims both "win"). Exactly one concurrent attempt
+    * succeeds — that property IS the commit arbiter. Returns whether
+    * THIS call won. */
   private def writeAtomicClaiming(target: Path, content: String): Boolean = {
     val tmp = new Path(target.getParent,
       s".${target.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val ok = fs.rename(tmp, target)
+    val ok = AtomicClaim.publish(fs, tmp, target)
     if (!ok) {
-      fs.delete(tmp, false)
-      // a concurrent writer won the rename — caller replays; anything
+      // a concurrent writer won the claim — caller replays; anything
       // else (no winner present) is a real FS failure
-      if (!fs.exists(target)) sys.error(s"commit rename failed: $target")
+      if (!fs.exists(target)) sys.error(s"commit claim failed: $target")
     }
     ok
   }

@@ -187,7 +187,7 @@ final class KeyedTable private (
   def snapshot(version: Long = -1L): DataFrame = {
     if (autoMergeOn) refreshMeta() // an evolved writer's columns must appear
     val v = if (version < 0) latestVersion else version
-    require(version < 0 || v > log.truncationFloor,
+    require(version < 0 || v > log.floorForRead(v - 1),
       s"time travel to version $v is below the log truncation floor " +
         s"${log.truncationFloor} on $path")
     val bv = bucketVersionsAt(v)
@@ -252,6 +252,12 @@ final class KeyedTable private (
   def snapshotForKeys(keys: DataFrame, version: Long = -1L): DataFrame = {
     require(meta.bucketKeys.forall(keys.columns.contains),
       s"keys must carry all bucket key columns ${meta.bucketKeys.mkString(",")}")
+    // mirror snapshot(): at or below the truncation floor there is no
+    // checkpoint to replay from — bucketVersionsAt would come back empty
+    // and the read would silently return no rows instead of failing
+    require(version < 0 || version > log.floorForRead(version - 1),
+      s"point read at version $version is below the log truncation floor " +
+        s"${log.truncationFloor} on $path")
     if (autoMergeOn) refreshMeta()
     val k = keys.select(meta.bucketKeys.map(col): _*).distinct()
       .withColumn(KHashCol, keyHashExpr(col))
@@ -290,7 +296,9 @@ final class KeyedTable private (
   def changesSince(sinceVersion: Long): DataFrame = {
     if (autoMergeOn) refreshMeta() // evolved cdf columns must appear
     // below-floor feeds would silently come back partial — fail loudly
-    require(sinceVersion >= log.truncationFloor,
+    // (floorForRead refreshes the cached floor when the listing shows a
+    // cross-process truncation gap)
+    require(sinceVersion >= log.floorForRead(sinceVersion),
       s"change feed from version $sinceVersion is below the log truncation " +
         s"floor ${log.truncationFloor} on $path")
     val fs = hfs
@@ -1431,14 +1439,15 @@ final class KeyedTable private (
     * change rows at the HIDDEN `cdf/.pending_<dir>` (published by
     * rename only after the claim wins, so no reader ever sees rows of a
     * losing attempt). */
-  /** Returns the commit's observed change-row counts
-    * `(upserts, deletes)` — collected DURING the write via a
-    * CollectMetrics node on the cdf side (no extra job, exactly-once
-    * per-partition accumulator semantics), or `(-1, -1)` if metric
-    * delivery timed out (listener-bus pressure; callers record the
-    * commit without counts and downstream drains fall back to a count
-    * job). The counts feed the commit log so batch drains can derive a
-    * window's row/delete profile without scanning the feed. */
+  /** Returns the commit's exact change-row counts
+    * `(upserts, deletes, preimages)` — derived DRIVER-SIDE from the cdf
+    * parquet footers during the rename pass (each change file holds one
+    * change-type class by construction, so its footer row count IS the
+    * class count; a few ~KB tail reads per commit, no Spark job and no
+    * listener-bus dependency — an earlier CollectMetrics design stalled
+    * every commit up to 5 s under driver-side listener lag). The counts
+    * feed the commit log so batch drains can derive a window's
+    * row/delete profile without scanning the feed. */
   private def writeFused(dir: String, newVersion: Long, newContent: DataFrame,
       cdf: DataFrame, sortKeys: Seq[Column] = Nil,
       hashSort: Boolean = true): (Long, Long, Long) = {
@@ -1459,22 +1468,21 @@ final class KeyedTable private (
       .withColumn(SideCol, lit("d"))
     // cdf rows don't need per-bucket dirs (downstream flattens them to
     // a file list); folding the bucket id modulo a small file budget
-    // caps each commit at ~cdfFiles change files, so a downstream file
-    // source's maxFilesPerTrigger swallows MANY commits per microbatch
-    // instead of fragmenting a drain into one trigger per commit
+    // caps each commit at ~cdfFiles change files PER CHANGE CLASS. The
+    // class (upsert / delete / preimage) rides in the fold index —
+    // b = class*cdfFiles + bucket%cdfFiles — so every change file holds
+    // exactly one class and its footer row count IS the class count
     val cdfFiles = math.max(1, spark.conf
       .getOption("spark.graft.merge.cdfFiles").map(_.toInt).getOrElse(4))
-    val obs = org.apache.spark.sql.Observation(s"graft_cdf_$dir")
+    val classExpr = when(col("_change_type") === "delete", 1)
+      .when(col("_change_type") === "update_preimage", 2)
+      .otherwise(0)
     val cdfSide = normalized(cdf, Seq(col("_change_type")))
       .withColumn(KHashCol, lit(null).cast(LongType))
       .withColumn("_commit_version", lit(newVersion))
-      .withColumn(BucketCol, pmod(bucketExpr(col), lit(cdfFiles)).cast("int"))
+      .withColumn(BucketCol,
+        (classExpr * cdfFiles + pmod(bucketExpr(col), lit(cdfFiles))).cast("int"))
       .withColumn(SideCol, lit("c"))
-      .observe(obs,
-        count(when(col("_change_type") =!= "delete" &&
-          col("_change_type") =!= "update_preimage", 1)).alias("up"),
-        count(when(col("_change_type") === "delete", 1)).alias("del"),
-        count(when(col("_change_type") === "update_preimage", 1)).alias("pre"))
     val tmp = s"$path/_tmp_$dir"
     val shuffled = dataSide.unionByName(cdfSide)
       .withColumnRenamed(BucketCol, "b")
@@ -1516,6 +1524,8 @@ final class KeyedTable private (
       fs.rename(dataTmp, P(s"$path/data/$dir"))
     }
     val cdfTmp = P(s"$tmp/$SideCol=c")
+    // (class, published path) of every change file — counted below
+    var cdfOut = List.empty[(Int, org.apache.hadoop.fs.Path)]
     if (fs.exists(cdfTmp)) {
       val dest = pendingCdfPath(dir)
       fs.mkdirs(dest)
@@ -1523,18 +1533,36 @@ final class KeyedTable private (
       fs.listStatus(cdfTmp).filter(_.getPath.getName.startsWith("b=")).foreach { bDir =>
         val b = bDir.getPath.getName.stripPrefix("b=")
         fs.listStatus(bDir.getPath).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
-          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dest, s"b$b-${f.getPath.getName}"))
+          val target = new org.apache.hadoop.fs.Path(dest, s"b$b-${f.getPath.getName}")
+          fs.rename(f.getPath, target)
+          cdfOut ::= (b.toInt / cdfFiles, target)
         }
       }
     }
     fs.delete(P(tmp), true)
-    // metric delivery rides the async listener bus; bounded wait so a
-    // dropped event can never hang the commit path
-    try {
-      val row = scala.concurrent.Await.result(obs.future,
-        scala.concurrent.duration.Duration(5, "seconds"))
-      (row.getAs[Long]("up"), row.getAs[Long]("del"), row.getAs[Long]("pre"))
-    } catch { case _: java.util.concurrent.TimeoutException => (-1L, -1L, -1L) }
+    // exact per-class counts from the footers of the files just renamed:
+    // a handful of ~KB tail reads, concurrent past the trivial case
+    def countOne(p: org.apache.hadoop.fs.Path): Long = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try rd.getRecordCount finally rd.close()
+    }
+    val counted: Seq[(Int, Long)] =
+      if (cdfOut.sizeIs <= 2) cdfOut.map { case (cc, p) => (cc, countOne(p)) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, cdfOut.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(cdfOut.map { case (cc, p) =>
+            new java.util.concurrent.Callable[(Int, Long)] {
+              def call(): (Int, Long) = (cc, countOne(p))
+            }
+          }.asJava).asScala.toSeq.map(_.get())
+        } finally pool.shutdown()
+      }
+    val byClass = counted.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    (byClass.getOrElse(0, 0L), byClass.getOrElse(1, 0L), byClass.getOrElse(2, 0L))
   }
 
   /** Latest-wins dedup of a batch by full key (joins.py:556-561). */

@@ -172,21 +172,20 @@ private[streaming] object DrainState {
     () => { stop.countDown(); t.join(2000) }
   }
 
-  /** Atomically claims the drain step `post` by create-if-absent rename
-    * of the intent file (the same arbiter commit files use): exactly one
-    * concurrent drainer wins a step; a loser re-loads and waits for the
-    * winner's commit (multi-drainer arbitration, SURVEY §6h-2). */
+  /** Atomically claims the drain step `post` by create-if-absent
+    * publication of the intent file (the same [[graft.store.AtomicClaim]]
+    * arbiter commit files use): exactly one concurrent drainer wins a
+    * step; a loser re-loads and waits for the winner's commit
+    * (multi-drainer arbitration, SURVEY §6h-2). */
   def beginClaim(spark: SparkSession, dir: String, post: St): Boolean = {
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir))
     val intent = new Path(dir, "intent.properties")
-    if (f.exists(intent)) return false // cheap pre-check; rename still arbitrates
+    if (f.exists(intent)) return false // cheap pre-check; claim still arbitrates
     val tmp = new Path(dir,
       s".intent.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     write(f, tmp, post)
-    val won = f.rename(tmp, intent)
-    if (!won) f.delete(tmp, false)
-    won
+    graft.store.AtomicClaim.publish(f, tmp, intent)
   }
 
   /** Single-writer begin (tests and tools): overwrites any intent. */

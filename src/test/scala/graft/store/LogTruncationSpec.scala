@@ -80,6 +80,51 @@ class LogTruncationSpec extends AnyFunSuite {
     assert(t2.snapshot().count() == 200)
   }
 
+  test("a stale handle detects cross-process truncation and fails loudly") {
+    val root = tmp()
+    val (t, df) = mkTable(root)
+    // handle `a` opens first and caches floor = -1
+    val a = KeyedTable.forPath(spark, s"$root/t")
+    assert(a.changesSince(0L).count() > 0)
+    // another handle (emulating another process: its own CommitLog and
+    // floor cache) truncates underneath it
+    t.truncateLog(retainVersions = 2) // floor = 4
+    // the stale handle's guards must refresh off the listing gap and
+    // fail loudly instead of serving the retained tail as a full feed
+    intercept[IllegalArgumentException] { a.changesSince(3L).count() }
+    intercept[IllegalArgumentException] { a.snapshot(4L).count() }
+    intercept[IllegalArgumentException] {
+      a.snapshotForKeys(df.limit(1).select("o_orderkey"), 4L).count()
+    }
+    // recorded-count windows below the floor force the loud fallback
+    // instead of summing only retained commits (a zero sum would let a
+    // drain silently skip the truncated changes)
+    assert(a.changeCountsBetween(3L, 6L).isEmpty)
+    // retained windows still serve through the same stale handle
+    assert(a.changesSince(4L).count() == 4L)
+    assert(a.changeCountsBetween(4L, 6L).isDefined)
+  }
+
+  test("truncateLog is crash-retryable past a stranded checkpoint sidecar") {
+    val root = tmp()
+    val (t, _) = mkTable(root)
+    val log = new CommitLog(s"$root/t", spark.sessionState.newHadoopConf())
+    // simulate a truncateLog that crashed between the manifest-sidecar
+    // write and the floor write: the sidecar exists, nothing else moved
+    val vs = log.versions()
+    val ckptV = vs.takeRight(2).head
+    val bv = log.bucketVersions(ckptV)
+    val manifest: Map[Int, Seq[FileEntry]] = bv.toSeq.flatMap { case (b, v) =>
+      log.readCommit(v).files.flatMap(_.get(b)).map(es => b -> es)
+    }.toMap
+    log.checkpointWithManifest(ckptV, bv, log.maxBatchIdAt(ckptV), manifest)
+    // the retry must overwrite the stranded sidecar, not wedge forever
+    t.truncateLog(retainVersions = 2)
+    assert(new CommitLog(s"$root/t",
+      spark.sessionState.newHadoopConf()).truncationFloor == ckptV - 1)
+    assert(KeyedTable.forPath(spark, s"$root/t").snapshot().count() == 200)
+  }
+
   test("a drained pipeline keeps draining across source truncation") {
     import graft.streaming.Stream
     val root = tmp()

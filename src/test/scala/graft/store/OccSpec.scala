@@ -188,30 +188,49 @@ class OccSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.pendingGraceMs")
   }
 
+  // Repeated because the historical failure here was a genuine race:
+  // Hadoop's LOCAL rename is check-then-clobber (Hive's
+  // ProxyLocalFileSystem pre-checks isFile(dst), RawLocalFileSystem is
+  // POSIX rename(2)), so before AtomicClaim two simultaneous commit
+  // claims for the same version could BOTH "win" — one commit file
+  // overwrote the other and a merge silently vanished (~1-in-8 runs).
+  // Content is asserted FIRST so a failure distinguishes lost data from
+  // collapsed-but-complete versions.
   test("two threads × five merges race to a consistent table") {
-    val t = tmp()
-    freshTable(t)
-    def writer(offset: Long): Thread = new Thread {
-      override def run(): Unit = {
-        val h = KeyedTable.forPath(spark, t)
-        (1 to 5).foreach { i =>
-          val keys = (offset until offset + 10)
-          h.upsert(keys.map(k => (k, i.toDouble, i.toLong)).toDF("id", "v", "seq"),
-            uniqueKeys = true)
-        }
+    val reps = sys.env.getOrElse("GRAFT_OCC_RACE_REPS", "10").toInt
+    (1 to reps).foreach { rep =>
+      val t = tmp()
+      freshTable(t)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer(offset: Long): Thread = new Thread {
+        override def run(): Unit = try {
+          val h = KeyedTable.forPath(spark, t)
+          (1 to 5).foreach { i =>
+            val keys = (offset until offset + 10)
+            h.upsert(keys.map(k => (k, i.toDouble, i.toLong)).toDF("id", "v", "seq"),
+              uniqueKeys = true)
+          }
+        } catch { case e: Throwable => errs.add(e) }
       }
+      val (w1, w2) = (writer(1L), writer(101L))
+      w1.start(); w2.start(); w1.join(); w2.join()
+      assert(errs.isEmpty, s"rep $rep: writer threw ${errs.peek()}")
+      val kt = KeyedTable.forPath(spark, t)
+      // 1) content: no batch's effect may be lost
+      val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m.size == 200, s"rep $rep: snapshot has ${m.size} keys")
+      (1L to 10L).foreach(k => assert(m(k) == 5.0, s"rep $rep key $k = ${m(k)}"))
+      (101L to 110L).foreach(k => assert(m(k) == 5.0, s"rep $rep key $k = ${m(k)}"))
+      // 2) cdf completeness: 10 merges × 10 keys × (pre+post) images
+      val cdf = kt.changesSince(1L)
+        .groupBy("_commit_version").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cdf.values.sum == 200L,
+        s"rep $rep: expected 200 change rows, got $cdf")
+      // 3) OCC invariant: exactly one version per winning merge
+      assert(cdf.keySet == (2L to 11L).toSet, s"rep $rep cdf versions: $cdf")
+      assert(kt.latestVersion == 11L,
+        s"rep $rep: 10 merges after seed must land 10 versions, got ${kt.latestVersion}")
     }
-    val (w1, w2) = (writer(1L), writer(101L))
-    w1.start(); w2.start(); w1.join(); w2.join()
-    val kt = KeyedTable.forPath(spark, t)
-    assert(kt.latestVersion == 11L, s"10 merges after seed must land 10 versions, got ${kt.latestVersion}")
-    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(m.size == 200)
-    (1L to 10L).foreach(k => assert(m(k) == 5.0, s"key $k = ${m(k)}"))
-    (101L to 110L).foreach(k => assert(m(k) == 5.0, s"key $k = ${m(k)}"))
-    // every version's change rows are stamped with their own commit id
-    val cdf = kt.changesSince(1L).select("_commit_version").distinct()
-      .collect().map(_.getLong(0)).sorted
-    assert(cdf.sameElements(2L to 11L), s"cdf versions: ${cdf.toSeq}")
   }
 }
