@@ -2,6 +2,7 @@ package graft.store
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.col
@@ -25,13 +26,22 @@ import org.apache.spark.sql.types.StructType
   * commits' recorded cdf byte sizes exceed `maxBytesPerTrigger` or the
   * commit count hits `maxCommitsPerTrigger`, always admitting at least
   * one commit so oversized commits still drain.
+  *
+  * Implements [[SupportsTriggerAvailableNow]] (the same shape as the
+  * reference stack's Delta source): without it Spark downgrades
+  * `Trigger.AvailableNow` on a V1 source to SINGLE-batch execution, in
+  * which the one `getOffset` call is capped by the trigger budgets and
+  * the run terminates with the rest of the backlog silently unprocessed.
+  * With it, an availableNow run pins the end bound at start and drains
+  * the whole backlog as a sequence of budget-sized microbatches.
   */
 final class CdfStreamSource(
     sqlContext: SQLContext,
     tablePath: String,
     startingVersion: Long,
     maxCommitsPerTrigger: Int,
-    maxBytesPerTrigger: Long) extends Source {
+    maxBytesPerTrigger: Long) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
   private val log = new CommitLog(tablePath, spark.sessionState.newHadoopConf())
@@ -43,27 +53,57 @@ final class CdfStreamSource(
   // monotone — a restart re-seeds it from the checkpoint through getBatch
   @volatile private var planned: Long = floor0
 
-  private def ver(o: Offset): Long = o match {
+  // fixed end of an availableNow run: captured ONCE at query start so
+  // the run terminates even while writers keep committing
+  @volatile private var availableNowBound: Long = Long.MaxValue
+
+  private def ver(o: OffsetV2): Long = o match {
     case l: LongOffset      => l.offset
     case s: SerializedOffset => LongOffset(s).offset
     case other               => other.json().trim.toLong
   }
 
-  override def getOffset: Option[Offset] = {
-    val latest = log.latestVersion()
-    if (latest <= planned)
-      return if (planned > floor0) Some(LongOffset(planned)) else None
-    // budgeted advance over (planned, latest]; sizes come from the
-    // cached commit parses — no filesystem access beyond the log listing
-    var end = planned; var n = 0; var bytes = 0L
-    log.cdfBytesByVersion(planned, latest).foreach { case (v, b) =>
+  /** Budgeted window end over `(fromExclusive, min(latest, bound)]`;
+    * sizes come from the cached commit parses — no filesystem access
+    * beyond the log listing. Always admits ≥ 1 commit (progress for
+    * oversized commits). */
+  private def budgetedEnd(fromExclusive: Long): Long = {
+    val latest = math.min(log.latestVersion(), availableNowBound)
+    if (latest <= fromExclusive) return fromExclusive
+    var end = fromExclusive; var n = 0; var bytes = 0L
+    log.cdfBytesByVersion(fromExclusive, latest).foreach { case (v, b) =>
       val sz = math.max(b, 0L) // -1 = size unrecorded (legacy commit)
       if (n == 0 || (n < maxCommitsPerTrigger && bytes + sz <= maxBytesPerTrigger)) {
         end = v; n += 1; bytes += sz
       }
     }
-    planned = end
-    if (end > floor0) Some(LongOffset(end)) else None
+    end
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = log.latestVersion()
+
+  // budgets are commit/byte-based graft options, applied inside
+  // budgetedEnd — the engine-side row/file limits don't map onto them
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control twin of [[getOffset]]: the engine passes the
+    * restart's committed offset as `startOffset` (null on a fresh
+    * start), which re-seeds `planned` past the checkpoint. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = math.max(planned, Option(startOffset).map(ver).getOrElse(floor0))
+    planned = math.max(from, budgetedEnd(from))
+    if (planned > floor0) LongOffset(planned) else null
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val latest = log.latestVersion()
+    if (latest > floor0) LongOffset(latest) else null
+  }
+
+  override def getOffset: Option[Offset] = {
+    planned = math.max(planned, budgetedEnd(planned))
+    if (planned > floor0) Some(LongOffset(planned)) else None
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

@@ -1056,6 +1056,24 @@ final class KeyedTable private (
         else if (deadPending(st)) fs.delete(st.getPath, true)
       }
     }
+    // orphaned fused-write scratch dirs: a writeFused (or cdf re-stamp)
+    // that crashed between its write job and the rename-out leaves
+    // `_tmp_<attempt>` at the table root; the attempt can never commit
+    // (the claim follows the cleanup), so the dir is garbage once
+    // provably dead. Liveness looks at the NEWEST mtime one level deep:
+    // task commits keep a long-running write's partition dirs fresh,
+    // so an in-flight rewrite longer than the grace period is spared.
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_tmp_") && st.isDirectory) {
+        val newest = (st +: fs.listStatus(st.getPath).toSeq)
+          .map(_.getModificationTime).max
+        if (System.currentTimeMillis() - newest >
+            spark.conf.getOption("spark.graft.pendingGraceMs").map(_.toLong)
+              .getOrElse(KeyedTable.DefaultPendingGraceMs))
+          fs.delete(st.getPath, true)
+      }
+    }
     // orphan manifest sidecars: a LOSING attempt's spilled manifest is
     // never referenced by any commit — reclaim it once provably dead
     // (same grace as pending cdf: a young one may belong to an attempt

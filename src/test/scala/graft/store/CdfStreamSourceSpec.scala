@@ -130,6 +130,43 @@ class CdfStreamSourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 23L, "duplicate rows appended")
   }
 
+  // availableNow economics: the source implements
+  // SupportsTriggerAvailableNow, so Spark's MicroBatchExecution runs it
+  // as a MULTI-batch drain to a pinned bound instead of the V1 fallback
+  // ("Falling back to single batch execution"), whose one getOffset call
+  // would be capped by the trigger budgets and leave the rest of the
+  // backlog silently unprocessed.
+  private def runAvailableNow(kt: KeyedTable, commitsPer: Int): (Int, Long) = {
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = kt.changeStream(maxCommitsPerTrigger = commitsPer)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet(); rows.addAndGet(df.count()); ()
+      }
+      .option("checkpointLocation", tmp())
+      .start()
+    assert(q.awaitTermination(180000), "availableNow run did not terminate")
+    (batches.get(), rows.get())
+  }
+
+  test("availableNow coalesces a 30-commit backlog under default budgets") {
+    val kt = tableWithCommits(30)
+    val (batches, rows) = runAvailableNow(kt, commitsPer = 64)
+    assert(rows == 150L, s"availableNow dropped rows: $rows of 150")
+    assert(batches <= 2, s"backlog fragmented into $batches microbatches")
+  }
+
+  test("availableNow drains the FULL backlog in budget-sized microbatches") {
+    val kt = tableWithCommits(30)
+    val (batches, rows) = runAvailableNow(kt, commitsPer = 8)
+    // before SupportsTriggerAvailableNow this was (1, 40): the single
+    // fallback batch took one 8-commit budget window and terminated
+    assert(rows == 150L, s"availableNow dropped rows: $rows of 150")
+    assert(batches == 4, s"expected ceil(30/8)=4 budgeted microbatches, got $batches")
+  }
+
   test("stream picks up commits landed while running") {
     val kt = tableWithCommits(2)
     val name = s"cdf_live_${System.nanoTime()}"

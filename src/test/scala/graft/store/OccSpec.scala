@@ -188,6 +188,24 @@ class OccSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.pendingGraceMs")
   }
 
+  test("vacuum reaps dead fused-write scratch dirs, spares active ones") {
+    val t = tmp()
+    val kt = freshTable(t)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dead = new org.apache.hadoop.fs.Path(s"$t/_tmp_v=9-deadbeef")
+    val live = new org.apache.hadoop.fs.Path(s"$t/_tmp_v=9-cafecafe")
+    fs.mkdirs(dead); fs.mkdirs(live)
+    // the dead dir sat unmodified past the grace period; the live one
+    // has a freshly-written child (a long write's task commits)
+    fs.setTimes(dead, System.currentTimeMillis() - 3600_000L, -1)
+    fs.setTimes(live, System.currentTimeMillis() - 3600_000L, -1)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(live, "__side=c"))
+    kt.vacuum(retainVersions = 1)
+    assert(!fs.exists(dead), "vacuum left a dead fused-write scratch dir")
+    assert(fs.exists(live), "vacuum reaped an in-flight write's scratch dir")
+  }
+
   // Repeated because the historical failure here was a genuine race:
   // Hadoop's LOCAL rename is check-then-clobber (Hive's
   // ProxyLocalFileSystem pre-checks isFile(dst), RawLocalFileSystem is

@@ -65,6 +65,16 @@ class StreamingSpec extends AnyFunSuite {
       val cNow = cT.snapshot()
       val want = oT.snapshot().join(cNow, col("o_custkey") === col("c_custkey"), "inner")
       assertSameRows(out, want, "inner join")
+
+      // progress passthroughs (streams.py:253-268 parity): one entry per
+      // stage, and the stage that just processed batches reports them
+      val last = q.lastProgress
+      val recent = q.recentProgress
+      assert(last.keySet == q.queries.map(_._1).toSet && last.keySet.nonEmpty)
+      assert(recent.keySet == last.keySet)
+      assert(recent.values.exists(_.nonEmpty),
+        "no stage recorded any StreamingQueryProgress after processing")
+      assert(last.values.exists(p => p != null && p.numInputRows >= 0))
     } finally q.stop()
   }
 
