@@ -603,6 +603,33 @@ object OpsQueries {
     ProductQuantize.ivfPqTopK(idx, q, k = 20, nprobe = 4)
   }
 
+  /** B34b: incrementally-maintained IVF+PQ index — codebooks train on
+    * the seed HALF of the corpus, then the second half arrives as a CDC
+    * upsert, a slice is RE-EMBEDDED (vectors halved — exact in both
+    * float and double, so engine-neutral), and a slice is deleted; the
+    * probed ADC query runs over the final index state. Oracle replays
+    * build-on-seed + frozen-book encode of the final corpus. */
+  def annIvfPqIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.IvfPqIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val corpus = Tables.embeddings(s, d)
+    IvfPqIndex.build(s, s"$root/idx", corpus.where(col("vec_id") < 250),
+      nlist = 16, m = 8, k = 16)
+    IvfPqIndex.upsert(s, s"$root/idx", corpus.where(col("vec_id") >= 250))
+    val re = corpus.where(col("vec_id") < 10)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(0.5d)).cast("float")))
+    IvfPqIndex.upsert(s, s"$root/idx", re)
+    IvfPqIndex.delete(s, s"$root/idx",
+      corpus.where(col("vec_id").between(100, 119)).select("vec_id"))
+    val q = re.orderBy("vec_id").select("embedding").head.getSeq[Any](0).map {
+      case f: Float => f.toDouble
+      case dd: Double => dd
+      case n: Number => n.doubleValue()
+    }.toSeq
+    IvfPqIndex.query(s, s"$root/idx", q, k = 20, nprobe = 4)
+  }
+
   /** B25: BM25 relevance of every document against a fixed query.
     * Scores round to 6 decimals on BOTH sides: `ln` differs by ±1 ulp
     * between Math.log and libm, so raw doubles can't hash-match. */
@@ -690,6 +717,7 @@ object OpsQueries {
     "quantize_embeddings" -> (quantizeEmbeddings _),
     "quantize_pq"       -> (quantizePq _),
     "ann_ivfpq"         -> (annIvfPq _),
+    "ann_ivfpq_index"   -> (annIvfPqIndex _),
     "sample_per_group"  -> (samplePerGroup _),
     "stream_interval_left" -> (streamIntervalJoinLeft _),
     "range_join"        -> (rangeJoin _),
@@ -1259,6 +1287,112 @@ object OpsQueries {
            GROUP BY lst.vec_id),
          top AS (SELECT vec_id AS neighbor_id, round(adc, 6) AS adc FROM adcs
            ORDER BY round(adc, 6), vec_id LIMIT 20)
+         SELECT neighbor_id,
+           CAST(row_number() OVER (ORDER BY adc, neighbor_id) AS INT) AS rank, adc
+         FROM top""",
+    // B34b: build-on-seed (vec_id < 250) + FROZEN-book encode of the
+    // final corpus (second half upserted, ids < 10 re-embedded as exact
+    // halves, ids 100-119 deleted), probed ADC over the final state
+    "ann_ivfpq_index" -> """
+         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sd AS (SELECT vec_id, v FROM e WHERE vec_id < 250),
+         g0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM sd WHERE vec_id < 16),
+         b0 AS (SELECT sd.vec_id, g.cid, row_number() OVER (PARTITION BY sd.vec_id
+                  ORDER BY list_sum(list_transform(list_zip(sd.v, g.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), g.cid) AS rn
+                FROM sd CROSS JOIN g0 g),
+         t0 AS (SELECT vec_id, cid FROM b0 WHERE rn = 1),
+         y0 AS (SELECT t0.cid, generate_subscripts(sd.v, 1) AS i, unnest(sd.v) AS x
+                FROM sd JOIN t0 USING (vec_id)),
+         n0 AS (SELECT cid, i, floor(avg(x)*1e6+0.5)/1e6 AS m FROM y0 GROUP BY cid, i),
+         v0 AS (SELECT cid, list(m ORDER BY i) AS cv FROM n0 GROUP BY cid),
+         g1 AS (SELECT g0.cid, coalesce(v0.cv, g0.cv) AS cv FROM g0 LEFT JOIN v0 USING (cid)),
+         b1 AS (SELECT sd.vec_id, g.cid, row_number() OVER (PARTITION BY sd.vec_id
+                  ORDER BY list_sum(list_transform(list_zip(sd.v, g.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), g.cid) AS rn
+                FROM sd CROSS JOIN g1 g),
+         t1 AS (SELECT vec_id, cid FROM b1 WHERE rn = 1),
+         y1 AS (SELECT t1.cid, generate_subscripts(sd.v, 1) AS i, unnest(sd.v) AS x
+                FROM sd JOIN t1 USING (vec_id)),
+         n1 AS (SELECT cid, i, floor(avg(x)*1e6+0.5)/1e6 AS m FROM y1 GROUP BY cid, i),
+         v1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM n1 GROUP BY cid),
+         g2 AS (SELECT g1.cid, coalesce(v1.cv, g1.cv) AS cv FROM g1 LEFT JOIN v1 USING (cid)),
+         bf AS (SELECT sd.vec_id, g.cid, row_number() OVER (PARTITION BY sd.vec_id
+                  ORDER BY list_sum(list_transform(list_zip(sd.v, g.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), g.cid) AS rn
+                FROM sd CROSS JOIN g2 g),
+         lst AS (SELECT vec_id, cid AS lid FROM bf WHERE rn = 1),
+         rs AS (SELECT sd.vec_id, lst.lid,
+                  list_transform(list_zip(sd.v, g2.cv), p -> p[1]-p[2]) AS rv
+                FROM sd JOIN lst USING (vec_id) JOIN g2 ON g2.cid = lst.lid),
+         sub AS (SELECT CAST(s AS INT) AS s FROM range(8) t(s)),
+         es AS (SELECT rs.vec_id, sub.s, list_slice(rs.rv, sub.s*8+1, sub.s*8+8) AS sv
+                FROM rs CROSS JOIN sub),
+         c0 AS (SELECT s, CAST(vec_id AS INT) AS cid, sv AS cv FROM es WHERE vec_id < 16),
+         a0 AS (SELECT es.vec_id, es.s, c.cid, row_number() OVER (
+                  PARTITION BY es.vec_id, es.s
+                  ORDER BY list_sum(list_transform(list_zip(es.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+                FROM es JOIN c0 c USING (s)),
+         s0 AS (SELECT vec_id, s, cid FROM a0 WHERE rn = 1),
+         x0 AS (SELECT s0.s, s0.cid, generate_subscripts(es.sv, 1) AS i, unnest(es.sv) AS x
+                FROM es JOIN s0 ON es.vec_id = s0.vec_id AND es.s = s0.s),
+         m0 AS (SELECT s, cid, i, floor(avg(x)*1e6+0.5)/1e6 AS m FROM x0 GROUP BY s, cid, i),
+         u0 AS (SELECT s, cid, list(m ORDER BY i) AS cv FROM m0 GROUP BY s, cid),
+         c1 AS (SELECT c0.s, c0.cid, coalesce(u0.cv, c0.cv) AS cv
+                FROM c0 LEFT JOIN u0 ON c0.s = u0.s AND c0.cid = u0.cid),
+         a1 AS (SELECT es.vec_id, es.s, c.cid, row_number() OVER (
+                  PARTITION BY es.vec_id, es.s
+                  ORDER BY list_sum(list_transform(list_zip(es.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+                FROM es JOIN c1 c USING (s)),
+         s1 AS (SELECT vec_id, s, cid FROM a1 WHERE rn = 1),
+         x1 AS (SELECT s1.s, s1.cid, generate_subscripts(es.sv, 1) AS i, unnest(es.sv) AS x
+                FROM es JOIN s1 ON es.vec_id = s1.vec_id AND es.s = s1.s),
+         m1 AS (SELECT s, cid, i, floor(avg(x)*1e6+0.5)/1e6 AS m FROM x1 GROUP BY s, cid, i),
+         u1 AS (SELECT s, cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY s, cid),
+         c2 AS (SELECT c1.s, c1.cid, coalesce(u1.cv, c1.cv) AS cv
+                FROM c1 LEFT JOIN u1 ON c1.s = u1.s AND c1.cid = u1.cid),
+         fin AS (SELECT vec_id,
+                   CASE WHEN vec_id < 10 THEN list_transform(v, x -> x*0.5) ELSE v END AS v
+                 FROM e WHERE vec_id < 100 OR vec_id > 119),
+         bf2 AS (SELECT fin.vec_id, g.cid, row_number() OVER (PARTITION BY fin.vec_id
+                   ORDER BY list_sum(list_transform(list_zip(fin.v, g.cv),
+                     p -> (p[1]-p[2])*(p[1]-p[2]))), g.cid) AS rn
+                 FROM fin CROSS JOIN g2 g),
+         lst2 AS (SELECT vec_id, cid AS lid FROM bf2 WHERE rn = 1),
+         rs2 AS (SELECT fin.vec_id, lst2.lid,
+                   list_transform(list_zip(fin.v, g2.cv), p -> p[1]-p[2]) AS rv
+                 FROM fin JOIN lst2 USING (vec_id) JOIN g2 ON g2.cid = lst2.lid),
+         es2 AS (SELECT rs2.vec_id, sub.s, list_slice(rs2.rv, sub.s*8+1, sub.s*8+8) AS sv
+                 FROM rs2 CROSS JOIN sub),
+         a3 AS (SELECT es2.vec_id, es2.s, c.cid, row_number() OVER (
+                  PARTITION BY es2.vec_id, es2.s
+                  ORDER BY list_sum(list_transform(list_zip(es2.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+                FROM es2 JOIN c2 c USING (s)),
+         s3 AS (SELECT vec_id, s, cid FROM a3 WHERE rn = 1),
+         q AS (SELECT v AS qv FROM fin WHERE vec_id = 0),
+         pd AS (SELECT g2.cid, list_sum(list_transform(list_zip(g2.cv, q.qv),
+                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+                FROM g2 CROSS JOIN q),
+         pr AS (SELECT cid FROM pd ORDER BY d, cid LIMIT 4),
+         qr AS (SELECT g2.cid AS lid, sub.s,
+                  list_slice(list_transform(list_zip(q.qv, g2.cv), p -> p[1]-p[2]),
+                    sub.s*8+1, sub.s*8+8) AS qsv
+                FROM g2 CROSS JOIN q CROSS JOIN sub
+                WHERE g2.cid IN (SELECT cid FROM pr)),
+         adcs AS (SELECT lst2.vec_id,
+                    sum(list_sum(list_transform(list_zip(c2.cv, qr.qsv),
+                      p -> (p[1]-p[2])*(p[1]-p[2])))) AS adc
+                  FROM lst2
+                  JOIN s3 ON s3.vec_id = lst2.vec_id
+                  JOIN c2 ON c2.s = s3.s AND c2.cid = s3.cid
+                  JOIN qr ON qr.lid = lst2.lid AND qr.s = s3.s
+                  WHERE lst2.lid IN (SELECT cid FROM pr)
+                  GROUP BY lst2.vec_id),
+         top AS (SELECT vec_id AS neighbor_id, round(adc, 6) AS adc FROM adcs
+                 ORDER BY round(adc, 6), vec_id LIMIT 20)
          SELECT neighbor_id,
            CAST(row_number() OVER (ORDER BY adc, neighbor_id) AS INT) AS rank, adc
          FROM top""",

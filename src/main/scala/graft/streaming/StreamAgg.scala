@@ -105,6 +105,33 @@ final class StreamAgg(
       updateExprs = Some(updateExprs),
       insertExprs = if (insertExprs.isEmpty) None else Some(insertExprs))
 
+    // the aggregation's plain row-count column (an unfiltered,
+    // non-distinct COUNT over a non-null literal — count(lit(1)) /
+    // count(*)), if the user declared one and didn't override its
+    // arithmetic: it tracks exactly how many source rows a group holds,
+    // which is what lets retracting batches detect EMPTIED groups.
+    // Without one, a group whose rows all left keeps a zeroed shell row
+    // (documented; the batch fixpoint would drop the group).
+    lazy val rowCountCol: Option[String] = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+      staticAgged().queryExecution.analyzed.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.aggregateExpressions.collectFirst {
+            case Alias(ae: AggregateExpression, name)
+                if !ae.isDistinct && ae.filter.isEmpty &&
+                  !reduces.contains(name) &&
+                  (ae.aggregateFunction match {
+                    case Count(children) => children.nonEmpty && children.forall {
+                      case l: Literal => l.value != null
+                      case _ => false
+                    }
+                    case _ => false
+                  }) => name
+          }
+      }.flatten.headOption
+    }
+
     def mergeAgg(batch: DataFrame, batchId: Long): Unit =
       mergeAggKnown(batch, batchId, knownNonEmpty = false)
 
@@ -140,6 +167,23 @@ final class StreamAgg(
       // deltas is groupBy output → key-unique; batchId guards replays
       // (a double-applied delta would double-count the running agg)
       out.merge(deltas, mergeSpec, uniqueKeys = true, batchId = batchId)
+      // emptied-group removal: a group whose retractions (deletes or
+      // moved-away group keys) took its running row count to ZERO has no
+      // source rows left — the batch fixpoint has no row for it, so the
+      // zeroed shell must go. Only the batch's RETRACTION groups can
+      // empty, so the check is one bucket-pruned point read over that
+      // (batch-sized) set, never a table scan. Needs the row-count
+      // column above; requireing count(*) for exact emptiness is the
+      // standard incremental-view contract.
+      if (!noRetractions && rowCountCol.isDefined) {
+        val mGroups = data.where(col("_change_type") === "update_preimage" ||
+            col("_change_type") === "delete")
+          .select(groupCols.map(col): _*).distinct()
+        val zeroed = out.snapshotForKeys(mGroups)
+          .where(col(rowCountCol.get) === 0)
+          .select(groupCols.map(col): _*)
+        if (!zeroed.isEmpty) out.delete(zeroed)
+      }
     }
 
     val name = s"agg:${new org.apache.hadoop.fs.Path(outPath).getName}"

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.store.{KeyedTable, MergeSpec}
 
@@ -75,7 +76,8 @@ object ProjOp {
   * Lets the batch drain skip the per-microbatch pin/count job. */
 private[streaming] final case class DrainMeta(
     lUp: Long, lDel: Long, rUp: Long, rDel: Long, lPin: Long, rPin: Long,
-    lCommits: Int = -1, rCommits: Int = -1)
+    lCommits: Int = -1, rCommits: Int = -1,
+    lPre: Long = -1L, rPre: Long = -1L)
 
 final class JoinedStream(
     val left: Stream,
@@ -286,6 +288,25 @@ final class JoinedStream(
         }
     }
 
+    // column names each side contributes to the join CONDITION (not the
+    // projection): an update changing any of them re-pairs the row —
+    // the join-key-migration trigger set. Plan-only analysis, computed
+    // once per stage.
+    lazy val sideCondCols: (Seq[String], Seq[String]) = {
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val lDf = left.static()
+      val rDf = right.static()
+      val analyzed = lDf.join(rDf, joinExpr(lDf, rDf), "inner")
+        .queryExecution.analyzed
+      val lAttrs = lDf.queryExecution.analyzed.output.map(a => a.exprId -> a.name).toMap
+      val rAttrs = rDf.queryExecution.analyzed.output.map(a => a.exprId -> a.name).toMap
+      val refs = analyzed.collectFirst { case Join(_, _, _, Some(c), _) => c }
+        .toSeq.flatMap(_.collect { case a: AttributeReference => a })
+      (refs.flatMap(a => lAttrs.get(a.exprId)).distinct,
+        refs.flatMap(a => rAttrs.get(a.exprId)).distinct)
+    }
+
     /** Bucket-pruned static side for one join half. The full static
       * scan per microbatch is THE scale bottleneck of delta-joins — at
       * 100 TB each commit would re-read the whole static table. When
@@ -342,10 +363,10 @@ final class JoinedStream(
       // recorded per-commit counts (DrainMeta — no job at all); the
       // streaming path runs ONE aggregate action over the feed (the
       // reference unions two aggs for the same reason, joins.py:403-408)
-      val (n, lDeleted, rDeleted, lCnt, rCnt, lMax, rMax) = drain match {
+      val (n, lDeleted, rDeleted, lCnt, rCnt, lMax, rMax, lPre, rPre) = drain match {
         case Some(m) =>
           (m.lUp + m.lDel + m.rUp + m.rDel, m.lDel > 0, m.rDel > 0,
-            m.lUp, m.rUp, m.lPin, m.rPin)
+            m.lUp, m.rUp, m.lPin, m.rPin, m.lPre, m.rPre)
         case None =>
           batch.sparkSession.sparkContext.setJobDescription("graft:join:pin")
           val upsertish = (side: String) => col(s"$side").isNotNull &&
@@ -358,12 +379,16 @@ final class JoinedStream(
             count(when(col("l._change_type") === "delete", 1)).alias("ld"),
             count(when(col("r._change_type") === "delete", 1)).alias("rd"),
             count(when(upsertish("l"), 1)).alias("lc"),
-            count(when(upsertish("r"), 1)).alias("rc")).collect().head
+            count(when(upsertish("r"), 1)).alias("rc"),
+            count(when(col("l._change_type") === "update_preimage", 1)).alias("lp"),
+            count(when(col("r._change_type") === "update_preimage", 1)).alias("rp"))
+            .collect().head
           batch.sparkSession.sparkContext.setJobDescription(null)
           (vRow.getLong(2), vRow.getLong(3) > 0, vRow.getLong(4) > 0,
             vRow.getLong(5), vRow.getLong(6),
             if (vRow.isNullAt(0)) -1L else vRow.getLong(0),
-            if (vRow.isNullAt(1)) -1L else vRow.getLong(1))
+            if (vRow.isNullAt(1)) -1L else vRow.getLong(1),
+            vRow.getLong(7), vRow.getLong(8))
       }
       if (sys.env.contains("GRAFT_DEBUG_MERGE"))
         println(s"[mb] batch=$batchId rows=$n lv=$lMax rv=$rMax")
@@ -454,6 +479,110 @@ final class JoinedStream(
             .where(allKeys.map(k => col(k).isNotNull).reduce(_ || _))
         }
 
+      def latestDeleteKeys(side: String, pks: Seq[String]): DataFrame = {
+        val all = batch.where(col(side).isNotNull).select(s"$side.*")
+        val w = Window.partitionBy(pks.map(col): _*)
+          .orderBy(col("_commit_version").desc)
+        all.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1 && col("_change_type") === "delete")
+          .select(pks.map(col): _*)
+      }
+      /** Resolves `srcKeys` (one side's pks) to FULL output keys and
+        * deletes those rows — the shared machinery of delete
+        * propagation and join-key migration. The source keys are
+        * resolved through a lazily-built secondary index on that side's
+        * pks (A33) — two bucket- and file-pruned reads — so
+        * `out.delete` takes the full-key pruned path; a full
+        * `out.snapshot()` semi-join per retracting microbatch would
+        * read the WHOLE output table (a 100 TB killer). When a side's
+        * pks already equal the output's bucket keys the output prunes
+        * directly and no index is kept. */
+      def retract(srcKeys: DataFrame, pks: Seq[String], idxSubPath: String): Unit = {
+        // maintaining the index only pays once the output outgrows a
+        // single cheap scan — below the threshold one broadcast
+        // semi-join over the (small) table beats building and
+        // incrementally syncing a second table per deleting batch
+        val idxMinBytes = spark.conf
+          .getOption("spark.graft.retract.indexMinBytes")
+          .map(_.toLong).getOrElse(256L << 20)
+        // snapshotForKeys semi-joins on the output's BUCKET keys only,
+        // so it is exact iff pks == bucketKeys; when pks strictly
+        // contain them (a chained stage whose upstream-nullable pk is
+        // excluded from bucketKeys) the bucket-pruned read still
+        // applies but needs a residual semi-join on the FULL pks —
+        // without it, rows matching only on bucket keys would be
+        // resolved and deleted (over-deletion)
+        val bKeys = out.meta.bucketKeys.toSet
+        val fullKeys =
+          if (bKeys.subsetOf(pks.toSet)) {
+            val pruned = out.snapshotForKeys(srcKeys)
+            val exact =
+              if (bKeys == pks.toSet) pruned
+              else pruned.join(broadcast(srcKeys), pks, "left_semi")
+            exact.select((nonNull ++ nullable).map(col): _*)
+          }
+          else if (out.liveManifestBytes < idxMinBytes)
+            out.snapshot().join(broadcast(srcKeys), pks, "left_semi")
+              .select((nonNull ++ nullable).map(col): _*)
+          else {
+            val idx = retractIdx.getOrElseUpdate(idxSubPath,
+              graft.ops.SecondaryIndex.ensure(
+                spark, s"$outPath/_idx/$idxSubPath", out, pks,
+                out.meta.numBuckets))
+            graft.ops.SecondaryIndex.sync(idx, out)
+            graft.ops.SecondaryIndex.lookupKeys(idx, out, srcKeys)
+          }
+        out.delete(fullKeys)
+      }
+
+      // join-key migration (inner managed outputs): an update that
+      // changes any column the join CONDITION reads re-pairs the row.
+      // The merge below inserts the NEW pairing under its new output
+      // key, so the OLD pairing — a DIFFERENT output key — would
+      // survive as a stale row. Moved source keys (window-start
+      // preimage differs from window-end image on a condition column)
+      // retract like deletes, BEFORE the merge: after it, the key
+      // lookup would resolve and delete the fresh rows too. Inner-only,
+      // like delete propagation — an outer join's old pairing would
+      // need a placeholder downgrade the output table cannot express.
+      // (The reference never retracts — a moved key strands its old
+      // row there, joins.py:310-343; incremental == batch recompute
+      // requires doing better.)
+      if (joinType == "inner" && userSink.isEmpty) {
+        def moved(side: String, pks: Seq[String], seq: Seq[String],
+            condCols: Seq[String]): DataFrame = {
+          val all = batch.where(col(side).isNotNull).select(s"$side.*")
+          // state before the window = the OLDEST preimage per key
+          // (feeds only record APPLIED changes, so it equals the
+          // watermark-time row); state after = the newest image, the
+          // same ordering the merge applies
+          val pre = all.where(col("_change_type") === "update_preimage")
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(pks.map(col): _*)
+                .orderBy(col("_commit_version").asc)))
+            .where(col("__rn") === 1)
+          val post = latestPerKey(all.where(
+            col("_change_type") =!= "update_preimage" &&
+              col("_change_type") =!= "delete"), pks, seq)
+          pre.alias("p").join(post.alias("q"),
+              pks.map(k => col(s"p.$k") <=> col(s"q.$k")).reduce(_ && _))
+            .where(condCols.map(c => !(col(s"p.$c") <=> col(s"q.$c"))).reduce(_ || _))
+            .select(pks.map(k => col(s"p.$k").alias(k)): _*)
+        }
+        def migrate(side: String, stream: Stream, condCols: Seq[String],
+            idxSubPath: String): Unit =
+          if (condCols.nonEmpty) {
+            val mk = moved(side, stream.pks, stream.seqCols, condCols)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            // one small batch-sized job guards the (rare) retraction
+            try if (!mk.isEmpty) retract(mk, stream.pks, idxSubPath)
+            finally mk.unpersist()
+          }
+        val (lCondCols, rCondCols) = sideCondCols
+        if (lPre != 0L && lCnt > 0L) migrate("l", left, lCondCols, "l")
+        if (rPre != 0L && rCnt > 0L) migrate("r", right, rCondCols, "r")
+      }
+
       userSink match {
         case Some(fn) => fn(combined, batchId)
         // combined is outer-merged per output key above → key-unique;
@@ -465,61 +594,10 @@ final class JoinedStream(
       // delete propagation (inner joins): a source key whose LATEST
       // action in this batch is a delete retracts every output row it
       // contributed. Commit versions strictly order delete vs re-insert
-      // within the batch. The deleted SOURCE keys are resolved to FULL
-      // output keys through a lazily-built secondary index on that
-      // side's pks (A33) — two bucket- and file-pruned reads — so
-      // `out.delete` takes the full-key pruned path. The previous
-      // full `out.snapshot()` semi-join read the WHOLE output table per
-      // deleting microbatch (a 100 TB killer); the index refresh instead
-      // costs one pass over the output cdf accumulated since the last
-      // deleting batch. When a side's pks already equal the output's
-      // bucket keys the output prunes directly and no index is kept.
+      // within the batch. Runs AFTER the merge (the merge never upserts
+      // a key whose latest action is a delete, so the fresh rows are
+      // safe), through the same [[retract]] machinery as migration.
       if (anyDeletes && userSink.isEmpty) {
-        def latestDeleteKeys(side: String, pks: Seq[String]): DataFrame = {
-          val all = batch.where(col(side).isNotNull).select(s"$side.*")
-          val w = Window.partitionBy(pks.map(col): _*)
-            .orderBy(col("_commit_version").desc)
-          all.withColumn("__rn", row_number().over(w))
-            .where(col("__rn") === 1 && col("_change_type") === "delete")
-            .select(pks.map(col): _*)
-        }
-        def retract(srcKeys: DataFrame, pks: Seq[String], idxSubPath: String): Unit = {
-          // maintaining the index only pays once the output outgrows a
-          // single cheap scan — below the threshold one broadcast
-          // semi-join over the (small) table beats building and
-          // incrementally syncing a second table per deleting batch
-          val idxMinBytes = spark.conf
-            .getOption("spark.graft.retract.indexMinBytes")
-            .map(_.toLong).getOrElse(256L << 20)
-          // snapshotForKeys semi-joins on the output's BUCKET keys only,
-          // so it is exact iff pks == bucketKeys; when pks strictly
-          // contain them (a chained stage whose upstream-nullable pk is
-          // excluded from bucketKeys) the bucket-pruned read still
-          // applies but needs a residual semi-join on the FULL pks —
-          // without it, rows matching only on bucket keys would be
-          // resolved and deleted (over-deletion)
-          val bKeys = out.meta.bucketKeys.toSet
-          val fullKeys =
-            if (bKeys.subsetOf(pks.toSet)) {
-              val pruned = out.snapshotForKeys(srcKeys)
-              val exact =
-                if (bKeys == pks.toSet) pruned
-                else pruned.join(broadcast(srcKeys), pks, "left_semi")
-              exact.select((nonNull ++ nullable).map(col): _*)
-            }
-            else if (out.liveManifestBytes < idxMinBytes)
-              out.snapshot().join(broadcast(srcKeys), pks, "left_semi")
-                .select((nonNull ++ nullable).map(col): _*)
-            else {
-              val idx = retractIdx.getOrElseUpdate(idxSubPath,
-                graft.ops.SecondaryIndex.ensure(
-                  spark, s"$outPath/_idx/$idxSubPath", out, pks,
-                  out.meta.numBuckets))
-              graft.ops.SecondaryIndex.sync(idx, out)
-              graft.ops.SecondaryIndex.lookupKeys(idx, out, srcKeys)
-            }
-          out.delete(fullKeys)
-        }
         if (left.deletesOn && lDeletes) retract(latestDeleteKeys("l", left.pks), left.pks, "l")
         if (right.deletesOn && rDeletes) retract(latestDeleteKeys("r", right.pks), right.pks, "r")
       }
@@ -574,12 +652,13 @@ final class JoinedStream(
             // skipped entirely, and an all-layout-commit window (counts
             // 0/0) skips even the merge call
             val meta = for {
-              (lu, ld, _, ln) <- left.logCounts(after, upTo)
-              (ru, rd, _, rn) <- right.logCounts(after, upTo)
+              (lu, ld, lp, ln) <- left.logCounts(after, upTo)
+              (ru, rd, rp, rn) <- right.logCounts(after, upTo)
             } yield DrainMeta(lu, ld, ru, rd,
               lPin = upTo(left.table.path),
               rPin = upTo(right.table.path),
-              lCommits = ln, rCommits = rn)
+              lCommits = ln, rCommits = rn,
+              lPre = lp, rPre = rp)
             val hb = DrainState.heartbeat(spark, dir)
             try {
               if (!meta.exists(m => m.lUp + m.lDel + m.rUp + m.rDel == 0L))

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.store.KeyedTable
+
+import java.nio.file.Files
+
+/** Randomly GENERATED (deterministically seeded — never flaky) op waves
+  * against an incremental join pipeline and an incremental agg pipeline
+  * sharing a source: after every sequence of upserts, key-moves, and
+  * deletes on both sides, the drained outputs must equal the batch
+  * recompute over the final table snapshots. Broadens the crafted
+  * StreamingSpec/IncrementalDrainSpec cases to arbitrary interleavings:
+  * join-key churn, delete-then-reinsert, right-side deletes, stale
+  * sequence numbers, multi-commit drains.
+  */
+class RandomizedEquivalenceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("geq").toString
+
+  private def assertSameRows(got: DataFrame, want: DataFrame, ctx: String): Unit = {
+    val cols = want.columns.sorted.toSeq
+    val g = got.select(cols.map(col): _*)
+    val w = want.select(cols.map(col): _*)
+    val onlyGot = g.exceptAll(w).count()
+    val onlyWant = w.exceptAll(g).count()
+    assert(onlyGot == 0 && onlyWant == 0,
+      s"$ctx: $onlyGot rows only incremental, $onlyWant only in batch recompute")
+  }
+
+  Seq(11, 42, 1337).foreach { seed =>
+    test(s"random op waves: incremental join+agg == batch recompute (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = tmp()
+      // v is integer cents so incremental plus/minus delta sums are
+      // exact — double sums would drift by addition order
+      val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+      val rSchema = Seq((1L, "x", 0L)).toDF("rkey", "name", "rseq").schema
+      val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+        seqCols = Seq("seq"), numBuckets = 4)
+      val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rkey"),
+        seqCols = Seq("rseq"), numBuckets = 4)
+      val joinPipe = Stream.fromKeyedTable(lT).handleDeletes()
+        .join(Stream.fromKeyedTable(rT).handleDeletes(), "inner")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .writeToPath(s"$root/joined")
+      val aggPipe = Stream.fromKeyedTable(lT).handleDeletes()
+        .groupBy("lkey")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+        .writeToPath(s"$root/agged")
+      (1 to 6).foreach { wave =>
+        // upserts: random ids, random (possibly MOVED) join keys, a
+        // deliberately stale sequence number ~20% of the time
+        val lRows = (1 to 25).map(_ => rnd.nextInt(40).toLong).distinct.map { i =>
+          val sq = if (rnd.nextInt(5) == 0) math.max(0, wave - 2).toLong else wave.toLong
+          (i, rnd.nextInt(10).toLong, rnd.nextInt(10000).toLong, sq)
+        }
+        lT.upsert(lRows.toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+        val rRows = (1 to 6).map(_ => rnd.nextInt(10).toLong).distinct
+          .map(k => (k, s"n$k-$wave", wave.toLong))
+        rT.upsert(rRows.toDF("rkey", "name", "rseq"), uniqueKeys = true)
+        if (wave % 2 == 0) {
+          val del = (1 to 6).map(_ => rnd.nextInt(40).toLong).distinct
+          lT.delete(del.toDF("id"))
+        }
+        if (wave % 3 == 0) {
+          val del = (1 to 2).map(_ => rnd.nextInt(10).toLong).distinct
+          rT.delete(del.toDF("rkey"))
+        }
+        // drain every other wave → multi-commit backlogs exercise the
+        // windowed (non-1-commit) drain paths too
+        if (wave % 2 == 0 || wave == 6) {
+          joinPipe.runIncremental()
+          aggPipe.runIncremental()
+        }
+      }
+      joinPipe.runIncremental()
+      aggPipe.runIncremental()
+
+      val l = lT.snapshot()
+      val r = rT.snapshot()
+      val joined = KeyedTable.forPath(spark, s"$root/joined").snapshot()
+      val wantJoin = l.join(r, col("lkey") === col("rkey"), "inner")
+        .select(joined.columns.map(col).toSeq: _*)
+      assertSameRows(joined, wantJoin, s"seed $seed join")
+      val agged = KeyedTable.forPath(spark, s"$root/agged").snapshot()
+      val wantAgg = l.groupBy("lkey")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+        .select(agged.columns.map(col).toSeq: _*)
+      assertSameRows(agged, wantAgg, s"seed $seed agg")
+    }
+  }
+}
