@@ -570,14 +570,20 @@ final class JoinedStream(
             .select(pks.map(k => col(s"p.$k").alias(k)): _*)
         }
         def migrate(side: String, stream: Stream, condCols: Seq[String],
-            idxSubPath: String): Unit =
-          if (condCols.nonEmpty) {
-            val mk = moved(side, stream.pks, stream.seqCols, condCols)
+            idxSubPath: String): Unit = {
+          // a condition column inside the side's PRIMARY KEY cannot
+          // move (pre/post images share the pk by construction) — sides
+          // whose condition columns are all pk columns skip migration
+          // statically (e.g. a dimension joined on its own key)
+          val movable = condCols.filterNot(stream.pks.contains)
+          if (movable.nonEmpty) {
+            val mk = moved(side, stream.pks, stream.seqCols, movable)
               .persist(StorageLevel.MEMORY_AND_DISK)
             // one small batch-sized job guards the (rare) retraction
             try if (!mk.isEmpty) retract(mk, stream.pks, idxSubPath)
             finally mk.unpersist()
           }
+        }
         val (lCondCols, rCondCols) = sideCondCols
         if (lPre != 0L && lCnt > 0L) migrate("l", left, lCondCols, "l")
         if (rPre != 0L && rCnt > 0L) migrate("r", right, rCondCols, "r")

@@ -34,6 +34,94 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
       s"$ctx: $onlyGot rows only incremental, $onlyWant only in batch recompute")
   }
 
+  Seq(7, 23).foreach { seed =>
+    test(s"random op waves through a CHAINED join->agg (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = tmp()
+      val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+      val rSchema = Seq((1L, "x", 0L)).toDF("rkey", "name", "rseq").schema
+      val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+        seqCols = Seq("seq"), numBuckets = 4)
+      val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rkey"),
+        seqCols = Seq("rseq"), numBuckets = 4)
+      // stage 1 emits migration/delete retractions into the staged
+      // table; stage 2's agg must retract them AND drop emptied groups
+      val pipe = Stream.fromKeyedTable(lT).handleDeletes()
+        .join(Stream.fromKeyedTable(rT).handleDeletes(), "inner")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .groupByStaged(s"$root/stage", "name")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+        .writeToPath(s"$root/chained")
+      (1 to 6).foreach { wave =>
+        val lRows = (1 to 20).map(_ => rnd.nextInt(30).toLong).distinct.map { i =>
+          (i, rnd.nextInt(8).toLong, rnd.nextInt(10000).toLong, wave.toLong)
+        }
+        lT.upsert(lRows.toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+        // name churn makes GROUPS move too (the agg's group key is a
+        // right-side attribute)
+        val rRows = (1 to 5).map(_ => rnd.nextInt(8).toLong).distinct
+          .map(k => (k, s"n${rnd.nextInt(4)}", wave.toLong))
+        rT.upsert(rRows.toDF("rkey", "name", "rseq"), uniqueKeys = true)
+        if (wave % 2 == 0)
+          lT.delete((1 to 5).map(_ => rnd.nextInt(30).toLong).distinct.toDF("id"))
+        if (wave % 3 == 0)
+          rT.delete((1 to 2).map(_ => rnd.nextInt(8).toLong).distinct.toDF("rkey"))
+        if (wave % 2 == 0 || wave == 6) pipe.runIncremental()
+      }
+      pipe.runIncremental()
+      val want = lT.snapshot().join(rT.snapshot(),
+          col("lkey") === col("rkey"), "inner")
+        .groupBy("name")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+      val got = KeyedTable.forPath(spark, s"$root/chained").snapshot()
+        .select(want.columns.map(col).toSeq: _*)
+      assertSameRows(got, want, s"seed $seed chained")
+    }
+  }
+
+  Seq(5).foreach { seed =>
+    test(s"random waves interleaved with source MAINTENANCE ops (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = tmp()
+      val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+      val rSchema = Seq((1L, "x", 0L)).toDF("rkey", "name", "rseq").schema
+      val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+        seqCols = Seq("seq"), numBuckets = 4)
+      val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rkey"),
+        seqCols = Seq("rseq"), numBuckets = 4)
+      val pipe = Stream.fromKeyedTable(lT).handleDeletes()
+        .join(Stream.fromKeyedTable(rT).handleDeletes(), "inner")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .writeToPath(s"$root/joined")
+      (1 to 6).foreach { wave =>
+        val lRows = (1 to 20).map(_ => rnd.nextInt(30).toLong).distinct.map { i =>
+          (i, rnd.nextInt(8).toLong, rnd.nextInt(10000).toLong, wave.toLong)
+        }
+        lT.upsert(lRows.toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+        rT.upsert((0L until 8L).map(k => (k, s"n$k-$wave", wave.toLong))
+          .toDF("rkey", "name", "rseq"), uniqueKeys = true)
+        if (wave % 2 == 0)
+          lT.delete((1 to 4).map(_ => rnd.nextInt(30).toLong).distinct.toDF("id"))
+        // maintenance mid-pipeline: layout-only commits (no cdf rows)
+        // land between data commits — drains must step over them, a
+        // rebucket must replay racing merges, truncation must stay
+        // above the drain watermark (retention 8 >> 3 commits/wave)
+        rnd.nextInt(4) match {
+          case 0 => lT.compact(minFileBytes = 1L << 20)
+          case 1 => lT.optimize(Seq("lkey"))
+          case 2 => lT.rebucket(if (lT.meta.numBuckets == 4) 8 else 4)
+          case 3 => lT.vacuum(retainVersions = 8); lT.truncateLog(retainVersions = 8)
+        }
+        pipe.runIncremental()
+      }
+      val joined = KeyedTable.forPath(spark, s"$root/joined").snapshot()
+      val want = lT.snapshot().join(rT.snapshot(),
+          col("lkey") === col("rkey"), "inner")
+        .select(joined.columns.map(col).toSeq: _*)
+      assertSameRows(joined, want, s"seed $seed maintenance")
+    }
+  }
+
   Seq(11, 42, 1337).foreach { seed =>
     test(s"random op waves: incremental join+agg == batch recompute (seed $seed)") {
       val rnd = new scala.util.Random(seed)
