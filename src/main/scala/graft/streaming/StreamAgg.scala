@@ -175,7 +175,13 @@ final class StreamAgg(
       // (batch-sized) set, never a table scan. Needs the row-count
       // column above; requireing count(*) for exact emptiness is the
       // standard incremental-view contract.
-      if (!noRetractions && rowCountCol.isDefined) {
+      // groups whose cols are all source pks cannot MOVE (pre/post share
+      // the pk), so without deletes in play no group can empty;
+      // spark.graft.agg.zeroGroupCheck=false opts out entirely
+      val zeroCheck = spark.conf
+        .getOption("spark.graft.agg.zeroGroupCheck").forall(_ != "false") &&
+        (!groupCols.forall(src.pks.contains) || src.deletesOn)
+      if (!noRetractions && rowCountCol.isDefined && zeroCheck) {
         val mGroups = data.where(col("_change_type") === "update_preimage" ||
             col("_change_type") === "delete")
           .select(groupCols.map(col): _*).distinct()

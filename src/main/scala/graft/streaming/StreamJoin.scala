@@ -548,7 +548,12 @@ final class JoinedStream(
       // (The reference never retracts — a moved key strands its old
       // row there, joins.py:310-343; incremental == batch recompute
       // requires doing better.)
-      if (joinType == "inner" && userSink.isEmpty) {
+      // spark.graft.join.migrationCheck=false opts out for pipelines
+      // whose join-condition columns are immutable by contract (the
+      // common schema shape) — saving the per-update-batch detection job
+      val migrationCheck = spark.conf
+        .getOption("spark.graft.join.migrationCheck").forall(_ != "false")
+      if (joinType == "inner" && userSink.isEmpty && migrationCheck) {
         def moved(side: String, pks: Seq[String], seq: Seq[String],
             condCols: Seq[String]): DataFrame = {
           val all = batch.where(col(side).isNotNull).select(s"$side.*")
