@@ -535,25 +535,29 @@ final class JoinedStream(
         out.delete(fullKeys)
       }
 
-      // join-key migration (inner managed outputs): an update that
-      // changes any column the join CONDITION reads re-pairs the row.
-      // The merge below inserts the NEW pairing under its new output
-      // key, so the OLD pairing — a DIFFERENT output key — would
-      // survive as a stale row. Moved source keys (window-start
-      // preimage differs from window-end image on a condition column)
-      // retract like deletes, BEFORE the merge: after it, the key
-      // lookup would resolve and delete the fresh rows too. Inner-only,
-      // like delete propagation — an outer join's old pairing would
-      // need a placeholder downgrade the output table cannot express.
-      // (The reference never retracts — a moved key strands its old
-      // row there, joins.py:310-343; incremental == batch recompute
-      // requires doing better.)
+      // join-key migration (managed outputs): an update that changes
+      // any column the join CONDITION reads re-pairs the row. The merge
+      // below inserts the NEW pairing under its new output key, so the
+      // OLD pairing — a DIFFERENT output key — would survive as a stale
+      // row. Moved source keys (window-start preimage differs from
+      // window-end image on a condition column) retract like deletes,
+      // BEFORE the merge: after it, the key lookup would resolve and
+      // delete the fresh rows too. Only the side whose rows OWN output
+      // rows in this join type migrates: inner = both; left join = the
+      // left side (its old pairings delete and the merge re-inserts the
+      // new match or a placeholder), right symmetric. The NON-owning
+      // side of an outer join cannot migrate — its old pairings would
+      // need placeholder DOWNGRADES the output table cannot express
+      // (same standing limitation as A21 delete propagation). The
+      // reference never retracts at all — a moved key strands its old
+      // row there (joins.py:310-343); incremental == batch recompute
+      // requires doing better.
       // spark.graft.join.migrationCheck=false opts out for pipelines
       // whose join-condition columns are immutable by contract (the
       // common schema shape) — saving the per-update-batch detection job
       val migrationCheck = spark.conf
         .getOption("spark.graft.join.migrationCheck").forall(_ != "false")
-      if (joinType == "inner" && userSink.isEmpty && migrationCheck) {
+      if (userSink.isEmpty && migrationCheck) {
         def moved(side: String, pks: Seq[String], seq: Seq[String],
             condCols: Seq[String]): DataFrame = {
           val all = batch.where(col(side).isNotNull).select(s"$side.*")
@@ -590,8 +594,10 @@ final class JoinedStream(
           }
         }
         val (lCondCols, rCondCols) = sideCondCols
-        if (lPre != 0L && lCnt > 0L) migrate("l", left, lCondCols, "l")
-        if (rPre != 0L && rCnt > 0L) migrate("r", right, rCondCols, "r")
+        if (joinType != "right" && lPre != 0L && lCnt > 0L)
+          migrate("l", left, lCondCols, "l")
+        if (joinType != "left" && rPre != 0L && rCnt > 0L)
+          migrate("r", right, rCondCols, "r")
       }
 
       userSink match {

@@ -79,6 +79,43 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  Seq(3, 99).foreach { seed =>
+    test(s"random op waves through a LEFT join with key moves (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = tmp()
+      val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+      val rSchema = Seq((1L, "x", 0L)).toDF("rkey", "name", "rseq").schema
+      val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+        seqCols = Seq("seq"), numBuckets = 4)
+      val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rkey"),
+        seqCols = Seq("rseq"), numBuckets = 4)
+      val pipe = Stream.fromKeyedTable(lT)
+        .join(Stream.fromKeyedTable(rT), "left")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .writeToPath(s"$root/ljoined")
+      rT.upsert((0L until 8L).map(k => (k, s"n$k", 0L)).toDF("rkey", "name", "rseq"),
+        uniqueKeys = true)
+      (1 to 6).foreach { wave =>
+        // lkey ranges over [0,12): keys 8-11 never match — placeholder
+        // rows — and moves cross the matched/unmatched boundary
+        val lRows = (1 to 20).map(_ => rnd.nextInt(30).toLong).distinct.map { i =>
+          (i, rnd.nextInt(12).toLong, rnd.nextInt(10000).toLong, wave.toLong)
+        }
+        lT.upsert(lRows.toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+        rT.upsert((1 to 4).map(_ => rnd.nextInt(8).toLong).distinct
+          .map(k => (k, s"n$k-$wave", wave.toLong)).toDF("rkey", "name", "rseq"),
+          uniqueKeys = true)
+        if (wave % 2 == 0 || wave == 6) pipe.runIncremental()
+      }
+      pipe.runIncremental()
+      val joined = KeyedTable.forPath(spark, s"$root/ljoined").snapshot()
+      val want = lT.snapshot().join(rT.snapshot(),
+          col("lkey") === col("rkey"), "left")
+        .select(joined.columns.map(col).toSeq: _*)
+      assertSameRows(joined, want, s"seed $seed left join")
+    }
+  }
+
   Seq(5).foreach { seed =>
     test(s"random waves interleaved with source MAINTENANCE ops (seed $seed)") {
       val rnd = new scala.util.Random(seed)
