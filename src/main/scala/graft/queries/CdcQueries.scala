@@ -305,6 +305,36 @@ object CdcQueries {
     KeyedTable.forPath(s, s"$root/out").snapshot()
   }
 
+  /** Non-owning-side retraction on an incremental LEFT join (the
+    * placeholder DOWNGRADE pass): customers left-join suppliers on
+    * nationkey; after the seed drain, a slice of suppliers is DELETED
+    * and another slice MOVES nation — old pairings must re-pair or
+    * downgrade to placeholder rows so the output equals the batch left
+    * join of the final snapshots. (The reference strands the old
+    * pairings: it never retracts, joins.py:310-343.) */
+  def cdcOuterDowngrade(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Stream
+    val root = freshDir()
+    val cDf = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+    val sDf = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+    val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
+    val sT = KeyedTable.create(s, s"$root/supplier", sDf.schema, Seq("s_suppkey"), numBuckets = 8)
+    val p = Stream.fromKeyedTable(cT, maxFilesPerTrigger = 64)
+      .join(Stream.fromKeyedTable(sT, maxFilesPerTrigger = 64).handleDeletes(), "left")
+      .on((l, r) => l("c_nationkey") === r("s_nationkey"))
+      .writeToPath(s"$root/out")
+    cT.upsert(cDf, uniqueKeys = true)
+    sT.upsert(sDf, uniqueKeys = true)
+    p.runAvailableNow()
+    // move: surviving suppliers with s_suppkey % 5 == 0 shift nation by
+    // 7 (mod 25); delete: s_suppkey % 3 == 0
+    sT.upsert(sDf.where(col("s_suppkey") % 5 === 0 && col("s_suppkey") % 3 =!= 0)
+      .withColumn("s_nationkey", (col("s_nationkey") + 7) % 25), uniqueKeys = true)
+    sT.delete(sDf.where(col("s_suppkey") % 3 === 0).select("s_suppkey"))
+    p.runAvailableNow()
+    KeyedTable.forPath(s, s"$root/out").snapshot()
+  }
+
   /** Delete retraction through an incremental aggregation: after the
     * delete commit the running (sum, count) must equal the aggregate
     * of the surviving rows only. */
@@ -560,6 +590,7 @@ object CdcQueries {
     "agg_stream_complex" -> (aggStreamComplex _),
     "table_catalog_sql" -> (tableCatalogSql _),
     "cdc_delete_propagation" -> (cdcDeletePropagation _),
+    "cdc_outer_downgrade" -> (cdcOuterDowngrade _),
     "cdc_agg_delete_retract" -> (cdcAggDeleteRetract _),
     "cdc_join_incremental" -> (cdcJoinIncremental _),
     "join_prune_static" -> (joinPruneStatic _),
@@ -686,6 +717,15 @@ object CdcQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_orderkey % 4 <> 0""",
+    "cdc_outer_downgrade" ->
+      """SELECT c.c_custkey, c.c_name, c.c_nationkey,
+                s.s_suppkey, s.s_name, s.s_nationkey
+         FROM customer c LEFT JOIN (
+           SELECT s_suppkey, s_name,
+             CASE WHEN s_suppkey % 5 = 0 THEN (s_nationkey + 7) % 25
+                  ELSE s_nationkey END AS s_nationkey
+           FROM supplier WHERE s_suppkey % 3 <> 0) s
+         ON c.c_nationkey = s.s_nationkey""",
     "cdc_agg_delete_retract" ->
       """SELECT o_orderstatus, count(*) AS cnt,
            round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total

@@ -42,7 +42,8 @@ final class Stream private (
     private val startV: Long = -1L,
     private[streaming] val deletesOn: Boolean = false,
     private val maxBytes: Long = 1L << 30,
-    private[streaming] val hasTransform: Boolean = false) {
+    private[streaming] val hasTransform: Boolean = false,
+    private[streaming] val deletesAuto: Boolean = false) {
 
   def primaryKeys(keys: String*): Stream = copy(pks2 = keys)
   def sequenceBy(cols: String*): Stream = copy(seq2 = cols)
@@ -66,7 +67,20 @@ final class Stream private (
     * affected output rows, agg stages subtract the deleted rows'
     * contributions. The reference silently drops deletes
     * (streams.py:132); that remains the default here. */
-  def handleDeletes(on: Boolean = true): Stream = copy(deletes2 = on)
+  def handleDeletes(on: Boolean = true): Stream = copy(deletes2 = on, auto2 = false)
+
+  /** Delete propagation enabled by the ENGINE on an internally staged
+    * stream (a managed stage output feeding the next stage): the
+    * upstream stage's own retraction machinery (join-key migration,
+    * delete propagation, emptied-group removal) emits delete change
+    * rows that downstream stages must keep applying even when the user
+    * never opted sources into handleDeletes — dropping them would
+    * strand the retracted rows one stage down. Unlike a user opt-in
+    * this does NOT statically require both sides' pks in the next
+    * stage's output; the stage fails loudly at runtime only if delete
+    * rows actually arrive and cannot be resolved. */
+  private[streaming] def handleDeletesAuto(): Stream =
+    if (deletesOn) this else copy(deletes2 = true, auto2 = true)
 
   /** Source transform applied to both the change stream and the static
     * snapshot (streams.py:235-240). */
@@ -187,9 +201,10 @@ final class Stream private (
       startV2: Long = startV,
       deletes2: Boolean = deletesOn,
       maxBytes2: Long = maxBytes,
-      hasTransform2: Boolean = hasTransform): Stream =
+      hasTransform2: Boolean = hasTransform,
+      auto2: Boolean = deletesAuto): Stream =
     new Stream(spark, table, pks2, seq2, transform2, upstream2, mft2, others2,
-      startV2, deletes2, maxBytes2, hasTransform2)
+      startV2, deletes2, maxBytes2, hasTransform2, auto2)
 
   private[streaming] def withUpstream(h: Seq[StageHandle]): Stream = copy(upstream2 = h)
 }

@@ -76,7 +76,12 @@ final class StreamAgg(
     val path = Option(stagingPath).getOrElse(
       s"${src.stagingRoot}/_stage_agg_${Integer.toHexString((src.table.path, groupCols, aggOutCols).hashCode())}")
     val (handle, outTable) = buildStage(path)
-    Stream.fromKeyedTable(outTable, src.maxFilesPerTrigger)
+    // an agg stage's emptied-group removal emits delete change rows —
+    // the next stage must keep applying them (engine-auto unless the
+    // user already opted the source into deletes)
+    val s = Stream.fromKeyedTable(outTable, src.maxFilesPerTrigger)
+    (if (src.deletesOn && !src.deletesAuto) s.handleDeletes()
+     else s.handleDeletesAuto())
       .withUpstream(src.upstream :+ handle)
   }
 

@@ -214,9 +214,13 @@ final class JoinedStream(
     val path = Option(stagingPath).getOrElse(
       s"${left.stagingRoot}/_stage_join_${Integer.toHexString(stageFingerprint)}")
     val (handle, outTable) = buildStage(path)
-    Stream.fromKeyedTable(outTable(), left.maxFilesPerTrigger)
-      // retractions emitted by this stage must keep retracting downstream
-      .handleDeletes(left.deletesOn || right.deletesOn)
+    val s = Stream.fromKeyedTable(outTable(), left.maxFilesPerTrigger)
+    // retractions emitted by this stage must keep retracting downstream;
+    // user-opted deletes carry the user contract, otherwise the engine
+    // auto-enables (migration/zero-group retractions flow regardless)
+    val userDeletes = (left.deletesOn && !left.deletesAuto) ||
+      (right.deletesOn && !right.deletesAuto)
+    (if (userDeletes) s.handleDeletes() else s.handleDeletesAuto())
       .withUpstream(left.upstream ++ right.upstream :+ handle)
   }
 
@@ -232,10 +236,14 @@ final class JoinedStream(
     val (nonNull, nullable) = outKeySplit
     require(nonNull.nonEmpty, "join output needs at least one non-nullable primary key")
     val anyDeletes = left.deletesOn || right.deletesOn
-    require(!anyDeletes || joinType == "inner",
-      "handleDeletes is supported for inner joins (an outer join would " +
-        "need placeholder downgrades, which the output table cannot express yet)")
-    if (anyDeletes) {
+    // user-opted deletes contract both sides' pks into the output
+    // statically; engine-auto deletes (internally staged feeds) check at
+    // runtime instead — they only need resolution when delete rows
+    // actually arrive (outer joins downgrade via the non-owning-side
+    // re-derive pass, so all three join types propagate deletes now)
+    val anyUserDeletes = (left.deletesOn && !left.deletesAuto) ||
+      (right.deletesOn && !right.deletesAuto)
+    if (anyUserDeletes) {
       val outCols = schemaDf.columns.toSeq
       require((left.pks ++ right.pks).forall(outCols.contains),
         "handleDeletes needs both sides' primary keys in the join output")
@@ -487,17 +495,18 @@ final class JoinedStream(
           .where(col("__rn") === 1 && col("_change_type") === "delete")
           .select(pks.map(col): _*)
       }
-      /** Resolves `srcKeys` (one side's pks) to FULL output keys and
-        * deletes those rows — the shared machinery of delete
-        * propagation and join-key migration. The source keys are
-        * resolved through a lazily-built secondary index on that side's
-        * pks (A33) — two bucket- and file-pruned reads — so
-        * `out.delete` takes the full-key pruned path; a full
-        * `out.snapshot()` semi-join per retracting microbatch would
-        * read the WHOLE output table (a 100 TB killer). When a side's
-        * pks already equal the output's bucket keys the output prunes
-        * directly and no index is kept. */
-      def retract(srcKeys: DataFrame, pks: Seq[String], idxSubPath: String): Unit = {
+      /** Resolves `srcKeys` (one side's pks) to the FULL output keys of
+        * every output row they contributed — the shared machinery of
+        * delete propagation, join-key migration, and outer-join
+        * downgrades. The source keys are resolved through a
+        * lazily-built secondary index on that side's pks (A33) — two
+        * bucket- and file-pruned reads — so `out.delete` takes the
+        * full-key pruned path; a full `out.snapshot()` semi-join per
+        * retracting microbatch would read the WHOLE output table (a
+        * 100 TB killer). When a side's pks already equal the output's
+        * bucket keys the output prunes directly and no index is kept. */
+      def resolveOutRows(srcKeys: DataFrame, side: Stream, idxSubPath: String): DataFrame = {
+        val pks = side.pks
         // maintaining the index only pays once the output outgrows a
         // single cheap scan — below the threshold one broadcast
         // semi-join over the (small) table beats building and
@@ -513,17 +522,31 @@ final class JoinedStream(
         // without it, rows matching only on bucket keys would be
         // resolved and deleted (over-deletion)
         val bKeys = out.meta.bucketKeys.toSet
+        // null-SAFE residual matching: srcKeys from an upstream OUTER
+        // stage carry null placeholder-key values (an upstream-nullable
+        // pk), and a USING-column semi-join would silently never match
+        // them — the retraction would strand exactly the placeholder
+        // rows it exists to remove
+        def semiNullSafe(df: DataFrame, keys: DataFrame): DataFrame =
+          df.alias("t").join(broadcast(keys.alias("k")),
+              pks.map(p => col(s"t.$p") <=> col(s"k.$p")).reduce(_ && _),
+              "left_semi")
+            .select((nonNull ++ nullable).map(c => col(s"t.$c").alias(c)): _*)
+        val srcNullable = pks.exists(side.nullablePks.contains)
         val fullKeys =
           if (bKeys.subsetOf(pks.toSet)) {
             val pruned = out.snapshotForKeys(srcKeys)
-            val exact =
-              if (bKeys == pks.toSet) pruned
-              else pruned.join(broadcast(srcKeys), pks, "left_semi")
-            exact.select((nonNull ++ nullable).map(col): _*)
+            if (bKeys == pks.toSet)
+              pruned.select((nonNull ++ nullable).map(col): _*)
+            else semiNullSafe(pruned, srcKeys)
           }
-          else if (out.liveManifestBytes < idxMinBytes)
-            out.snapshot().join(broadcast(srcKeys), pks, "left_semi")
-              .select((nonNull ++ nullable).map(col): _*)
+          else if (out.liveManifestBytes < idxMinBytes || srcNullable)
+            // nullable src pks skip the index path: the index's own
+            // bucket keys would be the nullable pks, breaking its
+            // pruned-probe invariant — the direct null-safe semi-join
+            // stays correct (and this shape, a chained outer stage's
+            // large output retracting placeholder keys, is rare)
+            semiNullSafe(out.snapshot(), srcKeys)
           else {
             val idx = retractIdx.getOrElseUpdate(idxSubPath,
               graft.ops.SecondaryIndex.ensure(
@@ -532,7 +555,123 @@ final class JoinedStream(
             graft.ops.SecondaryIndex.sync(idx, out)
             graft.ops.SecondaryIndex.lookupKeys(idx, out, srcKeys)
           }
-        out.delete(fullKeys)
+        fullKeys
+      }
+
+      def retract(srcKeys: DataFrame, side: Stream, idxSubPath: String): Unit =
+        out.delete(resolveOutRows(srcKeys, side, idxSubPath))
+
+      /** Non-owning-side retraction for OUTER joins — the placeholder
+        * DOWNGRADE the former inner-only contract could not express.
+        * `srcKeys` are non-owning-side pks whose rows were deleted or
+        * whose join-condition columns moved this window. Runs AFTER the
+        * merge and reconciles the output against a recompute of the
+        * affected owning-side neighborhood:
+        *   1. resolve every output row the keys contributed (post-merge,
+        *      so same-batch stale re-inserts resolve too);
+        *   2. re-derive those rows' owning keys against the pinned
+        *      statics (left join: affected left rows LEFT JOIN right
+        *      static) — re-pairings and placeholders fall out;
+        *   3. merge the re-derived rows, then delete exactly the
+        *      resolved rows the recompute did NOT reproduce.
+        * Merge-before-delete makes the pass idempotent under crash
+        * replay (whatever stale pairings remain re-resolve), and a
+        * pairing still valid under the new images (an OR-condition
+        * re-match) is recomputed and therefore never deleted. */
+      /** The retracted keys' state at window START: the earliest
+        * preimage or delete-row image per key — full columns, exactly
+        * the values the output's existing pairings were formed under.
+        * Batch-derived (NOT read from the output), so a crash replay
+        * recomputes the identical set. */
+      def windowStartImages(side: String, pks: Seq[String],
+          keys: DataFrame): DataFrame = {
+        val all = batch.where(col(side).isNotNull).select(s"$side.*")
+        all.where(col("_change_type") === "update_preimage" ||
+            col("_change_type") === "delete")
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(pks.map(col): _*)
+              .orderBy(col("_commit_version").asc,
+                when(col("_change_type") === "update_preimage", 0).otherwise(1))))
+          .where(col("__rn") === 1)
+          .drop("__rn", "_change_type", "_commit_version")
+          .join(broadcast(keys), pks, "left_semi")
+      }
+
+      def downgrade(srcKeys: DataFrame, side: String, nonOwning: Stream,
+          idxSubPath: String): Unit = {
+        val sk = srcKeys.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val skN = sk.count()
+          if (skN == 0) return
+          // owning rows paired with the retracted keys under their OLD
+          // (window-start) images — the pairings to retract — UNION the
+          // rows pairing under their NEW (window-end) images — the fresh
+          // pairings the main merge just landed, which must be
+          // reproduced by the recompute so the stale-diff below never
+          // deletes them. Batch+static-derived — unlike a
+          // resolve-from-the-output, this survives crash replay (the
+          // first attempt's deletes would make the output unresolvable;
+          // the batch re-derives the same affected set every time).
+          val sideRows = batch.where(col(side).isNotNull).select(s"$side.*")
+          val newImgs = latestPerKey(sideRows.where(
+              col("_change_type") =!= "update_preimage" &&
+                col("_change_type") =!= "delete"),
+              nonOwning.pks, nonOwning.seqCols)
+            .join(broadcast(sk), nonOwning.pks.toSeq, "left_semi")
+          val oldImgs = windowStartImages(side, nonOwning.pks, sk)
+            .unionByName(newImgs)
+          val affRows =
+            if (joinType == "left") {
+              val ls = prunedStatic(left, lPin, oldImgs, skN, lStatic,
+                staticIsLeft = true)
+              ls.join(broadcast(oldImgs), joinExpr(ls, oldImgs), "left_semi")
+            } else {
+              val rs = prunedStatic(right, rPin, oldImgs, skN, rStatic,
+                staticIsLeft = false)
+              rs.join(broadcast(oldImgs), joinExpr(oldImgs, rs), "left_semi")
+            }
+          // re-derive the affected owning rows against the window-end
+          // statics: re-pairings and placeholders fall out of the same
+          // outer join + projection the merge halves run
+          val reAll = keepKeyed(
+            if (joinType == "left") {
+              val rs = prunedStatic(right, rPin, affRows, skN, rStatic,
+                staticIsLeft = false)
+              project(broadcast(affRows).join(rs,
+                joinExpr(affRows, rs), "left"), affRows, rs)
+            } else {
+              val ls = prunedStatic(left, lPin, affRows, skN, lStatic,
+                staticIsLeft = true)
+              project(ls.join(broadcast(affRows),
+                joinExpr(ls, affRows), "right"), ls, affRows)
+            })
+          // only re-pairings with a retracted key plus placeholders are
+          // new information; pairings with untouched keys are already
+          // in the output byte-identical
+          val reRows = reAll
+            .join(broadcast(sk), nonOwning.pks.toSeq, "left_semi")
+            .unionByName(reAll.where(
+              nonOwning.pks.map(k => col(k).isNull).reduce(_ || _)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            reRows.count() // pin before the output changes under it
+            // stale pairings = output rows of the retracted keys the
+            // recompute did NOT reproduce (resolved post-merge, so
+            // same-batch stale re-inserts are caught; an OR-condition
+            // pairing still valid under the new images IS reproduced
+            // and therefore never deleted). Deleting BEFORE the merge
+            // matters: an incoming placeholder would be subsumed by the
+            // very stale pairing it replaces.
+            val fk = resolveOutRows(sk, nonOwning, idxSubPath)
+            val keyCols = nonNull ++ nullable
+            val stale = fk.alias("fk").join(reRows.alias("rr"),
+                keyCols.map(k => col(s"fk.$k") <=> col(s"rr.$k")).reduce(_ && _),
+                "left_anti")
+              .select(keyCols.map(k => col(s"fk.$k").alias(k)): _*)
+            out.delete(stale)
+            out.merge(reRows, MergeSpec(), uniqueKeys = true)
+          } finally reRows.unpersist()
+        } finally sk.unpersist()
       }
 
       // join-key migration (managed outputs): an update that changes
@@ -540,56 +679,65 @@ final class JoinedStream(
       // below inserts the NEW pairing under its new output key, so the
       // OLD pairing — a DIFFERENT output key — would survive as a stale
       // row. Moved source keys (window-start preimage differs from
-      // window-end image on a condition column) retract like deletes,
-      // BEFORE the merge: after it, the key lookup would resolve and
-      // delete the fresh rows too. Only the side whose rows OWN output
-      // rows in this join type migrates: inner = both; left join = the
-      // left side (its old pairings delete and the merge re-inserts the
-      // new match or a placeholder), right symmetric. The NON-owning
-      // side of an outer join cannot migrate — its old pairings would
-      // need placeholder DOWNGRADES the output table cannot express
-      // (same standing limitation as A21 delete propagation). The
-      // reference never retracts at all — a moved key strands its old
-      // row there (joins.py:310-343); incremental == batch recompute
-      // requires doing better.
+      // window-end image on a condition column) retract like deletes.
+      // The side whose rows OWN output rows in this join type retracts
+      // BEFORE the merge (after it, the key lookup would resolve and
+      // delete the fresh rows too; the merge halves re-insert the new
+      // match or a placeholder): inner = both sides, left join = the
+      // left side, right symmetric. The NON-owning side of an outer
+      // join goes through the post-merge [[downgrade]] pass instead —
+      // its old pairings need placeholder downgrades, not plain
+      // deletes. The reference never retracts at all — a moved key
+      // strands its old row there (joins.py:310-343); incremental ==
+      // batch recompute requires doing better.
       // spark.graft.join.migrationCheck=false opts out for pipelines
       // whose join-condition columns are immutable by contract (the
       // common schema shape) — saving the per-update-batch detection job
       val migrationCheck = spark.conf
         .getOption("spark.graft.join.migrationCheck").forall(_ != "false")
-      if (userSink.isEmpty && migrationCheck) {
-        def moved(side: String, pks: Seq[String], seq: Seq[String],
-            condCols: Seq[String]): DataFrame = {
-          val all = batch.where(col(side).isNotNull).select(s"$side.*")
-          // state before the window = the OLDEST preimage per key
-          // (feeds only record APPLIED changes, so it equals the
-          // watermark-time row); state after = the newest image, the
-          // same ordering the merge applies
-          val pre = all.where(col("_change_type") === "update_preimage")
-            .withColumn("__rn", row_number().over(
-              Window.partitionBy(pks.map(col): _*)
-                .orderBy(col("_commit_version").asc)))
-            .where(col("__rn") === 1)
-          val post = latestPerKey(all.where(
-            col("_change_type") =!= "update_preimage" &&
-              col("_change_type") =!= "delete"), pks, seq)
-          pre.alias("p").join(post.alias("q"),
-              pks.map(k => col(s"p.$k") <=> col(s"q.$k")).reduce(_ && _))
-            .where(condCols.map(c => !(col(s"p.$c") <=> col(s"q.$c"))).reduce(_ || _))
-            .select(pks.map(k => col(s"p.$k").alias(k)): _*)
-        }
+      // a REPLAYED batch (crash between the merge commit and the drain
+      // watermark / checkpoint commit) must not re-run the pre-merge
+      // retraction: the rows it would resolve are the FRESH pairings the
+      // already-applied merge landed, and the batchId no-op merge would
+      // not re-insert them. The post-merge passes are idempotent by
+      // construction and re-run as-is.
+      val alreadyApplied = userSink.isEmpty && batchId >= 0 &&
+        batchId <= out.lastAppliedBatchId
+      def moved(side: String, pks: Seq[String], seq: Seq[String],
+          condCols: Seq[String]): DataFrame = {
+        val all = batch.where(col(side).isNotNull).select(s"$side.*")
+        // state before the window = the OLDEST preimage per key
+        // (feeds only record APPLIED changes, so it equals the
+        // watermark-time row); state after = the newest image, the
+        // same ordering the merge applies
+        val pre = all.where(col("_change_type") === "update_preimage")
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(pks.map(col): _*)
+              .orderBy(col("_commit_version").asc)))
+          .where(col("__rn") === 1)
+        val post = latestPerKey(all.where(
+          col("_change_type") =!= "update_preimage" &&
+            col("_change_type") =!= "delete"), pks, seq)
+        pre.alias("p").join(post.alias("q"),
+            pks.map(k => col(s"p.$k") <=> col(s"q.$k")).reduce(_ && _))
+          .where(condCols.map(c => !(col(s"p.$c") <=> col(s"q.$c"))).reduce(_ || _))
+          .select(pks.map(k => col(s"p.$k").alias(k)): _*)
+      }
+      // a condition column inside a side's PRIMARY KEY cannot move
+      // (pre/post images share the pk by construction) — sides whose
+      // condition columns are all pk columns skip migration statically
+      // (e.g. a dimension joined on its own key)
+      def movableCols(stream: Stream, condCols: Seq[String]): Seq[String] =
+        condCols.filterNot(stream.pks.contains)
+      if (userSink.isEmpty && migrationCheck && !alreadyApplied) {
         def migrate(side: String, stream: Stream, condCols: Seq[String],
             idxSubPath: String): Unit = {
-          // a condition column inside the side's PRIMARY KEY cannot
-          // move (pre/post images share the pk by construction) — sides
-          // whose condition columns are all pk columns skip migration
-          // statically (e.g. a dimension joined on its own key)
-          val movable = condCols.filterNot(stream.pks.contains)
-          if (movable.nonEmpty) {
+          val movable = movableCols(stream, condCols)
+          if (movable.nonEmpty && stream.pks.forall(outCols.contains)) {
             val mk = moved(side, stream.pks, stream.seqCols, movable)
               .persist(StorageLevel.MEMORY_AND_DISK)
             // one small batch-sized job guards the (rare) retraction
-            try if (!mk.isEmpty) retract(mk, stream.pks, idxSubPath)
+            try if (!mk.isEmpty) retract(mk, stream, idxSubPath)
             finally mk.unpersist()
           }
         }
@@ -608,15 +756,55 @@ final class JoinedStream(
           batchId = batchId)
       }
 
-      // delete propagation (inner joins): a source key whose LATEST
-      // action in this batch is a delete retracts every output row it
-      // contributed. Commit versions strictly order delete vs re-insert
-      // within the batch. Runs AFTER the merge (the merge never upserts
-      // a key whose latest action is a delete, so the fresh rows are
-      // safe), through the same [[retract]] machinery as migration.
-      if (anyDeletes && userSink.isEmpty) {
-        if (left.deletesOn && lDeletes) retract(latestDeleteKeys("l", left.pks), left.pks, "l")
-        if (right.deletesOn && rDeletes) retract(latestDeleteKeys("r", right.pks), right.pks, "r")
+      // delete propagation: a source key whose LATEST action in this
+      // batch is a delete retracts every output row it contributed.
+      // Commit versions strictly order delete vs re-insert within the
+      // batch. Runs AFTER the merge so a same-batch insert-then-delete
+      // key's stale merge-half rows are caught too. Owning sides (both
+      // sides of an inner join, the outer side of an outer join) delete
+      // their contributed rows — placeholders included; the non-owning
+      // side of an outer join funnels its deleted keys, together with
+      // its migration-moved keys, into ONE [[downgrade]] pass.
+      if (userSink.isEmpty) {
+        def requireResolvable(s: Stream, what: String): Unit =
+          require(s.pks.forall(outCols.contains),
+            s"$what needs the side's primary keys (${s.pks.mkString(",")}) " +
+              "in the join output to resolve contributed rows; project " +
+              "them through or disable handleDeletes upstream")
+        if (anyDeletes) {
+          if (left.deletesOn && lDeletes && joinType != "right") {
+            requireResolvable(left, "delete propagation")
+            retract(latestDeleteKeys("l", left.pks), left, "l")
+          }
+          if (right.deletesOn && rDeletes && joinType != "left") {
+            requireResolvable(right, "delete propagation")
+            retract(latestDeleteKeys("r", right.pks), right, "r")
+          }
+        }
+        // non-owning-side keys needing a downgrade: moved ∪ deleted
+        def nonOwnRetracted(side: String, s: Stream, condCols: Seq[String],
+            pre: Long, cnt: Long, dels: Boolean): Option[DataFrame] = {
+          val movedKeys =
+            if (migrationCheck && pre != 0L && cnt > 0L &&
+                movableCols(s, condCols).nonEmpty && s.pks.forall(outCols.contains))
+              Some(moved(side, s.pks, s.seqCols, movableCols(s, condCols)))
+            else None
+          val delKeys =
+            if (s.deletesOn && dels) {
+              requireResolvable(s, "outer-join delete propagation")
+              Some(latestDeleteKeys(side, s.pks))
+            } else None
+          (movedKeys, delKeys) match {
+            case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
+            case (a, b)             => a.orElse(b)
+          }
+        }
+        if (joinType == "right")
+          nonOwnRetracted("l", left, sideCondCols._1, lPre, lCnt, lDeletes)
+            .foreach(k => downgrade(k, "l", left, "l"))
+        if (joinType == "left")
+          nonOwnRetracted("r", right, sideCondCols._2, rPre, rCnt, rDeletes)
+            .foreach(k => downgrade(k, "r", right, "r"))
       }
     }
 

@@ -1,0 +1,205 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.store.KeyedTable
+
+import java.nio.file.Files
+
+/** Non-owning-side retraction on OUTER joins: deletes and join-key
+  * moves on the side that does NOT own output rows must DOWNGRADE the
+  * old pairings — left rows survive as placeholder rows when their last
+  * match goes away, keep their other matches otherwise — so the
+  * incremental output equals the batch recompute. (The reference
+  * strands the old pairing: it never retracts, joins.py:310-343.)
+  */
+class OuterRetractionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("gor").toString
+
+  private def assertSameRows(got: DataFrame, want: DataFrame, ctx: String): Unit = {
+    val cols = want.columns.sorted.toSeq
+    val g = got.select(cols.map(col): _*)
+    val w = want.select(cols.map(col): _*)
+    val onlyGot = g.exceptAll(w).count()
+    val onlyWant = w.exceptAll(g).count()
+    assert(onlyGot == 0 && onlyWant == 0,
+      s"$ctx: $onlyGot rows only incremental, $onlyWant only in batch recompute")
+  }
+
+  // left: pk id, join col lkey; right: pk rid, join col rkey (NOT the
+  // pk — so right-side moves are possible)
+  private def mkTables(root: String): (KeyedTable, KeyedTable) = {
+    val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+    val rSchema = Seq((1L, 1L, "x", 0L)).toDF("rid", "rkey", "name", "rseq").schema
+    (KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+      seqCols = Seq("seq"), numBuckets = 4),
+      KeyedTable.create(spark, s"$root/r", rSchema, Seq("rid"),
+        seqCols = Seq("rseq"), numBuckets = 4))
+  }
+
+  private def batchWant(lT: KeyedTable, rT: KeyedTable, out: DataFrame): DataFrame =
+    lT.snapshot().join(rT.snapshot(), col("lkey") === col("rkey"), "left")
+      .select(out.columns.map(col).toSeq: _*)
+
+  test("right-side DELETE downgrades the left row to a placeholder") {
+    val root = tmp()
+    val (lT, rT) = mkTables(root)
+    val pipe = Stream.fromKeyedTable(lT)
+      .join(Stream.fromKeyedTable(rT).handleDeletes(), "left")
+      .on((l, r) => l("lkey") === r("rkey"))
+      .writeToPath(s"$root/out")
+    lT.upsert(Seq((1L, 10L, 100L, 1L), (2L, 11L, 200L, 1L))
+      .toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+    rT.upsert(Seq((5L, 10L, "a", 1L)).toDF("rid", "rkey", "name", "rseq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    val out = KeyedTable.forPath(spark, s"$root/out")
+    // id=1 paired with rid=5; id=2 is a placeholder
+    assert(out.snapshot().where(col("id") === 1 && col("rid") === 5).count() == 1)
+    assert(out.snapshot().where(col("id") === 2 && col("rid").isNull).count() == 1)
+    rT.delete(Seq(5L).toDF("rid"))
+    pipe.runIncremental()
+    val snap = out.snapshot()
+    assert(snap.where(col("id") === 1 && col("rid").isNull).count() == 1,
+      "id=1 must downgrade to a placeholder after its only match is deleted")
+    assert(snap.where(col("rid") === 5).count() == 0, "no stale pairing survives")
+    assertSameRows(snap, batchWant(lT, rT, snap), "delete downgrade")
+  }
+
+  test("right-side KEY MOVE re-pairs and downgrades old pairings") {
+    val root = tmp()
+    val (lT, rT) = mkTables(root)
+    val pipe = Stream.fromKeyedTable(lT)
+      .join(Stream.fromKeyedTable(rT), "left")
+      .on((l, r) => l("lkey") === r("rkey"))
+      .writeToPath(s"$root/out")
+    lT.upsert(Seq((1L, 10L, 100L, 1L), (2L, 20L, 200L, 1L))
+      .toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+    rT.upsert(Seq((5L, 10L, "a", 1L)).toDF("rid", "rkey", "name", "rseq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    // move rid=5 from rkey 10 -> 20: id=1 loses its match (placeholder),
+    // id=2 gains one
+    rT.upsert(Seq((5L, 20L, "a2", 2L)).toDF("rid", "rkey", "name", "rseq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    val snap = KeyedTable.forPath(spark, s"$root/out").snapshot()
+    assert(snap.where(col("id") === 1 && col("rid").isNull).count() == 1,
+      "id=1 must downgrade to a placeholder after its match moved away")
+    assert(snap.where(col("id") === 2 && col("rid") === 5).count() == 1,
+      "id=2 must gain the moved pairing")
+    assert(snap.where(col("id") === 1 && col("rid") === 5).count() == 0,
+      "the old pairing must not survive")
+    assertSameRows(snap, batchWant(lT, rT, snap), "move downgrade")
+  }
+
+  test("multi-match: losing ONE match keeps the others, no placeholder") {
+    val root = tmp()
+    val (lT, rT) = mkTables(root)
+    val pipe = Stream.fromKeyedTable(lT)
+      .join(Stream.fromKeyedTable(rT).handleDeletes(), "left")
+      .on((l, r) => l("lkey") === r("rkey"))
+      .writeToPath(s"$root/out")
+    lT.upsert(Seq((1L, 10L, 100L, 1L)).toDF("id", "lkey", "cents", "seq"),
+      uniqueKeys = true)
+    rT.upsert(Seq((5L, 10L, "a", 1L), (6L, 10L, "b", 1L))
+      .toDF("rid", "rkey", "name", "rseq"), uniqueKeys = true)
+    pipe.runIncremental()
+    rT.delete(Seq(5L).toDF("rid"))
+    pipe.runIncremental()
+    val snap = KeyedTable.forPath(spark, s"$root/out").snapshot()
+    assert(snap.where(col("id") === 1 && col("rid") === 6).count() == 1,
+      "the surviving match stays")
+    assert(snap.where(col("id") === 1 && col("rid").isNull).count() == 0,
+      "no placeholder while a real match remains")
+    assertSameRows(snap, batchWant(lT, rT, snap), "multi-match")
+  }
+
+  test("placeholder upgrades when a NEW right row moves into range, then downgrades back") {
+    val root = tmp()
+    val (lT, rT) = mkTables(root)
+    val pipe = Stream.fromKeyedTable(lT)
+      .join(Stream.fromKeyedTable(rT), "left")
+      .on((l, r) => l("lkey") === r("rkey"))
+      .writeToPath(s"$root/out")
+    lT.upsert(Seq((1L, 10L, 100L, 1L)).toDF("id", "lkey", "cents", "seq"),
+      uniqueKeys = true)
+    rT.upsert(Seq((5L, 99L, "a", 1L)).toDF("rid", "rkey", "name", "rseq"),
+      uniqueKeys = true)
+    pipe.runIncremental() // id=1 is a placeholder
+    rT.upsert(Seq((5L, 10L, "a2", 2L)).toDF("rid", "rkey", "name", "rseq"),
+      uniqueKeys = true)
+    pipe.runIncremental() // moved INTO range: placeholder upgrades
+    val mid = KeyedTable.forPath(spark, s"$root/out").snapshot()
+    assert(mid.where(col("id") === 1 && col("rid") === 5).count() == 1)
+    assert(mid.where(col("id") === 1 && col("rid").isNull).count() == 0)
+    rT.upsert(Seq((5L, 99L, "a3", 3L)).toDF("rid", "rkey", "name", "rseq"),
+      uniqueKeys = true)
+    pipe.runIncremental() // moved back out: downgrade again
+    val snap = KeyedTable.forPath(spark, s"$root/out").snapshot()
+    assert(snap.where(col("id") === 1 && col("rid").isNull).count() == 1)
+    assert(snap.where(col("id") === 1 && col("rid") === 5).count() == 0)
+    assertSameRows(snap, batchWant(lT, rT, snap), "upgrade/downgrade cycle")
+  }
+
+  test("RIGHT join: left-side delete downgrades symmetrically") {
+    val root = tmp()
+    val (lT, rT) = mkTables(root)
+    val pipe = Stream.fromKeyedTable(lT).handleDeletes()
+      .join(Stream.fromKeyedTable(rT), "right")
+      .on((l, r) => l("lkey") === r("rkey"))
+      .writeToPath(s"$root/out")
+    lT.upsert(Seq((1L, 10L, 100L, 1L)).toDF("id", "lkey", "cents", "seq"),
+      uniqueKeys = true)
+    rT.upsert(Seq((5L, 10L, "a", 1L), (6L, 30L, "b", 1L))
+      .toDF("rid", "rkey", "name", "rseq"), uniqueKeys = true)
+    pipe.runIncremental()
+    lT.delete(Seq(1L).toDF("id"))
+    pipe.runIncremental()
+    val snap = KeyedTable.forPath(spark, s"$root/out").snapshot()
+    val want = lT.snapshot().join(rT.snapshot(),
+        col("lkey") === col("rkey"), "right")
+      .select(snap.columns.map(col).toSeq: _*)
+    assert(snap.where(col("rid") === 5 && col("id").isNull).count() == 1,
+      "rid=5 must downgrade to a placeholder")
+    assertSameRows(snap, want, "right join downgrade")
+  }
+
+  test("CHAINED: outer-stage downgrade deletes retract in the next stage without user handleDeletes") {
+    val root = tmp()
+    val (lT, rT) = mkTables(root)
+    // stage 1: left join (no user deletes on the left source); stage 2:
+    // groupBy over a right-side attribute. A right-side key move in
+    // stage 1 emits downgrade deletes that stage 2 must apply even
+    // though the user never called handleDeletes anywhere upstream.
+    val pipe = Stream.fromKeyedTable(lT)
+      .join(Stream.fromKeyedTable(rT), "left")
+      .on((l, r) => l("lkey") === r("rkey"))
+      .groupByStaged(s"$root/stage", "name")
+      .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+      .writeToPath(s"$root/agged")
+    lT.upsert(Seq((1L, 10L, 100L, 1L), (2L, 20L, 200L, 1L))
+      .toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+    rT.upsert(Seq((5L, 10L, "a", 1L), (6L, 20L, "b", 1L))
+      .toDF("rid", "rkey", "name", "rseq"), uniqueKeys = true)
+    pipe.runIncremental()
+    // move rid=5 out of range: stage 1 downgrades (1,5)->(1,null);
+    // stage 2's group "a" must retract id=1's contribution
+    rT.upsert(Seq((5L, 99L, "a", 2L)).toDF("rid", "rkey", "name", "rseq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    val got = KeyedTable.forPath(spark, s"$root/agged").snapshot()
+    val want = lT.snapshot().join(rT.snapshot(),
+        col("lkey") === col("rkey"), "left")
+      .groupBy("name")
+      .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+      .select(got.columns.map(col).toSeq: _*)
+    assertSameRows(got, want, "chained downgrade retraction")
+  }
+}
