@@ -40,7 +40,8 @@ final case class TableMeta(
     schemaDdl: String,
     partitionCols: Seq[String] = Nil,
     prunedCols: Seq[String] = Nil,
-    generatedCols: Seq[(String, String)] = Nil) {
+    generatedCols: Seq[(String, String)] = Nil,
+    internalCols: Seq[String] = Nil) {
   def bucketKeys: Seq[String] = keys.filterNot(nullableKeys.contains)
   // schema is read on every merge/snapshot/changesSince; parsing the
   // DDL each time is measurable driver CPU across a multi-stage drain
@@ -183,8 +184,17 @@ final class KeyedTable private (
         .map(_.getOrElse(b, Nil).map(_.bytes).sum).getOrElse(0L)
     }.sum
 
-  /** Full table contents as of `version` (default: latest). */
-  def snapshot(version: Long = -1L): DataFrame = {
+  /** Full table contents as of `version` (default: latest). Engine
+    * bookkeeping columns (`meta.internalCols`, e.g. an agg stage's
+    * hidden row count) are stripped — they exist for the maintaining
+    * stage, not for readers. */
+  def snapshot(version: Long = -1L): DataFrame =
+    stripInternal(snapshotFull(version))
+
+  /** [[snapshot]] including internal columns — for engine passes that
+    * rebuild or maintain the table (layout rewrites, the agg stage's
+    * emptiness check). */
+  private[graft] def snapshotFull(version: Long = -1L): DataFrame = {
     if (autoMergeOn) refreshMeta() // an evolved writer's columns must appear
     val v = if (version < 0) latestVersion else version
     require(version < 0 || v > log.floorForRead(v - 1),
@@ -194,6 +204,9 @@ final class KeyedTable private (
     if (bv.isEmpty) emptyDf
     else readBuckets(bv.toSeq)
   }
+
+  private def stripInternal(df: DataFrame): DataFrame =
+    if (meta.internalCols.isEmpty) df else df.drop(meta.internalCols: _*)
 
   /** Current file paths of bucket `b` whose owning commit is `v`:
     * manifest entries when the commit records them (possibly referencing
@@ -249,7 +262,8 @@ final class KeyedTable private (
     * bucket, not the table (the reader-side counterpart of merge's
     * file pruning). `keys` is assumed point-lookup-sized: its distinct
     * hashes are collected to the driver. */
-  def snapshotForKeys(keys: DataFrame, version: Long = -1L): DataFrame = {
+  def snapshotForKeys(keys: DataFrame, version: Long = -1L,
+      includeInternal: Boolean = false): DataFrame = {
     require(meta.bucketKeys.forall(keys.columns.contains),
       s"keys must carry all bucket key columns ${meta.bucketKeys.mkString(",")}")
     // mirror snapshot(): at or below the truncation floor there is no
@@ -282,8 +296,9 @@ final class KeyedTable private (
           case None => Seq(s"$path/data/${log.dirOf(v)}/b=$b")
         }
       }
-      readPaths(paths)
+      val rows = readPaths(paths)
         .join(broadcast(k.drop(KHashCol)), meta.bucketKeys, "left_semi")
+      if (includeInternal) rows else stripInternal(rows)
     }
   }
 
@@ -307,13 +322,14 @@ final class KeyedTable private (
       // a commit may have produced no change files (layout-only rewrite)
       .filter(fs.exists)
     if (paths.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), cdfSchema)
+      stripInternal(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), cdfSchema))
     else
-      spark.read.schema(cdfSchema).parquet(paths.map(_.toString): _*)
+      stripInternal(spark.read.schema(cdfSchema).parquet(paths.map(_.toString): _*)
         // rows below the floor can still appear: recovery may publish a
         // pending dir whose rows were superseded — the version column
         // stays authoritative
-        .where(col("_commit_version") > sinceVersion)
+        .where(col("_commit_version") > sinceVersion))
   }
 
   /** Summed change-row counts `(upserts, deletes, contributing
@@ -336,11 +352,11 @@ final class KeyedTable private (
     * `maxCommitsPerTrigger` is the commit-count backstop. */
   def changeStream(maxCommitsPerTrigger: Int = 64,
       maxBytesPerTrigger: Long = 1L << 30): DataFrame =
-    spark.readStream
+    stripInternal(spark.readStream
       .format("graft-cdf")
       .option("maxCommitsPerTrigger", maxCommitsPerTrigger)
       .option("maxBytesPerTrigger", maxBytesPerTrigger)
-      .load(path)
+      .load(path))
 
   /** Plain latest-wins upsert (the bronze-table write path).
     * `uniqueKeys = true` asserts the batch has at most one row per key,
@@ -932,7 +948,7 @@ final class KeyedTable private (
       val newVersion = v + 1
       val dir = attemptDir(newVersion)
       log.writeRebucketMarker(newVersion, newBuckets, dir)
-      val content = snapshot(v).withColumn(BucketCol,
+      val content = snapshotFull(v).withColumn(BucketCol,
         pmod(xxhash64(meta.bucketKeys.map(col): _*), lit(newBuckets)).cast("int"))
       val emptyCdf = emptyDf.withColumn("_change_type", lit(null).cast(StringType))
       spark.sparkContext.setJobDescription("graft:rebucket:write")
@@ -2003,7 +2019,8 @@ object KeyedTable {
       numBuckets: Int = 32,
       partitionCols: Seq[String] = Nil,
       prunedCols: Seq[String] = Nil,
-      generatedCols: Seq[(String, String)] = Nil): KeyedTable = {
+      generatedCols: Seq[(String, String)] = Nil,
+      internalCols: Seq[String] = Nil): KeyedTable = {
     require(keys.nonEmpty, "keys required")
     require(prunedCols.forall(partitionCols.contains), "prunedCols ⊆ partitionCols")
     // generated columns extend the declared schema; their types come
@@ -2018,7 +2035,7 @@ object KeyedTable {
       }
     }
     val meta = TableMeta(keys, nullableKeys, seqCols, numBuckets, fullSchema.toDDL,
-      partitionCols, prunedCols, generatedCols)
+      partitionCols, prunedCols, generatedCols, internalCols)
     val log = new CommitLog(path, spark.sessionState.newHadoopConf())
     if (!log.exists) {
       log.writeMeta(metaToJson(meta))
@@ -2051,6 +2068,7 @@ object KeyedTable {
       s""""partitionCols":${arr(m.partitionCols)},"prunedCols":${arr(m.prunedCols)},""" +
       s""""genColNames":${arr(m.generatedCols.map(_._1))},""" +
       s""""genColExprs":${arr(m.generatedCols.map(g => b64(g._2)))},""" +
+      s""""internalCols":${arr(m.internalCols)},""" +
       s""""schemaDdl":"${m.schemaDdl.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
   }
 
@@ -2066,6 +2084,6 @@ object KeyedTable {
     val gen = arr("genColNames").zip(arr("genColExprs").map(e =>
       new String(java.util.Base64.getDecoder.decode(e), "UTF-8")))
     TableMeta(arr("keys"), arr("nullableKeys"), arr("seqCols"), numBuckets, ddl,
-      arr("partitionCols"), arr("prunedCols"), gen)
+      arr("partitionCols"), arr("prunedCols"), gen, arr("internalCols"))
   }
 }

@@ -58,6 +58,32 @@ final class StreamAgg(
 
   private def aggOutCols: Seq[String] = staticAgged().columns.toSeq.drop(groupCols.size)
 
+  /** The aggregation's plain row-count column (an unfiltered,
+    * non-distinct COUNT over a non-null literal — count(lit(1)) /
+    * count(*)), if the user declared one and didn't override its
+    * arithmetic: it tracks exactly how many source rows a group holds,
+    * which is what lets retracting batches detect EMPTIED groups.
+    * Without one the stage maintains a hidden internal count column. */
+  private lazy val rowCountCol: Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+    staticAgged().queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.collectFirst {
+          case Alias(ae: AggregateExpression, name)
+              if !ae.isDistinct && ae.filter.isEmpty &&
+                !reduces.contains(name) &&
+                (ae.aggregateFunction match {
+                  case Count(children) => children.nonEmpty && children.forall {
+                    case l: Literal => l.value != null
+                    case _ => false
+                  }
+                  case _ => false
+                }) => name
+        }
+    }.flatten.headOption
+  }
+
   def writeToPath(outPath: String): Pipeline = {
     val (handle, _) = buildStage(outPath)
     new Pipeline(src.upstream :+ handle)
@@ -86,12 +112,23 @@ final class StreamAgg(
   }
 
   private def buildStage(outPath: String): (StageHandle, KeyedTable) = {
-    val schemaDf = staticAgged()
+    // when the user's agg list has no plain count(*) column, the stage
+    // maintains a HIDDEN one (`__graft_rows`, declared internal on the
+    // output table and stripped from every public read): exact
+    // emptiness detection must not depend on the user's schema, or
+    // emptied groups keep zeroed shell rows the batch fixpoint drops
+    val hiddenCnt = "__graft_rows"
+    val needHidden = rowCountCol.isEmpty
+    val aggColsEff =
+      if (needHidden) aggCols :+ count(lit(1)).as(hiddenCnt) else aggCols
+    val schemaDf = src.static().groupBy(groupCols.map(col): _*)
+      .agg(aggColsEff.head, aggColsEff.tail: _*)
     val out = KeyedTable.create(spark, outPath, schemaDf.schema,
       keys = groupCols, numBuckets = src.table.meta.numBuckets,
       partitionCols = partitionCols.map(_.name),
-      prunedCols = partitionCols.filter(_.pruned).map(_.name))
-    val aggNames = aggOutCols
+      prunedCols = partitionCols.filter(_.pruned).map(_.name),
+      internalCols = if (needHidden) Seq(hiddenCnt) else Nil)
+    val aggNames = aggOutCols ++ (if (needHidden) Seq(hiddenCnt) else Nil)
 
     // default delta: CASE WHEN m.c IS NOT NULL THEN coalesce(p.c,0)-m.c
     // ELSE p.c END (aggs.py:76), override via .reduce(delta_update=...)
@@ -110,33 +147,6 @@ final class StreamAgg(
       updateExprs = Some(updateExprs),
       insertExprs = if (insertExprs.isEmpty) None else Some(insertExprs))
 
-    // the aggregation's plain row-count column (an unfiltered,
-    // non-distinct COUNT over a non-null literal — count(lit(1)) /
-    // count(*)), if the user declared one and didn't override its
-    // arithmetic: it tracks exactly how many source rows a group holds,
-    // which is what lets retracting batches detect EMPTIED groups.
-    // Without one, a group whose rows all left keeps a zeroed shell row
-    // (documented; the batch fixpoint would drop the group).
-    lazy val rowCountCol: Option[String] = {
-      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
-      staticAgged().queryExecution.analyzed.collect {
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-          a.aggregateExpressions.collectFirst {
-            case Alias(ae: AggregateExpression, name)
-                if !ae.isDistinct && ae.filter.isEmpty &&
-                  !reduces.contains(name) &&
-                  (ae.aggregateFunction match {
-                    case Count(children) => children.nonEmpty && children.forall {
-                      case l: Literal => l.value != null
-                      case _ => false
-                    }
-                    case _ => false
-                  }) => name
-          }
-      }.flatten.headOption
-    }
-
     def mergeAgg(batch: DataFrame, batchId: Long): Unit =
       mergeAggKnown(batch, batchId, knownNonEmpty = false)
 
@@ -151,7 +161,7 @@ final class StreamAgg(
       // subtracted from the running aggregate
       val plus = data.where(col("_change_type") =!= "update_preimage" &&
           col("_change_type") =!= "delete")
-        .groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        .groupBy(groupCols.map(col): _*).agg(aggColsEff.head, aggColsEff.tail: _*)
       // append-only window (the log proves zero preimages/deletes): the
       // minus side is an EMPTY relation — Catalyst's empty-relation
       // propagation then erases the full-outer join and its shuffle
@@ -162,7 +172,7 @@ final class StreamAgg(
             plus.schema)
         else data.where(col("_change_type") === "update_preimage" ||
             col("_change_type") === "delete")
-          .groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+          .groupBy(groupCols.map(col): _*).agg(aggColsEff.head, aggColsEff.tail: _*)
       val p = plus.alias("p")
       val m = minus.alias("m")
       val keyEq = groupCols.map(k => col(s"p.$k") <=> col(s"m.$k")).reduce(_ && _)
@@ -177,21 +187,22 @@ final class StreamAgg(
       // source rows left — the batch fixpoint has no row for it, so the
       // zeroed shell must go. Only the batch's RETRACTION groups can
       // empty, so the check is one bucket-pruned point read over that
-      // (batch-sized) set, never a table scan. Needs the row-count
-      // column above; requireing count(*) for exact emptiness is the
-      // standard incremental-view contract.
+      // (batch-sized) set, never a table scan. Exactness comes from the
+      // user's plain count(*) column when declared, else from the
+      // hidden engine-maintained one.
       // groups whose cols are all source pks cannot MOVE (pre/post share
       // the pk), so without deletes in play no group can empty;
       // spark.graft.agg.zeroGroupCheck=false opts out entirely
       val zeroCheck = spark.conf
         .getOption("spark.graft.agg.zeroGroupCheck").forall(_ != "false") &&
         (!groupCols.forall(src.pks.contains) || src.deletesOn)
-      if (!noRetractions && rowCountCol.isDefined && zeroCheck) {
+      if (!noRetractions && zeroCheck) {
+        val countCol = rowCountCol.getOrElse(hiddenCnt)
         val mGroups = data.where(col("_change_type") === "update_preimage" ||
             col("_change_type") === "delete")
           .select(groupCols.map(col): _*).distinct()
-        val zeroed = out.snapshotForKeys(mGroups)
-          .where(col(rowCountCol.get) === 0)
+        val zeroed = out.snapshotForKeys(mGroups, includeInternal = true)
+          .where(col(countCol) === 0)
           .select(groupCols.map(col): _*)
         if (!zeroed.isEmpty) out.delete(zeroed)
       }

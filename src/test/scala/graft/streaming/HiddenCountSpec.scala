@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.store.KeyedTable
+
+import java.nio.file.Files
+
+/** Emptied-group removal WITHOUT a user count column: the agg stage
+  * maintains a hidden `__graft_rows` internal column on its output
+  * table — stripped from every public read — so a group whose rows all
+  * leave is deleted exactly, matching the batch fixpoint. (Previously a
+  * documented limitation: sum-only aggs kept zeroed shell rows.)
+  */
+class HiddenCountSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("ghc").toString
+
+  private def assertSameRows(got: DataFrame, want: DataFrame, ctx: String): Unit = {
+    val cols = want.columns.sorted.toSeq
+    val g = got.select(cols.map(col): _*)
+    val w = want.select(cols.map(col): _*)
+    assert(g.exceptAll(w).count() == 0 && w.exceptAll(g).count() == 0, ctx)
+  }
+
+  test("sum-only agg drops emptied groups and hides the internal column") {
+    val root = tmp()
+    val schema = Seq((1L, "a", 1L, 0L)).toDF("id", "grp", "cents", "seq").schema
+    val t = KeyedTable.create(spark, s"$root/src", schema, Seq("id"),
+      seqCols = Seq("seq"), numBuckets = 4)
+    val pipe = Stream.fromKeyedTable(t).handleDeletes()
+      .groupBy("grp")
+      .agg(sum(col("cents")).as("scents")) // NO count column
+      .writeToPath(s"$root/agg")
+    t.upsert(Seq((1L, "a", 100L, 1L), (2L, "a", 50L, 1L), (3L, "b", 70L, 1L))
+      .toDF("id", "grp", "cents", "seq"), uniqueKeys = true)
+    pipe.runIncremental()
+    val out = KeyedTable.forPath(spark, s"$root/agg")
+    assert(!out.snapshot().columns.contains("__graft_rows"),
+      "the hidden count must not appear in public reads")
+    // empty group "a" via delete + move
+    t.delete(Seq(1L).toDF("id"))
+    t.upsert(Seq((2L, "b", 50L, 2L)).toDF("id", "grp", "cents", "seq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    val snap = out.snapshot()
+    assert(snap.where(col("grp") === "a").count() == 0,
+      "emptied group must be deleted, not kept as a zeroed shell")
+    val want = t.snapshot().groupBy("grp").agg(sum(col("cents")).as("scents"))
+    assertSameRows(snap, want, "sum-only agg fixpoint")
+    // the feed downstream must not leak the internal column either
+    assert(!out.changesSince(-1L).columns.contains("__graft_rows"),
+      "the hidden count must not appear in the change feed")
+  }
+
+  test("hidden count survives a REBUCKET of the agg output") {
+    val root = tmp()
+    val schema = Seq((1L, "a", 1L, 0L)).toDF("id", "grp", "cents", "seq").schema
+    val t = KeyedTable.create(spark, s"$root/src", schema, Seq("id"),
+      seqCols = Seq("seq"), numBuckets = 4)
+    val pipe = Stream.fromKeyedTable(t).handleDeletes()
+      .groupBy("grp")
+      .agg(sum(col("cents")).as("scents"))
+      .writeToPath(s"$root/agg")
+    t.upsert(Seq((1L, "a", 100L, 1L), (2L, "b", 50L, 1L))
+      .toDF("id", "grp", "cents", "seq"), uniqueKeys = true)
+    pipe.runIncremental()
+    val out = KeyedTable.forPath(spark, s"$root/agg")
+    out.rebucket(8) // layout rewrite must carry the internal column
+    t.delete(Seq(1L).toDF("id"))
+    pipe.runIncremental()
+    val snap = KeyedTable.forPath(spark, s"$root/agg").snapshot()
+    assert(snap.where(col("grp") === "a").count() == 0,
+      "zero detection must keep working after a rebucket")
+    assertSameRows(snap,
+      t.snapshot().groupBy("grp").agg(sum(col("cents")).as("scents")),
+      "post-rebucket fixpoint")
+  }
+
+  test("a user count(*) column is preferred — no hidden column is added") {
+    val root = tmp()
+    val schema = Seq((1L, "a", 1L, 0L)).toDF("id", "grp", "cents", "seq").schema
+    val t = KeyedTable.create(spark, s"$root/src", schema, Seq("id"),
+      seqCols = Seq("seq"), numBuckets = 4)
+    val pipe = Stream.fromKeyedTable(t).handleDeletes()
+      .groupBy("grp")
+      .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+      .writeToPath(s"$root/agg")
+    t.upsert(Seq((1L, "a", 100L, 1L)).toDF("id", "grp", "cents", "seq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    val out = KeyedTable.forPath(spark, s"$root/agg")
+    assert(out.meta.internalCols.isEmpty,
+      "no hidden column when the user already declared a plain count")
+    t.delete(Seq(1L).toDF("id"))
+    pipe.runIncremental()
+    assert(KeyedTable.forPath(spark, s"$root/agg").snapshot()
+      .where(col("grp") === "a").count() == 0)
+  }
+}

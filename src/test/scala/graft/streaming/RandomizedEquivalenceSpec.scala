@@ -116,6 +116,48 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  Seq(29).foreach { seed =>
+    test(s"random op waves through a SUM-ONLY chained join->agg (hidden count, seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = tmp()
+      val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+      val rSchema = Seq((1L, "x", 0L)).toDF("rkey", "name", "rseq").schema
+      val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+        seqCols = Seq("seq"), numBuckets = 4)
+      val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rkey"),
+        seqCols = Seq("rseq"), numBuckets = 4)
+      // NO count column: emptied groups rely on the hidden internal one
+      val pipe = Stream.fromKeyedTable(lT).handleDeletes()
+        .join(Stream.fromKeyedTable(rT).handleDeletes(), "inner")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .groupByStaged(s"$root/stage", "name")
+        .agg(sum(col("cents")).as("scents"))
+        .writeToPath(s"$root/chained")
+      (1 to 6).foreach { wave =>
+        val lRows = (1 to 20).map(_ => rnd.nextInt(30).toLong).distinct.map { i =>
+          (i, rnd.nextInt(8).toLong, rnd.nextInt(10000).toLong, wave.toLong)
+        }
+        lT.upsert(lRows.toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+        val rRows = (1 to 5).map(_ => rnd.nextInt(8).toLong).distinct
+          .map(k => (k, s"n${rnd.nextInt(4)}", wave.toLong))
+        rT.upsert(rRows.toDF("rkey", "name", "rseq"), uniqueKeys = true)
+        if (wave % 2 == 0)
+          lT.delete((1 to 5).map(_ => rnd.nextInt(30).toLong).distinct.toDF("id"))
+        if (wave % 3 == 0)
+          rT.delete((1 to 2).map(_ => rnd.nextInt(8).toLong).distinct.toDF("rkey"))
+        if (wave % 2 == 0 || wave == 6) pipe.runIncremental()
+      }
+      pipe.runIncremental()
+      val want = lT.snapshot().join(rT.snapshot(),
+          col("lkey") === col("rkey"), "inner")
+        .groupBy("name")
+        .agg(sum(col("cents")).as("scents"))
+      val got = KeyedTable.forPath(spark, s"$root/chained").snapshot()
+        .select(want.columns.map(col).toSeq: _*)
+      assertSameRows(got, want, s"seed $seed sum-only chained")
+    }
+  }
+
   Seq(17, 71).foreach { seed =>
     test(s"random op waves through a LEFT join with NON-OWNING moves+deletes (seed $seed)") {
       val rnd = new scala.util.Random(seed)
