@@ -92,14 +92,26 @@ private[streaming] object DrainState {
       .map(_.toLong).getOrElse(30 * 60 * 1000L)
 
   /** Current state with intent recovery. An intent whose merge landed
-    * (commit crashed mid-promotion) is promoted. An unlanded intent is
-    * NEVER deleted here — it may belong to a concurrent drainer mid-
-    * merge (which heartbeats it), and a dead drainer's stale claim must
-    * be adopted VERBATIM via [[staleClaim]] so the replacement runs the
-    * same step (same batchId, same version range): recomputing a wider
-    * range under the same batchId would be silently skipped by the
-    * output's replay guard — a data skip. */
-  def load(spark: SparkSession, dir: String, appliedBatchId: Long): St = {
+    * (crash between the merge commit and the state commit) is promoted.
+    * An unlanded intent is NEVER deleted here — it may belong to a
+    * concurrent drainer mid-merge (which heartbeats it), and a dead
+    * drainer's stale claim must be adopted VERBATIM via [[staleClaim]]
+    * so the replacement runs the same step (same batchId, same version
+    * range): recomputing a wider range under the same batchId would be
+    * silently skipped by the output's replay guard — a data skip. */
+  def load(spark: SparkSession, dir: String, appliedBatchId: Long): St =
+    loadRecovering(spark, dir, appliedBatchId)._1
+
+  /** [[load]] that additionally reports a just-promoted crashed step as
+    * `(base, step)`: the merge landed (batchId `step.next - 1`) but the
+    * POST-merge passes of the step body — delete propagation, the
+    * non-owning downgrade, the emptied-group check — may not have run
+    * before the crash, and once the state is promoted no replay would
+    * ever revisit them. The caller must re-run the step body over the
+    * window `(base.versions, step.versions]` (the merge replays as a
+    * batchId no-op; the passes are idempotent by construction). */
+  def loadRecovering(spark: SparkSession, dir: String,
+      appliedBatchId: Long): (St, Option[(St, St)]) = {
     val f = fs(spark, dir)
     val state = new Path(dir, "state.properties")
     val intent = new Path(dir, "intent.properties")
@@ -107,11 +119,19 @@ private[streaming] object DrainState {
       val i = read(f, intent)
       // the intent's merge ran with batchId = i.next - 1
       if (appliedBatchId >= i.next - 1) {
+        val base = // the step's window start, read BEFORE promotion
+          try read(f, state)
+          catch { case _: java.io.IOException => St(Map.empty, 0L) }
         writeAtomic(spark, f, state, i) // state first: never absent
         f.delete(intent, false)
-        return i
+        return (i, Some((base, i)))
       }
     }
+    (loadNoIntent(f, state, appliedBatchId), None)
+  }
+
+  private def loadNoIntent(f: org.apache.hadoop.fs.FileSystem,
+      state: Path, appliedBatchId: Long): St = {
     if (f.exists(state)) read(f, state)
     else if (appliedBatchId >= 0) {
       // merges HAVE landed, so an absent state file is transient: a

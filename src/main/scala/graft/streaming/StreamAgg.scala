@@ -225,7 +225,26 @@ final class StreamAgg(
       var quiet = false
       while (!quiet) {
         val applied = out.lastAppliedBatchId
-        val st = DrainState.load(spark, dir, applied)
+        // step body over one window — shared by the claimed-run path and
+        // crashed-step recovery
+        def stepBody(baseVersions: Map[String, Long],
+            target: DrainState.St): Unit = {
+          val after = (p: String) => baseVersions.getOrElse(p, -1L)
+          val upTo = (p: String) => target.versions.getOrElse(p, Long.MaxValue)
+          // log-derived window profile: a provably-empty window skips
+          // the merge; a provably-non-empty one skips the isEmpty job
+          val counts = src.logCounts(after, upTo)
+          if (!counts.exists { case (u, d, _, _) => u + d == 0L })
+            mergeAggKnown(src.changesBatch(after, upTo), target.next - 1,
+              knownNonEmpty = counts.isDefined,
+              noRetractions = counts.exists { case (_, d, pre, _) =>
+                pre == 0L && (d == 0L || !src.deletesOn) })
+        }
+        val (st, recovered) = DrainState.loadRecovering(spark, dir, applied)
+        // a crashed step whose MERGE landed was just promoted — its
+        // post-merge emptied-group check may not have run: replay the
+        // full body (the delta merge is a batchId no-op)
+        recovered.foreach { case (base, done) => stepBody(base.versions, done) }
         val cur = tables.map(t => t.path -> t.latestVersion).toMap
         if (st.versions == cur) quiet = true
         else {
@@ -236,19 +255,9 @@ final class StreamAgg(
           // claimed-step runner: heartbeat keeps the claim alive for the
           // merge's duration; commit is ownership-verified (DrainState)
           def run(target: DrainState.St): Unit = {
-            val after = (p: String) => st.versions.getOrElse(p, -1L)
-            val upTo = (p: String) => target.versions.getOrElse(p, Long.MaxValue)
-            // log-derived window profile: a provably-empty window skips
-            // the merge; a provably-non-empty one skips the isEmpty job
-            val counts = src.logCounts(after, upTo)
             val hb = DrainState.heartbeat(spark, dir)
-            try {
-              if (!counts.exists { case (u, d, _, _) => u + d == 0L })
-                mergeAggKnown(src.changesBatch(after, upTo), target.next - 1,
-                  knownNonEmpty = counts.isDefined,
-                  noRetractions = counts.exists { case (_, d, pre, _) =>
-                    pre == 0L && (d == 0L || !src.deletesOn) })
-            } finally hb.close()
+            try stepBody(st.versions, target)
+            finally hb.close()
             DrainState.commit(spark, dir, target)
           }
           if (DrainState.beginClaim(spark, dir, DrainState.St(step, st.next + 1)))

@@ -839,7 +839,36 @@ final class JoinedStream(
       var quiet = false
       while (!quiet) {
         val applied = if (userSink.isEmpty) out.lastAppliedBatchId else -1L
-        val st = DrainState.load(spark, dir, applied)
+        // the step body over one window — shared by the claimed-run path
+        // and crashed-step recovery below
+        def stepBody(baseVersions: Map[String, Long],
+            target: DrainState.St): Unit = {
+          val after = (p: String) => baseVersions.getOrElse(p, -1L)
+          val upTo = (p: String) => target.versions.getOrElse(p, Long.MaxValue)
+          // log-derived microbatch profile: pins at the window end,
+          // counts summed from per-commit records — the pin job is
+          // skipped entirely, and an all-layout-commit window (counts
+          // 0/0) skips even the merge call
+          val meta = for {
+            (lu, ld, lp, ln) <- left.logCounts(after, upTo)
+            (ru, rd, rp, rn) <- right.logCounts(after, upTo)
+          } yield DrainMeta(lu, ld, ru, rd,
+            lPin = upTo(left.table.path),
+            rPin = upTo(right.table.path),
+            lCommits = ln, rCommits = rn,
+            lPre = lp, rPre = rp)
+          if (!meta.exists(m => m.lUp + m.lDel + m.rUp + m.rDel == 0L))
+            mergeJoinMeta(pack(left.changesBatch(after, upTo),
+              right.changesBatch(after, upTo)), target.next - 1, meta)
+        }
+        val (st, recovered) = DrainState.loadRecovering(spark, dir, applied)
+        // a crashed step whose MERGE landed was just promoted — its
+        // post-merge passes (delete propagation, non-owning downgrade)
+        // may not have run: replay the full body (the merge is a
+        // batchId no-op; the passes are idempotent)
+        recovered.foreach { case (base, done) =>
+          if (userSink.isEmpty) stepBody(base.versions, done)
+        }
         val cur = tables.map(t => t.path -> t.latestVersion).toMap
         if (st.versions == cur) quiet = true
         else {
@@ -850,26 +879,9 @@ final class JoinedStream(
           // runs a claimed step under a live heartbeat (so a slow merge
           // is never reaped) and promotes it ownership-verified
           def run(target: DrainState.St): Unit = {
-            val after = (p: String) => st.versions.getOrElse(p, -1L)
-            val upTo = (p: String) => target.versions.getOrElse(p, Long.MaxValue)
-            // log-derived microbatch profile: pins at the window end,
-            // counts summed from per-commit records — the pin job is
-            // skipped entirely, and an all-layout-commit window (counts
-            // 0/0) skips even the merge call
-            val meta = for {
-              (lu, ld, lp, ln) <- left.logCounts(after, upTo)
-              (ru, rd, rp, rn) <- right.logCounts(after, upTo)
-            } yield DrainMeta(lu, ld, ru, rd,
-              lPin = upTo(left.table.path),
-              rPin = upTo(right.table.path),
-              lCommits = ln, rCommits = rn,
-              lPre = lp, rPre = rp)
             val hb = DrainState.heartbeat(spark, dir)
-            try {
-              if (!meta.exists(m => m.lUp + m.lDel + m.rUp + m.rDel == 0L))
-                mergeJoinMeta(pack(left.changesBatch(after, upTo),
-                  right.changesBatch(after, upTo)), target.next - 1, meta)
-            } finally hb.close()
+            try stepBody(st.versions, target)
+            finally hb.close()
             DrainState.commit(spark, dir, target)
           }
           if (DrainState.beginClaim(spark, dir, DrainState.St(step, st.next + 1)))
