@@ -335,6 +335,39 @@ object CdcQueries {
     KeyedTable.forPath(s, s"$root/out").snapshot()
   }
 
+  /** Chain propagation of outer-stage downgrades: stage 1 left-joins
+    * customers to suppliers on nationkey, stage 2 aggregates per
+    * supplier name. Right-side nation moves and deletes must retract
+    * through BOTH stages — the downgrade deletes are applied by the
+    * agg stage via engine-auto delete handling, and groups emptied by
+    * the retraction are dropped. */
+  def cdcChainDowngrade(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Stream
+    val root = freshDir()
+    val cDf = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val sDf = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+    val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
+    val sT = KeyedTable.create(s, s"$root/supplier", sDf.schema, Seq("s_suppkey"), numBuckets = 8)
+    val p = Stream.fromKeyedTable(cT, maxFilesPerTrigger = 64)
+      .join(Stream.fromKeyedTable(sT, maxFilesPerTrigger = 64).handleDeletes(), "left")
+      .on((l, r) => l("c_nationkey") === r("s_nationkey"))
+      .groupByStaged(s"$root/stage", "s_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,6)")).as("total_bal"))
+      .writeToPath(s"$root/agg")
+    cT.upsert(cDf, uniqueKeys = true)
+    sT.upsert(sDf, uniqueKeys = true)
+    p.runIncremental()
+    sT.upsert(sDf.where(col("s_suppkey") % 5 === 0 && col("s_suppkey") % 3 =!= 0)
+      .withColumn("s_nationkey", (col("s_nationkey") + 7) % 25), uniqueKeys = true)
+    sT.delete(sDf.where(col("s_suppkey") % 3 === 0).select("s_suppkey"))
+    p.runIncremental()
+    KeyedTable.forPath(s, s"$root/agg").snapshot()
+      .select(col("s_name"), col("n_cust"),
+        round(col("total_bal"), 2).cast("double").as("total_bal"))
+  }
+
   /** Delete retraction through an incremental aggregation: after the
     * delete commit the running (sum, count) must equal the aggregate
     * of the surviving rows only. */
@@ -591,6 +624,7 @@ object CdcQueries {
     "table_catalog_sql" -> (tableCatalogSql _),
     "cdc_delete_propagation" -> (cdcDeletePropagation _),
     "cdc_outer_downgrade" -> (cdcOuterDowngrade _),
+    "cdc_chain_downgrade" -> (cdcChainDowngrade _),
     "cdc_agg_delete_retract" -> (cdcAggDeleteRetract _),
     "cdc_join_incremental" -> (cdcJoinIncremental _),
     "join_prune_static" -> (joinPruneStatic _),
@@ -726,6 +760,16 @@ object CdcQueries {
                   ELSE s_nationkey END AS s_nationkey
            FROM supplier WHERE s_suppkey % 3 <> 0) s
          ON c.c_nationkey = s.s_nationkey""",
+    "cdc_chain_downgrade" ->
+      """SELECT s.s_name, count(*) AS n_cust,
+           round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2)::DOUBLE AS total_bal
+         FROM customer c LEFT JOIN (
+           SELECT s_suppkey, s_name,
+             CASE WHEN s_suppkey % 5 = 0 THEN (s_nationkey + 7) % 25
+                  ELSE s_nationkey END AS s_nationkey
+           FROM supplier WHERE s_suppkey % 3 <> 0) s
+         ON c.c_nationkey = s.s_nationkey
+         GROUP BY s.s_name""",
     "cdc_agg_delete_retract" ->
       """SELECT o_orderstatus, count(*) AS cnt,
            round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total
