@@ -171,6 +171,46 @@ class OuterRetractionSpec extends AnyFunSuite {
     assertSameRows(snap, want, "right join downgrade")
   }
 
+  test("UNION right side: downgrade falls back to the unioned static") {
+    val root = tmp()
+    val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+    val rSchema = Seq((1L, 1L, "x", 0L)).toDF("rid", "rkey", "name", "rseq").schema
+    val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+      seqCols = Seq("seq"), numBuckets = 4)
+    val rT1 = KeyedTable.create(spark, s"$root/r1", rSchema, Seq("rid"),
+      seqCols = Seq("rseq"), numBuckets = 4)
+    val rT2 = KeyedTable.create(spark, s"$root/r2", rSchema, Seq("rid"),
+      seqCols = Seq("rseq"), numBuckets = 4)
+    // disjoint rid spaces across union members
+    val pipe = Stream.fromKeyedTable(lT)
+      .join(Stream.fromKeyedTable(rT1).handleDeletes()
+        .union(Stream.fromKeyedTable(rT2).handleDeletes()), "left")
+      .on((l, r) => l("lkey") === r("rkey"))
+      .writeToPath(s"$root/out")
+    lT.upsert(Seq((1L, 10L, 100L, 1L), (2L, 20L, 200L, 1L))
+      .toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+    rT1.upsert(Seq((5L, 10L, "a", 1L)).toDF("rid", "rkey", "name", "rseq"),
+      uniqueKeys = true)
+    rT2.upsert(Seq((105L, 20L, "b", 1L)).toDF("rid", "rkey", "name", "rseq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    // delete from member 1, move within member 2
+    rT1.delete(Seq(5L).toDF("rid"))
+    rT2.upsert(Seq((105L, 10L, "b2", 2L)).toDF("rid", "rkey", "name", "rseq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    val snap = KeyedTable.forPath(spark, s"$root/out").snapshot()
+    val want = lT.snapshot().join(
+        rT1.snapshot().unionByName(rT2.snapshot()),
+        col("lkey") === col("rkey"), "left")
+      .select(snap.columns.map(col).toSeq: _*)
+    assert(snap.where(col("id") === 1 && col("rid") === 105).count() == 1,
+      "id=1 must re-pair with the moved union-member row")
+    assert(snap.where(col("id") === 2 && col("rid").isNull).count() == 1,
+      "id=2 must downgrade after its member-2 match moved away")
+    assertSameRows(snap, want, "union non-owning downgrade")
+  }
+
   test("CHAINED: outer-stage downgrade deletes retract in the next stage without user handleDeletes") {
     val root = tmp()
     val (lT, rT) = mkTables(root)

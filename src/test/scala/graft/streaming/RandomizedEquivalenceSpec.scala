@@ -158,46 +158,54 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  // seed 71 additionally runs with a tiny drain byte budget (multi
+  // sub-batch windows: the downgrade pass must stay correct per
+  // sub-batch) and ~20% stale right-side sequence numbers
   Seq(17, 71).foreach { seed =>
     test(s"random op waves through a LEFT join with NON-OWNING moves+deletes (seed $seed)") {
       val rnd = new scala.util.Random(seed)
       val root = tmp()
-      // the right side's join key is NOT its pk: right-side updates can
-      // MOVE pairings, exercising the non-owning downgrade pass (old
-      // pairings must re-pair or fall back to placeholders)
-      val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
-      val rSchema = Seq((1L, 1L, "x", 0L)).toDF("rid", "rkey", "name", "rseq").schema
-      val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
-        seqCols = Seq("seq"), numBuckets = 4)
-      val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rid"),
-        seqCols = Seq("rseq"), numBuckets = 4)
-      val pipe = Stream.fromKeyedTable(lT).handleDeletes()
-        .join(Stream.fromKeyedTable(rT).handleDeletes(), "left")
-        .on((l, r) => l("lkey") === r("rkey"))
-        .writeToPath(s"$root/out")
-      (1 to 6).foreach { wave =>
-        // left keys in [0,10); right join keys in [0,14): some left rows
-        // never match, and right moves cross the boundary both ways
-        val lRows = (1 to 15).map(_ => rnd.nextInt(25).toLong).distinct.map { i =>
-          (i, rnd.nextInt(10).toLong, rnd.nextInt(10000).toLong, wave.toLong)
+      if (seed == 71) spark.conf.set("spark.graft.drain.maxBytes", "20000")
+      try {
+        // the right side's join key is NOT its pk: right-side updates can
+        // MOVE pairings, exercising the non-owning downgrade pass (old
+        // pairings must re-pair or fall back to placeholders)
+        val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+        val rSchema = Seq((1L, 1L, "x", 0L)).toDF("rid", "rkey", "name", "rseq").schema
+        val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+          seqCols = Seq("seq"), numBuckets = 4)
+        val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rid"),
+          seqCols = Seq("rseq"), numBuckets = 4)
+        val pipe = Stream.fromKeyedTable(lT).handleDeletes()
+          .join(Stream.fromKeyedTable(rT).handleDeletes(), "left")
+          .on((l, r) => l("lkey") === r("rkey"))
+          .writeToPath(s"$root/out")
+        (1 to 6).foreach { wave =>
+          // left keys in [0,10); right join keys in [0,14): some left rows
+          // never match, and right moves cross the boundary both ways
+          val lRows = (1 to 15).map(_ => rnd.nextInt(25).toLong).distinct.map { i =>
+            (i, rnd.nextInt(10).toLong, rnd.nextInt(10000).toLong, wave.toLong)
+          }
+          lT.upsert(lRows.toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+          val rRows = (1 to 6).map(_ => rnd.nextInt(12).toLong).distinct.map { k =>
+            val sq = if (seed == 71 && rnd.nextInt(5) == 0)
+              math.max(0, wave - 2).toLong else wave.toLong
+            (k, rnd.nextInt(14).toLong, s"n$k-$wave", sq)
+          }
+          rT.upsert(rRows.toDF("rid", "rkey", "name", "rseq"), uniqueKeys = true)
+          if (wave % 2 == 0)
+            lT.delete((1 to 4).map(_ => rnd.nextInt(25).toLong).distinct.toDF("id"))
+          if (wave % 2 == 1)
+            rT.delete((1 to 3).map(_ => rnd.nextInt(12).toLong).distinct.toDF("rid"))
+          if (wave % 2 == 0 || wave == 5) pipe.runIncremental()
         }
-        lT.upsert(lRows.toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
-        val rRows = (1 to 6).map(_ => rnd.nextInt(12).toLong).distinct.map { k =>
-          (k, rnd.nextInt(14).toLong, s"n$k-$wave", wave.toLong)
-        }
-        rT.upsert(rRows.toDF("rid", "rkey", "name", "rseq"), uniqueKeys = true)
-        if (wave % 2 == 0)
-          lT.delete((1 to 4).map(_ => rnd.nextInt(25).toLong).distinct.toDF("id"))
-        if (wave % 2 == 1)
-          rT.delete((1 to 3).map(_ => rnd.nextInt(12).toLong).distinct.toDF("rid"))
-        if (wave % 2 == 0 || wave == 5) pipe.runIncremental()
-      }
-      pipe.runIncremental()
-      val joined = KeyedTable.forPath(spark, s"$root/out").snapshot()
-      val want = lT.snapshot().join(rT.snapshot(),
-          col("lkey") === col("rkey"), "left")
-        .select(joined.columns.map(col).toSeq: _*)
-      assertSameRows(joined, want, s"seed $seed non-owning left join")
+        pipe.runIncremental()
+        val joined = KeyedTable.forPath(spark, s"$root/out").snapshot()
+        val want = lT.snapshot().join(rT.snapshot(),
+            col("lkey") === col("rkey"), "left")
+          .select(joined.columns.map(col).toSeq: _*)
+        assertSameRows(joined, want, s"seed $seed non-owning left join")
+      } finally if (seed == 71) spark.conf.unset("spark.graft.drain.maxBytes")
     }
   }
 
