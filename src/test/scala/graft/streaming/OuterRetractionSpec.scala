@@ -171,6 +171,31 @@ class OuterRetractionSpec extends AnyFunSuite {
     assertSameRows(snap, want, "right join downgrade")
   }
 
+  test("downgrade stays correct with static pruning forced on") {
+    // drop the prune threshold to 1 byte so the downgrade's owning-side
+    // and re-derive static reads take the bucket-pruned point-read path
+    val root = tmp()
+    val (lT, rT) = mkTables(root)
+    spark.conf.set("spark.graft.join.staticPrune.minBytes", "1")
+    try {
+      val pipe = Stream.fromKeyedTable(lT)
+        .join(Stream.fromKeyedTable(rT).handleDeletes(), "left")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .writeToPath(s"$root/out")
+      lT.upsert(Seq((1L, 10L, 100L, 1L), (2L, 20L, 200L, 1L), (3L, 10L, 50L, 1L))
+        .toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+      rT.upsert(Seq((5L, 10L, "a", 1L), (6L, 20L, "b", 1L))
+        .toDF("rid", "rkey", "name", "rseq"), uniqueKeys = true)
+      pipe.runIncremental()
+      rT.upsert(Seq((5L, 20L, "a2", 2L)).toDF("rid", "rkey", "name", "rseq"),
+        uniqueKeys = true) // move
+      rT.delete(Seq(6L).toDF("rid"))                            // delete
+      pipe.runIncremental()
+      val snap = KeyedTable.forPath(spark, s"$root/out").snapshot()
+      assertSameRows(snap, batchWant(lT, rT, snap), "pruned downgrade")
+    } finally spark.conf.unset("spark.graft.join.staticPrune.minBytes")
+  }
+
   test("UNION right side: downgrade falls back to the unioned static") {
     val root = tmp()
     val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
