@@ -359,9 +359,13 @@ object CdcQueries {
     cT.upsert(cDf, uniqueKeys = true)
     sT.upsert(sDf, uniqueKeys = true)
     p.runIncremental()
-    sT.upsert(sDf.where(col("s_suppkey") % 5 === 0 && col("s_suppkey") % 3 =!= 0)
+    // move ~14% of surviving suppliers, delete 10% — enough churn to
+    // exercise every retraction class without re-deriving most of the
+    // staged table (the affected neighborhood is what the pass scales
+    // with; the semantics are identical at any churn fraction)
+    sT.upsert(sDf.where(col("s_suppkey") % 7 === 0 && col("s_suppkey") % 10 =!= 0)
       .withColumn("s_nationkey", (col("s_nationkey") + 7) % 25), uniqueKeys = true)
-    sT.delete(sDf.where(col("s_suppkey") % 3 === 0).select("s_suppkey"))
+    sT.delete(sDf.where(col("s_suppkey") % 10 === 0).select("s_suppkey"))
     p.runIncremental()
     KeyedTable.forPath(s, s"$root/agg").snapshot()
       .select(col("s_name"), col("n_cust"),
@@ -765,9 +769,9 @@ object CdcQueries {
            round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2)::DOUBLE AS total_bal
          FROM customer c LEFT JOIN (
            SELECT s_suppkey, s_name,
-             CASE WHEN s_suppkey % 5 = 0 THEN (s_nationkey + 7) % 25
+             CASE WHEN s_suppkey % 7 = 0 THEN (s_nationkey + 7) % 25
                   ELSE s_nationkey END AS s_nationkey
-           FROM supplier WHERE s_suppkey % 3 <> 0) s
+           FROM supplier WHERE s_suppkey % 10 <> 0) s
          ON c.c_nationkey = s.s_nationkey
          GROUP BY s.s_name""",
     "cdc_agg_delete_retract" ->
