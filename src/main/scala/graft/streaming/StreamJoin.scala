@@ -599,6 +599,7 @@ final class JoinedStream(
 
       def downgrade(srcKeys: DataFrame, side: String, nonOwning: Stream,
           idxSubPath: String): Unit = {
+        spark.sparkContext.setJobDescription("graft:join:downgrade")
         val sk = srcKeys.persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val skN = sk.count()
@@ -671,7 +672,10 @@ final class JoinedStream(
             out.delete(stale)
             out.merge(reRows, MergeSpec(), uniqueKeys = true)
           } finally reRows.unpersist()
-        } finally sk.unpersist()
+        } finally {
+          sk.unpersist()
+          spark.sparkContext.setJobDescription(null)
+        }
       }
 
       // join-key migration (managed outputs): an update that changes
