@@ -1168,8 +1168,18 @@ final class KeyedTable private (
     } else bid
   }
 
+  /** @param deleteKeys keys whose CURRENT rows are removed in the SAME
+    *                    commit the staged batch merges into
+    *                    (delete-then-merge: deletions apply to the
+    *                    pre-batch state, then staged rows merge — a
+    *                    staged row sharing a deleted key re-inserts).
+    *                    Makes a retract-and-replace pass atomic: no
+    *                    reader can observe the retraction without the
+    *                    replacement, and the pass costs ONE commit.
+    *                    Must carry all bucket key columns. */
   def merge(batch: DataFrame, spec: MergeSpec, uniqueKeys: Boolean = false,
-      batchId: Long = -1L): Long = synchronized { withMergeConf {
+      batchId: Long = -1L, deleteKeys: Option[DataFrame] = None): Long =
+    synchronized { withMergeConf {
     // a replayed microbatch (foreachBatch re-run after failure) must not
     // re-apply its deltas — that would double-count incremental aggs
     if (batchId >= 0 && batchId <= lastAppliedBatchId) return latestVersion
@@ -1207,6 +1217,18 @@ final class KeyedTable private (
       .withColumn(KHashCol, keyHashExpr(col))
       .withColumn(BucketCol, pmod(col(KHashCol), lit(meta.numBuckets)).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // fused deletions, bucketed like the staged batch; their buckets and
+    // hash ranges join the plan so file pruning can never carry a file
+    // holding a to-delete row
+    val delKeyCols = deleteKeys.map(dk => meta.keys.filter(dk.columns.contains))
+    delKeyCols.foreach(kc => require(meta.bucketKeys.forall(kc.contains),
+      s"fused delete keys must carry all bucket key columns ${meta.bucketKeys.mkString(",")}"))
+    val del0 = deleteKeys.map { dk =>
+      dk.select(delKeyCols.get.map(col): _*).distinct()
+        .withColumn(KHashCol, keyHashExpr(col))
+        .withColumn(BucketCol, pmod(col(KHashCol), lit(meta.numBuckets)).cast("int"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     try {
       // ONE action materializes the staged batch AND collects everything
       // the planner needs from it: per affected bucket the row count and
@@ -1218,17 +1240,31 @@ final class KeyedTable private (
       spark.sparkContext.setJobDescription("graft:merge:plan")
       val planRows = timed("plan")(staged0.groupBy(col(BucketCol))
         .agg(aggCols.head, aggCols.tail: _*).collect())
-      val affected = planRows.map(_.getInt(0)).toSeq
+      val delPlan: Array[Row] = del0.map(d =>
+        d.groupBy(col(BucketCol)).agg(count(lit(1)).alias("__n"),
+          min(col(KHashCol)).alias("__mn"), max(col(KHashCol)).alias("__mx"))
+          .collect()).getOrElse(Array.empty)
+      val affected = (planRows.map(_.getInt(0)) ++ delPlan.map(_.getInt(0)))
+        .distinct.toSeq
       if (affected.isEmpty) latestVersion
       else {
-        val stagedRange = planRows
-          .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
-        val stagedCount = planRows.map(_.getLong(1)).sum
+        val stagedRange = (planRows.map(r =>
+            r.getInt(0) -> (r.getLong(2), r.getLong(3))) ++
+          delPlan.map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))))
+          .groupBy(_._1)
+          .map { case (b, rs) =>
+            b -> (rs.map(_._2._1).min, rs.map(_._2._2).max) }
+        val stagedCount = planRows.map(_.getLong(1)).sum +
+          delPlan.map(_.getLong(1)).sum
         // static partition pruning (the reference's `prune(col)`,
         // joins.py:619-632): restrict the target-side scan to the
         // pruned columns' values present in this batch — at scale this
-        // skips whole partitions/row-groups of the target
-        val pruneFilter: Option[Column] = meta.prunedCols.headOption.map { _ =>
+        // skips whole partitions/row-groups of the target. Disabled for
+        // fused-delete merges: delete keys carry no partition values,
+        // so a pruned-out partition could silently keep a deleted row.
+        val pruneFilter: Option[Column] =
+          if (del0.isDefined) None
+          else meta.prunedCols.headOption.map { _ =>
           meta.prunedCols.zipWithIndex.map { case (pc, i) =>
             val vals = planRows.flatMap(_.getSeq[Any](4 + i)).distinct.filter(_ != null)
             col(pc).isNull || col(pc).isin(vals: _*)
@@ -1237,7 +1273,7 @@ final class KeyedTable private (
         // the same per-bucket staged value sets, for manifest-level
         // prune-carry inside splitByHashRange
         val prunedValsByBucket: Map[Int, Seq[(String, Seq[Any])]] =
-          if (meta.prunedCols.isEmpty) Map.empty
+          if (meta.prunedCols.isEmpty || del0.isDefined) Map.empty
           else planRows.map { r =>
             r.getInt(0) -> meta.prunedCols.zipWithIndex.map { case (pc, i) =>
               pc -> r.getSeq[Any](4 + i).filter(_ != null)
@@ -1270,8 +1306,9 @@ final class KeyedTable private (
           if (epochAt(base) >= 0 && epochAt(base) != planEpoch) {
             if (prevDir != null) discardAttempt(prevDir)
             staged0.unpersist()
+            del0.foreach(_.unpersist())
             refreshMeta()
-            return merge(batch, spec, uniqueKeys, batchId)
+            return merge(batch, spec, uniqueKeys, batchId, deleteKeys)
           }
           val newVersion = base + 1
           val bv = bucketVersionsAt(base).filter { case (b, _) => affected.contains(b) }
@@ -1307,18 +1344,41 @@ final class KeyedTable private (
             // file-granular target scan: only files whose key-hash range
             // intersects the staged batch are read and rewritten; the
             // rest of each bucket's files carry forward by reference
+            // fused-delete merges prune files against staged ∪ delete
+            // hashes (a carried file must provably hold neither)
+            val planKeys = del0.fold(staged0)(d =>
+              staged0.select(col(BucketCol), col(KHashCol))
+                .unionByName(d.select(col(BucketCol), col(KHashCol))))
             val (readablePaths, carriedFiles, readBytes) =
-              splitByHashRange(staged0, bv.toSeq, stagedRange, stagedCount,
+              splitByHashRange(planKeys, bv.toSeq, stagedRange, stagedCount,
                 prunedValsByBucket)
-            val currentRaw = readPaths(readablePaths)
+            val currentRaw0 = readPaths(readablePaths)
+            // deletions apply to the CURRENT state before the staged
+            // batch merges; removed rows become delete change rows
+            val (currentRaw, removedRows) = del0 match {
+              case Some(d) =>
+                val dd = broadcast(d.drop(KHashCol, BucketCol))
+                val eq = delKeyCols.get
+                  .map(k => col(s"u.$k") <=> col(s"d.$k")).reduce(_ && _)
+                val u = currentRaw0.alias("u")
+                (u.join(dd.alias("d"), eq, "left_anti")
+                   .select(dataCols.map(c => col(s"u.$c").alias(c)): _*),
+                 Some(u.join(dd.alias("d"), eq, "left_semi")
+                   .select(dataCols.map(c => col(s"u.$c").alias(c)): _*)))
+              case None => (currentRaw0, None)
+            }
             val current = pruneFilter.fold(currentRaw)(currentRaw.where)
                 .withColumn(BucketCol, bucketExpr(col))
-            val (merged, cdf, cleanup) =
+            val (merged, cdf0, cleanup) =
               if (readablePaths.isEmpty) mergeIntoEmpty(staged0, spec)
               else if (meta.nullableKeys.isEmpty) mergeExact(current, staged0, spec)
               else mergeWithPlaceholders(current, staged0, spec)
+            val cdf = removedRows.fold(cdf0)(r => cdf0.unionByName(
+              r.withColumn("_change_type", lit("delete"))))
             // bucket rewrite must carry pruned-out rows through unchanged —
             // pruning narrows the MATCHING scan, not the bucket contents
+            // (pruneFilter is None on fused-delete merges, so the carry
+            // branch can never resurrect a deleted row)
             val newContent = pruneFilter.fold(merged) { f =>
               merged.unionByName(
                 currentRaw.where(!f).withColumn(BucketCol, bucketExpr(col)))
@@ -1391,7 +1451,7 @@ final class KeyedTable private (
         }
         out
       }
-    } finally staged0.unpersist()
+    } finally { staged0.unpersist(); del0.foreach(_.unpersist()) }
   } }
 
   /** Merge plans are bounded-size by construction (one microbatch vs a

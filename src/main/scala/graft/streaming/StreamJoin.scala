@@ -660,17 +660,20 @@ final class JoinedStream(
             // recompute did NOT reproduce (resolved post-merge, so
             // same-batch stale re-inserts are caught; an OR-condition
             // pairing still valid under the new images IS reproduced
-            // and therefore never deleted). Deleting BEFORE the merge
-            // matters: an incoming placeholder would be subsumed by the
-            // very stale pairing it replaces.
+            // and therefore never deleted). The delete and the
+            // re-derived merge land as ONE fused commit with
+            // delete-then-merge semantics: no reader can observe the
+            // retraction without its replacement, and an incoming
+            // placeholder is never subsumed by the stale pairing it
+            // replaces (already removed from the merge's target scan).
             val fk = resolveOutRows(sk, nonOwning, idxSubPath)
             val keyCols = nonNull ++ nullable
             val stale = fk.alias("fk").join(reRows.alias("rr"),
                 keyCols.map(k => col(s"fk.$k") <=> col(s"rr.$k")).reduce(_ && _),
                 "left_anti")
               .select(keyCols.map(k => col(s"fk.$k").alias(k)): _*)
-            out.delete(stale)
-            out.merge(reRows, MergeSpec(), uniqueKeys = true)
+            out.merge(reRows, MergeSpec(), uniqueKeys = true,
+              deleteKeys = Some(stale))
           } finally reRows.unpersist()
         } finally {
           sk.unpersist()
