@@ -273,6 +273,11 @@ final class KeyedTable private (
       s"point read at version $version is below the log truncation floor " +
         s"${log.truncationFloor} on $path")
     if (autoMergeOn) refreshMeta()
+    // bucket ids derive from hash mod numBuckets — a rebucket by another
+    // handle silently invalidates them (plain snapshot() is immune: its
+    // bucket ids come from the commits themselves)
+    val ep = epochAt(if (version < 0) latestVersion else version)
+    if (ep >= 0 && ep != meta.numBuckets) refreshMeta()
     val k = keys.select(meta.bucketKeys.map(col): _*).distinct()
       .withColumn(KHashCol, keyHashExpr(col))
     val hashes = k.agg(collect_set(col(KHashCol))).collect().head

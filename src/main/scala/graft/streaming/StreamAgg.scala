@@ -179,32 +179,71 @@ final class StreamAgg(
       val deltas = p.join(m, keyEq, "full_outer")
         .select(groupCols.map(k => coalesce(col(s"p.$k"), col(s"m.$k")).alias(k)) ++
           deltaExprs: _*)
-      // deltas is groupBy output → key-unique; batchId guards replays
-      // (a double-applied delta would double-count the running agg)
-      out.merge(deltas, mergeSpec, uniqueKeys = true, batchId = batchId)
       // emptied-group removal: a group whose retractions (deletes or
-      // moved-away group keys) took its running row count to ZERO has no
-      // source rows left — the batch fixpoint has no row for it, so the
-      // zeroed shell must go. Only the batch's RETRACTION groups can
-      // empty, so the check is one bucket-pruned point read over that
-      // (batch-sized) set, never a table scan. Exactness comes from the
-      // user's plain count(*) column when declared, else from the
-      // hidden engine-maintained one.
+      // moved-away group keys) take its running row count to ZERO has no
+      // source rows left — the batch fixpoint has no row for it. The
+      // zeroed groups are computed BEFORE the merge (current count +
+      // this batch's count delta == 0), their delta rows are withheld,
+      // and the group rows are deleted in the SAME fused commit the
+      // remaining deltas merge into — atomic, and the group's delete
+      // change row carries its last live values (downstream retraction
+      // subtracts exactly what the old update-to-zero + delete pair
+      // did). Only the batch's RETRACTION groups can empty, so the
+      // check is one bucket-pruned point read over that (batch-sized)
+      // set, never a table scan. Exactness comes from the user's plain
+      // count(*) column when declared, else from the hidden
+      // engine-maintained one.
       // groups whose cols are all source pks cannot MOVE (pre/post share
       // the pk), so without deletes in play no group can empty;
       // spark.graft.agg.zeroGroupCheck=false opts out entirely
       val zeroCheck = spark.conf
         .getOption("spark.graft.agg.zeroGroupCheck").forall(_ != "false") &&
         (!groupCols.forall(src.pks.contains) || src.deletesOn)
-      if (!noRetractions && zeroCheck) {
-        val countCol = rowCountCol.getOrElse(hiddenCnt)
-        val mGroups = data.where(col("_change_type") === "update_preimage" ||
-            col("_change_type") === "delete")
-          .select(groupCols.map(col): _*).distinct()
-        val zeroed = out.snapshotForKeys(mGroups, includeInternal = true)
-          .where(col(countCol) === 0)
-          .select(groupCols.map(col): _*)
-        if (!zeroed.isEmpty) out.delete(zeroed)
+      // the zero path evaluates deltas more than once — pin it
+      // a REPLAYED batch's delta merge is a batchId no-op — which would
+      // also skip a fused deletion, so replay detects zeroed groups
+      // against the CURRENT (already-merged) state and deletes directly
+      val alreadyApplied = batchId >= 0 && batchId <= out.lastAppliedBatchId
+      val zeroPath = !noRetractions && zeroCheck
+      if (zeroPath && !alreadyApplied)
+        deltas.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val zeroedOpt: Option[DataFrame] =
+        if (!zeroPath) None
+        else {
+          val countCol = rowCountCol.getOrElse(hiddenCnt)
+          val mGroups = data.where(col("_change_type") === "update_preimage" ||
+              col("_change_type") === "delete")
+            .select(groupCols.map(col): _*).distinct()
+          val cur = out.snapshotForKeys(mGroups, includeInternal = true)
+            .select(groupCols.map(col) :+ col(countCol).alias("__cur"): _*)
+          val z =
+            if (alreadyApplied) cur.where(col("__cur") === 0)
+              .select(groupCols.map(col): _*)
+            else cur.alias("c").join(deltas.alias("dl"),
+                groupCols.map(k => col(s"c.$k") <=> col(s"dl.$k")).reduce(_ && _))
+              .where(col("__cur") + col(s"dl.$countCol") === 0)
+              .select(groupCols.map(k => col(s"c.$k").alias(k)): _*)
+          val zp = z.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (zp.isEmpty) { zp.unpersist(); None } else Some(zp)
+        }
+      // deltas is groupBy output → key-unique; batchId guards replays
+      // (a double-applied delta would double-count the running agg)
+      try {
+        if (alreadyApplied) zeroedOpt.foreach(z => out.delete(z))
+        else zeroedOpt match {
+          case None =>
+            out.merge(deltas, mergeSpec, uniqueKeys = true, batchId = batchId)
+          case Some(z) =>
+            val live = deltas.alias("dl").join(z.alias("z"),
+                groupCols.map(k => col(s"dl.$k") <=> col(s"z.$k")).reduce(_ && _),
+                "left_anti")
+              .select(deltas.columns.map(c => col(s"dl.$c").alias(c)).toSeq: _*)
+            out.merge(live, mergeSpec, uniqueKeys = true, batchId = batchId,
+              deleteKeys = Some(z))
+        }
+      } finally {
+        zeroedOpt.foreach(_.unpersist())
+        if (zeroPath && !alreadyApplied) deltas.unpersist()
       }
     }
 

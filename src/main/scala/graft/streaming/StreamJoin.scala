@@ -430,14 +430,37 @@ final class JoinedStream(
       // user-declared pk set would still need the dedup).
       def keyUniqueWindow(side: Stream, commits: Int): Boolean =
         commits == 1 && side.isPlainTable && side.pks == side.table.meta.keys
-      val lBatch =
+      def latestDeleteKeys(side: String, pks: Seq[String]): DataFrame = {
+        val all = batch.where(col(side).isNotNull).select(s"$side.*")
+        val w = Window.partitionBy(pks.map(col): _*)
+          .orderBy(col("_commit_version").desc)
+        all.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1 && col("_change_type") === "delete")
+          .select(pks.map(col): _*)
+      }
+      // keys whose LATEST action this window is a delete must not merge
+      // their stale earlier images (insert-then-delete within one
+      // window): they are filtered out of the batch halves, and their
+      // old output rows are removed by the FUSED deletions below (the
+      // former post-merge cleanup commit)
+      val lDelKeys = if (left.deletesOn && lDeleted)
+        Some(latestDeleteKeys("l", left.pks).persist(StorageLevel.MEMORY_AND_DISK))
+      else None
+      val rDelKeys = if (right.deletesOn && rDeleted)
+        Some(latestDeleteKeys("r", right.pks).persist(StorageLevel.MEMORY_AND_DISK))
+      else None
+      val lBatch0 =
         if (drain.exists(m => keyUniqueWindow(left, m.lCommits)))
           lRows.drop("_change_type", "_commit_version")
         else latestPerKey(lRows, left.pks, left.seqCols)
-      val rBatch =
+      val rBatch0 =
         if (drain.exists(m => keyUniqueWindow(right, m.rCommits)))
           rRows.drop("_change_type", "_commit_version")
         else latestPerKey(rRows, right.pks, right.seqCols)
+      val lBatch = lDelKeys.fold(lBatch0)(dk =>
+        lBatch0.join(broadcast(dk), left.pks.toSeq, "left_anti"))
+      val rBatch = rDelKeys.fold(rBatch0)(dk =>
+        rBatch0.join(broadcast(dk), right.pks.toSeq, "left_anti"))
 
       // each half probes a (small) batch against the other side's
       // static — swap the full static scan for a bucket-pruned point
@@ -487,14 +510,6 @@ final class JoinedStream(
             .where(allKeys.map(k => col(k).isNotNull).reduce(_ || _))
         }
 
-      def latestDeleteKeys(side: String, pks: Seq[String]): DataFrame = {
-        val all = batch.where(col(side).isNotNull).select(s"$side.*")
-        val w = Window.partitionBy(pks.map(col): _*)
-          .orderBy(col("_commit_version").desc)
-        all.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1 && col("_change_type") === "delete")
-          .select(pks.map(col): _*)
-      }
       /** Resolves `srcKeys` (one side's pks) to the FULL output keys of
         * every output row they contributed — the shared machinery of
         * delete propagation, join-key migration, and outer-join
@@ -557,9 +572,6 @@ final class JoinedStream(
           }
         fullKeys
       }
-
-      def retract(srcKeys: DataFrame, side: Stream, idxSubPath: String): Unit =
-        out.delete(resolveOutRows(srcKeys, side, idxSubPath))
 
       /** Non-owning-side retraction for OUTER joins — the placeholder
         * DOWNGRADE the former inner-only contract could not express.
@@ -736,83 +748,94 @@ final class JoinedStream(
       // (e.g. a dimension joined on its own key)
       def movableCols(stream: Stream, condCols: Seq[String]): Seq[String] =
         condCols.filterNot(stream.pks.contains)
-      if (userSink.isEmpty && migrationCheck && !alreadyApplied) {
-        def migrate(side: String, stream: Stream, condCols: Seq[String],
-            idxSubPath: String): Unit = {
-          val movable = movableCols(stream, condCols)
-          if (movable.nonEmpty && stream.pks.forall(outCols.contains)) {
-            val mk = moved(side, stream.pks, stream.seqCols, movable)
-              .persist(StorageLevel.MEMORY_AND_DISK)
-            // one small batch-sized job guards the (rare) retraction
-            try if (!mk.isEmpty) retract(mk, stream, idxSubPath)
-            finally mk.unpersist()
+      def requireResolvable(s: Stream, what: String): Unit =
+        require(s.pks.forall(outCols.contains),
+          s"$what needs the side's primary keys (${s.pks.mkString(",")}) " +
+            "in the join output to resolve contributed rows; project " +
+            "them through or disable handleDeletes upstream")
+      // OWNING-side retractions — join-key migration and delete
+      // propagation — resolve their old output rows BEFORE the merge
+      // and land IN the merge commit as fused deletions: one commit,
+      // atomic with the fresh rows the merge halves re-insert, and a
+      // replayed batch skips both together (no separate retraction
+      // commit to double-apply). The batch halves were already filtered
+      // of latest-deleted keys above, so the merge can never re-insert
+      // a stale image the fused deletion would miss.
+      val fusedPins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val fusedDeletes: Option[DataFrame] =
+        if (userSink.isEmpty && !alreadyApplied) {
+          val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+          if (migrationCheck) {
+            def resolveMoved(side: String, stream: Stream,
+                condCols: Seq[String], idxSubPath: String): Unit = {
+              val movable = movableCols(stream, condCols)
+              if (movable.nonEmpty && stream.pks.forall(outCols.contains)) {
+                val mk = moved(side, stream.pks, stream.seqCols, movable)
+                  .persist(StorageLevel.MEMORY_AND_DISK)
+                // one small batch-sized job guards the (rare) retraction
+                if (!mk.isEmpty) {
+                  fusedPins += mk
+                  frames += resolveOutRows(mk, stream, idxSubPath)
+                } else mk.unpersist()
+              }
+            }
+            val (lCondCols, rCondCols) = sideCondCols
+            if (joinType != "right" && lPre != 0L && lCnt > 0L)
+              resolveMoved("l", left, lCondCols, "l")
+            if (joinType != "left" && rPre != 0L && rCnt > 0L)
+              resolveMoved("r", right, rCondCols, "r")
           }
-        }
-        val (lCondCols, rCondCols) = sideCondCols
-        if (joinType != "right" && lPre != 0L && lCnt > 0L)
-          migrate("l", left, lCondCols, "l")
-        if (joinType != "left" && rPre != 0L && rCnt > 0L)
-          migrate("r", right, rCondCols, "r")
-      }
+          if (joinType != "right") lDelKeys.foreach { dk =>
+            requireResolvable(left, "delete propagation")
+            frames += resolveOutRows(dk, left, "l")
+          }
+          if (joinType != "left") rDelKeys.foreach { dk =>
+            requireResolvable(right, "delete propagation")
+            frames += resolveOutRows(dk, right, "r")
+          }
+          if (frames.isEmpty) None else Some(frames.reduce(_ unionByName _))
+        } else None
 
       userSink match {
         case Some(fn) => fn(combined, batchId)
         // combined is outer-merged per output key above → key-unique;
-        // batchId makes a replayed microbatch a no-op (exactly-once)
-        case None => out.merge(combined, MergeSpec(), uniqueKeys = true,
-          batchId = batchId)
+        // batchId makes a replayed microbatch a no-op (exactly-once),
+        // fused owning-side retractions included
+        case None =>
+          try out.merge(combined, MergeSpec(), uniqueKeys = true,
+            batchId = batchId, deleteKeys = fusedDeletes)
+          finally fusedPins.foreach(_.unpersist())
       }
 
-      // delete propagation: a source key whose LATEST action in this
-      // batch is a delete retracts every output row it contributed.
-      // Commit versions strictly order delete vs re-insert within the
-      // batch. Runs AFTER the merge so a same-batch insert-then-delete
-      // key's stale merge-half rows are caught too. Owning sides (both
-      // sides of an inner join, the outer side of an outer join) delete
-      // their contributed rows — placeholders included; the non-owning
-      // side of an outer join funnels its deleted keys, together with
-      // its migration-moved keys, into ONE [[downgrade]] pass.
+      // NON-owning-side retraction (outer joins) runs AFTER the merge:
+      // moved ∪ deleted keys funnel into ONE [[downgrade]] pass, itself
+      // a single fused commit. (Owning-side retractions — both sides of
+      // an inner join, the outer side of an outer join — already landed
+      // inside the merge commit above.)
       if (userSink.isEmpty) {
-        def requireResolvable(s: Stream, what: String): Unit =
-          require(s.pks.forall(outCols.contains),
-            s"$what needs the side's primary keys (${s.pks.mkString(",")}) " +
-              "in the join output to resolve contributed rows; project " +
-              "them through or disable handleDeletes upstream")
-        if (anyDeletes) {
-          if (left.deletesOn && lDeletes && joinType != "right") {
-            requireResolvable(left, "delete propagation")
-            retract(latestDeleteKeys("l", left.pks), left, "l")
-          }
-          if (right.deletesOn && rDeletes && joinType != "left") {
-            requireResolvable(right, "delete propagation")
-            retract(latestDeleteKeys("r", right.pks), right, "r")
-          }
-        }
-        // non-owning-side keys needing a downgrade: moved ∪ deleted
         def nonOwnRetracted(side: String, s: Stream, condCols: Seq[String],
-            pre: Long, cnt: Long, dels: Boolean): Option[DataFrame] = {
+            pre: Long, cnt: Long, delKeys: Option[DataFrame]): Option[DataFrame] = {
           val movedKeys =
             if (migrationCheck && pre != 0L && cnt > 0L &&
                 movableCols(s, condCols).nonEmpty && s.pks.forall(outCols.contains))
               Some(moved(side, s.pks, s.seqCols, movableCols(s, condCols)))
             else None
-          val delKeys =
-            if (s.deletesOn && dels) {
-              requireResolvable(s, "outer-join delete propagation")
-              Some(latestDeleteKeys(side, s.pks))
-            } else None
+          delKeys.foreach(_ =>
+            requireResolvable(s, "outer-join delete propagation"))
           (movedKeys, delKeys) match {
             case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
             case (a, b)             => a.orElse(b)
           }
         }
         if (joinType == "right")
-          nonOwnRetracted("l", left, sideCondCols._1, lPre, lCnt, lDeletes)
+          nonOwnRetracted("l", left, sideCondCols._1, lPre, lCnt, lDelKeys)
             .foreach(k => downgrade(k, "l", left, "l"))
         if (joinType == "left")
-          nonOwnRetracted("r", right, sideCondCols._2, rPre, rCnt, rDeletes)
+          nonOwnRetracted("r", right, sideCondCols._2, rPre, rCnt, rDelKeys)
             .foreach(k => downgrade(k, "r", right, "r"))
       }
+      lDelKeys.foreach(_.unpersist())
+      rDelKeys.foreach(_.unpersist())
     }
 
     def pack(ls: DataFrame, rs: DataFrame): DataFrame = {
