@@ -46,7 +46,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    // engine-phase attribution (PhaseStats): [invocations, total sec]
+    // per phase — a handful of keys, so the line stays under the ~2.2 KB
+    // driver tail. Lets a swung driver record answer "where did the
+    // time go" (merge plan/write/commit vs downgrade vs load) without a
+    // same-box forensic A/B.
+    val ph = graft.store.PhaseStats.snapshot().toSeq.sortBy(_._1)
+      .map { case (k, (n, s)) => "\"" + k + "\":[" + n + "," + fmt(s) + "]" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"phases":$ph,"sf":"$sfName"}""")
     spark.stop()
   }
 }

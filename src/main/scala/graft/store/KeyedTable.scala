@@ -278,12 +278,19 @@ final class KeyedTable private (
     // bucket ids come from the commits themselves)
     val ep = epochAt(if (version < 0) latestVersion else version)
     if (ep >= 0 && ep != meta.numBuckets) refreshMeta()
+    // the layout at the READ version hashed with ITS epoch's modulus.
+    // For a current read the refresh above re-aligns meta; for a
+    // TIME-TRAVEL read to a pre-rebucket version the mismatch persists
+    // by design — probing with the current modulus against the old
+    // layout would silently return missing rows, so the probe always
+    // uses the version's own epoch when the log records one.
+    val modulus = if (ep >= 0) ep else meta.numBuckets
     val k = keys.select(meta.bucketKeys.map(col): _*).distinct()
       .withColumn(KHashCol, keyHashExpr(col))
     val hashes = k.agg(collect_set(col(KHashCol))).collect().head
       .getSeq[Long](0).sorted.toArray
     val buckets = hashes
-      .map(h => java.lang.Math.floorMod(h, meta.numBuckets.toLong).toInt).toSet
+      .map(h => java.lang.Math.floorMod(h, modulus.toLong).toInt).toSet
     val bv = bucketVersionsAt(if (version < 0) latestVersion else version)
       .filter { case (b, _) => buckets.contains(b) }
     if (bv.isEmpty) emptyDf
@@ -1081,14 +1088,25 @@ final class KeyedTable private (
     // that crashed between its write job and the rename-out leaves
     // `_tmp_<attempt>` at the table root; the attempt can never commit
     // (the claim follows the cleanup), so the dir is garbage once
-    // provably dead. Liveness looks at the NEWEST mtime one level deep:
-    // task commits keep a long-running write's partition dirs fresh,
-    // so an in-flight rewrite longer than the grace period is spared.
+    // provably dead. Liveness looks at the NEWEST mtime over the WHOLE
+    // subtree: an in-flight write's activity lands two-plus levels down
+    // (_temporary/0/task_*/, b=*/part files) and directory mtimes only
+    // move when DIRECT children are added — a single long write job
+    // whose level-1 dirs were all created early would look dead one
+    // level deep and be reaped mid-write. The subtree is one attempt's
+    // files, so the recursive walk is small and bounded.
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val children =
+        if (st.isDirectory)
+          try fs.listStatus(st.getPath).toSeq
+          catch { case _: java.io.IOException => Nil } // racing cleanup
+        else Nil
+      (st.getModificationTime +: children.map(newestMtime)).max
+    }
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("_tmp_") && st.isDirectory) {
-        val newest = (st +: fs.listStatus(st.getPath).toSeq)
-          .map(_.getModificationTime).max
+        val newest = newestMtime(st)
         if (System.currentTimeMillis() - newest >
             spark.conf.getOption("spark.graft.pendingGraceMs").map(_.toLong)
               .getOrElse(KeyedTable.DefaultPendingGraceMs))
@@ -1483,15 +1501,18 @@ final class KeyedTable private (
     }
   }
 
-  /** Wall-clock printout per merge phase, on only when
-    * `spark.graft.debugTiming=true` — the local perf-experiment loop. */
-  private def timed[T](label: String)(f: => T): T =
-    if (!spark.conf.getOption("spark.graft.debugTiming").contains("true")) f
-    else {
-      val t0 = System.nanoTime()
-      try f finally System.err.println(
-        f"[gtime] $label ${(System.nanoTime() - t0) / 1e9}%.3f")
+  /** Per-phase wall-clock: always accumulated into [[PhaseStats]] (so
+    * bench records carry their own attribution); additionally printed
+    * when `spark.graft.debugTiming=true` — the local perf loop. */
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    try f finally {
+      val dt = System.nanoTime() - t0
+      PhaseStats.add(label, dt)
+      if (spark.conf.getOption("spark.graft.debugTiming").contains("true"))
+        System.err.println(f"[gtime] $label ${dt / 1e9}%.3f")
     }
+  }
 
   private def withMergeConf[T](f: => T): T = {
     val conf = spark.conf

@@ -115,41 +115,67 @@ private[streaming] object DrainState {
     val f = fs(spark, dir)
     val state = new Path(dir, "state.properties")
     val intent = new Path(dir, "intent.properties")
-    if (f.exists(intent)) {
-      val i = read(f, intent)
-      // the intent's merge ran with batchId = i.next - 1
-      if (appliedBatchId >= i.next - 1) {
-        val base = // the step's window start, read BEFORE promotion
+    // A rival promoting this intent deletes it between our exists and
+    // read (FileNotFoundException -> no intent, fall through to the
+    // freshly promoted state); a torn sidecar mid-rename throws
+    // ChecksumException, which IS an IOException — retry it out like
+    // every other read here instead of crashing the drainer.
+    def readIntent(tries: Int): Option[St] =
+      try { if (f.exists(intent)) Some(read(f, intent)) else None }
+      catch {
+        case _: java.io.FileNotFoundException => None
+        case _: java.io.IOException if tries > 0 =>
+          Thread.sleep(10); readIntent(tries - 1)
+        case _: java.io.IOException => None
+      }
+    readIntent(50) match {
+      case Some(i) if appliedBatchId >= i.next - 1 =>
+        // the intent's merge ran with batchId = i.next - 1
+        def readBase(tries: Int): St = // the step's window start, read BEFORE promotion
           try read(f, state)
-          catch { case _: java.io.IOException => St(Map.empty, 0L) }
+          catch {
+            case _: java.io.FileNotFoundException => St(Map.empty, 0L)
+            case _: java.io.IOException if tries > 0 =>
+              Thread.sleep(10); readBase(tries - 1)
+            case _: java.io.IOException => St(Map.empty, 0L)
+          }
+        val base = readBase(50)
         writeAtomic(spark, f, state, i) // state first: never absent
         f.delete(intent, false)
-        return (i, Some((base, i)))
-      }
+        (i, Some((base, i)))
+      case _ =>
+        (loadNoIntent(f, state, appliedBatchId), None)
     }
-    (loadNoIntent(f, state, appliedBatchId), None)
   }
 
   private def loadNoIntent(f: org.apache.hadoop.fs.FileSystem,
       state: Path, appliedBatchId: Long): St = {
-    if (f.exists(state)) read(f, state)
-    else if (appliedBatchId >= 0) {
-      // merges HAVE landed, so an absent state file is transient: a
-      // rival's overwrite-rename on an emulating filesystem (local FS
-      // deletes then renames) is mid-window. Wait it out rather than
-      // reporting a fresh pipeline — that misread trips the caller's
-      // history check and would restart drain accounting from zero.
+    // A rival's overwrite-rename on an emulating filesystem (local FS
+    // deletes then renames) has two transient faces: the state file
+    // absent for an instant, or present with a torn checksum sidecar
+    // (ChecksumException — an IOException). Both retry; the FIRST
+    // attempt is inside the same guard as the loop (the unguarded
+    // first read was the r9 EpochDrainSpec flake).
+    var sawFile = false
+    def attempt(): Option[St] =
+      try {
+        if (f.exists(state)) { sawFile = true; Some(read(f, state)) }
+        else None
+      } catch { case _: java.io.IOException => None }
+    var out = attempt()
+    if (out.isEmpty && (sawFile || appliedBatchId >= 0)) {
+      // merges HAVE landed (or the file was just seen), so the miss is
+      // transient. Wait it out rather than reporting a fresh pipeline —
+      // that misread trips the caller's history check and would restart
+      // drain accounting from zero.
       var tries = 0
-      var out: Option[St] = None
       while (out.isEmpty && tries < 50) {
         Thread.sleep(10)
-        out = try Some(read(f, state))
-          catch { case _: java.io.IOException => None }
+        out = attempt()
         tries += 1
       }
-      out.getOrElse(St(Map.empty, 0L))
     }
-    else St(Map.empty, 0L)
+    out.getOrElse(St(Map.empty, 0L))
   }
 
   /** The current intent iff its merge has not landed and its mtime is
@@ -169,7 +195,11 @@ private[streaming] object DrainState {
       else if (System.currentTimeMillis() - status.getModificationTime >
         claimGraceMs(spark)) Some(i)
       else None
-    } catch { case _: java.io.FileNotFoundException => None }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      // torn read mid-rival-promotion: no stale claim this cron tick
+      case _: java.io.IOException => None
+    }
   }
 
   /** Keeps the caller's claim alive while a long merge runs: a daemon
@@ -259,8 +289,20 @@ private[streaming] object DrainState {
     val f = fs(spark, dir)
     val state = new Path(dir, "state.properties")
     val intent = new Path(dir, "intent.properties")
-    val cur = try Some(read(f, intent))
-      catch { case _: java.io.FileNotFoundException => None }
+    // Same emulated-rename windows as load(): the intent can be
+    // transiently unreadable (torn sidecar -> ChecksumException) while
+    // a rival reaps-and-republishes. Retry before concluding the claim
+    // is gone — a misread here would trip the loud lost-claim require
+    // below on a claim this drainer still owns.
+    def readIntent(tries: Int): Option[St] =
+      try Some(read(f, intent))
+      catch {
+        case _: java.io.FileNotFoundException => None
+        case _: java.io.IOException if tries > 0 =>
+          Thread.sleep(10); readIntent(tries - 1)
+        case _: java.io.IOException => None
+      }
+    val cur = readIntent(50)
     if (cur.contains(claimed)) {
       writeAtomic(spark, f, state, claimed) // state first: never absent
       f.delete(intent, false)

@@ -219,10 +219,22 @@ final class StreamAgg(
           val z =
             if (alreadyApplied) cur.where(col("__cur") === 0)
               .select(groupCols.map(col): _*)
+            // RIGHT outer, not inner: a group created AND fully
+            // retracted inside this single window (insert then delete,
+            // or insert then move-away, of a brand-new group key) is
+            // absent from the table — its all-zero delta row must be
+            // withheld too, or it merges as a shell row the batch
+            // fixpoint has no row for. Absent groups zero-check against
+            // an implicit current count of 0; only retraction groups
+            // can cancel to zero (a pure-insert group's count delta is
+            // positive), and a never-inserted group in the delete set
+            // is a no-op for the fused deletion (it removes CURRENT
+            // rows only).
             else cur.alias("c").join(deltas.alias("dl"),
-                groupCols.map(k => col(s"c.$k") <=> col(s"dl.$k")).reduce(_ && _))
-              .where(col("__cur") + col(s"dl.$countCol") === 0)
-              .select(groupCols.map(k => col(s"c.$k").alias(k)): _*)
+                groupCols.map(k => col(s"c.$k") <=> col(s"dl.$k")).reduce(_ && _),
+                "right_outer")
+              .where(coalesce(col("__cur"), lit(0)) + col(s"dl.$countCol") === 0)
+              .select(groupCols.map(k => col(s"dl.$k").alias(k)): _*)
           val zp = z.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           if (zp.isEmpty) { zp.unpersist(); None } else Some(zp)
         }

@@ -79,6 +79,17 @@ private[streaming] final case class DrainMeta(
     lCommits: Int = -1, rCommits: Int = -1,
     lPre: Long = -1L, rPre: Long = -1L)
 
+/** Test/debug hook: the downgrade pass's last affected-row-set size and
+  * whether it chose the broadcast or the shuffle-join re-derive plan —
+  * lets specs pin the threshold behavior without plan archaeology. */
+private[graft] object DowngradeDebug {
+  @volatile var lastAffRows: Long = -1L
+  @volatile var lastUsedBroadcast: Boolean = false
+  def record(n: Long, bcast: Boolean): Unit = {
+    lastAffRows = n; lastUsedBroadcast = bcast
+  }
+}
+
 final class JoinedStream(
     val left: Stream,
     val right: Stream,
@@ -313,6 +324,32 @@ final class JoinedStream(
         .toSeq.flatMap(_.collect { case a: AttributeReference => a })
       (refs.flatMap(a => lAttrs.get(a.exprId)).distinct,
         refs.flatMap(a => rAttrs.get(a.exprId)).distinct)
+    }
+
+    // Silent-staleness refusal (managed outputs): when a side's
+    // join-condition columns CAN move (some are not pk columns) but the
+    // side's pks do not survive the output projection, a key move could
+    // never be resolved — its old pairing would strand with no signal
+    // (deletes already fail loudly; moves used to skip silently).
+    // Refuse at pipeline build: incremental == batch fixpoint for every
+    // declared shape, or a refusal — never silent staleness.
+    // spark.graft.join.migrationCheck=false opts out for schemas whose
+    // condition columns are immutable by contract.
+    if (userSink.isEmpty && spark.conf
+        .getOption("spark.graft.join.migrationCheck").forall(_ != "false")) {
+      val outColsS = schemaDf.columns.toSeq
+      def checkMovable(s: Stream, cond: Seq[String], what: String): Unit = {
+        val movable = cond.filterNot(s.pks.contains)
+        require(movable.isEmpty || s.pks.forall(outColsS.contains),
+          s"join-condition column(s) ${movable.mkString(",")} on the $what side " +
+            s"can change (not part of its primary key ${s.pks.mkString(",")}), but " +
+            "that side's primary keys are projected out of the join output - a key " +
+            "move could never retract its old pairing (silent staleness). Project " +
+            "the primary keys through, or set spark.graft.join.migrationCheck=false " +
+            "if these columns are immutable by contract")
+      }
+      checkMovable(left, sideCondCols._1, "left")
+      checkMovable(right, sideCondCols._2, "right")
     }
 
     /** Bucket-pruned static side for one join half. The full static
@@ -610,7 +647,7 @@ final class JoinedStream(
       }
 
       def downgrade(srcKeys: DataFrame, side: String, nonOwning: Stream,
-          idxSubPath: String): Unit = {
+          idxSubPath: String): Unit = graft.store.PhaseStats.time("downgrade") {
         spark.sparkContext.setJobDescription("graft:join:downgrade")
         val sk = srcKeys.persist(StorageLevel.MEMORY_AND_DISK)
         try {
@@ -633,7 +670,7 @@ final class JoinedStream(
             .join(broadcast(sk), nonOwning.pks.toSeq, "left_semi")
           val oldImgs = windowStartImages(side, nonOwning.pks, sk)
             .unionByName(newImgs)
-          val affRows =
+          val affRows0 =
             if (joinType == "left") {
               val ls = prunedStatic(left, lPin, oldImgs, skN, lStatic,
                 staticIsLeft = true)
@@ -643,19 +680,34 @@ final class JoinedStream(
                 staticIsLeft = false)
               rs.join(broadcast(oldImgs), joinExpr(oldImgs, rs), "left_semi")
             }
+          // affRows is bounded by microbatch × join FAN-OUT, not by the
+          // microbatch: one retracted hot key on a skewed or non-equi
+          // condition can pull an unbounded owning-row set — an
+          // unconditional broadcast is an OOM at scale. Count it (the
+          // pass is retraction-rare; the count also sizes the re-derive
+          // pruning probe correctly) and fall back to a plain
+          // shuffle join past the threshold.
+          val aff = affRows0.persist(StorageLevel.MEMORY_AND_DISK)
+          val affN = aff.count()
+          val bcastMax = spark.conf
+            .getOption("spark.graft.join.downgrade.broadcastMaxRows")
+            .map(_.toLong).getOrElse(1L << 20)
+          val useBcast = affN <= bcastMax
+          DowngradeDebug.record(affN, useBcast)
+          val affRows = if (useBcast) broadcast(aff) else aff
           // re-derive the affected owning rows against the window-end
           // statics: re-pairings and placeholders fall out of the same
           // outer join + projection the merge halves run
           val reAll = keepKeyed(
             if (joinType == "left") {
-              val rs = prunedStatic(right, rPin, affRows, skN, rStatic,
+              val rs = prunedStatic(right, rPin, aff, affN, rStatic,
                 staticIsLeft = false)
-              project(broadcast(affRows).join(rs,
+              project(affRows.join(rs,
                 joinExpr(affRows, rs), "left"), affRows, rs)
             } else {
-              val ls = prunedStatic(left, lPin, affRows, skN, lStatic,
+              val ls = prunedStatic(left, lPin, aff, affN, lStatic,
                 staticIsLeft = true)
-              project(ls.join(broadcast(affRows),
+              project(ls.join(affRows,
                 joinExpr(ls, affRows), "right"), ls, affRows)
             })
           // only re-pairings with a retracted key plus placeholders are
@@ -686,7 +738,7 @@ final class JoinedStream(
               .select(keyCols.map(k => col(s"fk.$k").alias(k)): _*)
             out.merge(reRows, MergeSpec(), uniqueKeys = true,
               deleteKeys = Some(stale))
-          } finally reRows.unpersist()
+          } finally { reRows.unpersist(); aff.unpersist() }
         } finally {
           sk.unpersist()
           spark.sparkContext.setJobDescription(null)
@@ -725,14 +777,22 @@ final class JoinedStream(
       def moved(side: String, pks: Seq[String], seq: Seq[String],
           condCols: Seq[String]): DataFrame = {
         val all = batch.where(col(side).isNotNull).select(s"$side.*")
-        // state before the window = the OLDEST preimage per key
-        // (feeds only record APPLIED changes, so it equals the
-        // watermark-time row); state after = the newest image, the
-        // same ordering the merge applies
-        val pre = all.where(col("_change_type") === "update_preimage")
+        // state before the window = the OLDEST preimage OR delete-row
+        // image per key (feeds only record APPLIED changes, so it
+        // equals the watermark-time row). Delete images matter: a key
+        // deleted and RE-INSERTED within one window produces no
+        // update_preimage at all, yet its pre-delete pairing is live in
+        // the output — the delete row carries exactly that image. Keys
+        // whose latest action stays a delete drop out below (their
+        // `post` is empty), so this never double-handles the plain
+        // delete path. State after = the newest image, the same
+        // ordering the merge applies.
+        val pre = all.where(col("_change_type") === "update_preimage" ||
+            col("_change_type") === "delete")
           .withColumn("__rn", row_number().over(
             Window.partitionBy(pks.map(col): _*)
-              .orderBy(col("_commit_version").asc)))
+              .orderBy(col("_commit_version").asc,
+                when(col("_change_type") === "update_preimage", 0).otherwise(1))))
           .where(col("__rn") === 1)
         val post = latestPerKey(all.where(
           col("_change_type") =!= "update_preimage" &&
@@ -780,9 +840,12 @@ final class JoinedStream(
               }
             }
             val (lCondCols, rCondCols) = sideCondCols
-            if (joinType != "right" && lPre != 0L && lCnt > 0L)
+            // lPre/rPre gate the common no-update window; deletes also
+            // open it — a delete+re-insert pair is a key move with no
+            // preimage rows (the delete row carries the start image)
+            if (joinType != "right" && (lPre != 0L || lDeleted) && lCnt > 0L)
               resolveMoved("l", left, lCondCols, "l")
-            if (joinType != "left" && rPre != 0L && rCnt > 0L)
+            if (joinType != "left" && (rPre != 0L || rDeleted) && rCnt > 0L)
               resolveMoved("r", right, rCondCols, "r")
           }
           if (joinType != "right") lDelKeys.foreach { dk =>
@@ -814,9 +877,12 @@ final class JoinedStream(
       // inside the merge commit above.)
       if (userSink.isEmpty) {
         def nonOwnRetracted(side: String, s: Stream, condCols: Seq[String],
-            pre: Long, cnt: Long, delKeys: Option[DataFrame]): Option[DataFrame] = {
+            pre: Long, deleted: Boolean, cnt: Long,
+            delKeys: Option[DataFrame]): Option[DataFrame] = {
+          // deletes open the moved-detection window too: a delete +
+          // re-insert with a changed condition column has no preimage
           val movedKeys =
-            if (migrationCheck && pre != 0L && cnt > 0L &&
+            if (migrationCheck && (pre != 0L || deleted) && cnt > 0L &&
                 movableCols(s, condCols).nonEmpty && s.pks.forall(outCols.contains))
               Some(moved(side, s.pks, s.seqCols, movableCols(s, condCols)))
             else None
@@ -828,10 +894,10 @@ final class JoinedStream(
           }
         }
         if (joinType == "right")
-          nonOwnRetracted("l", left, sideCondCols._1, lPre, lCnt, lDelKeys)
+          nonOwnRetracted("l", left, sideCondCols._1, lPre, lDeleted, lCnt, lDelKeys)
             .foreach(k => downgrade(k, "l", left, "l"))
         if (joinType == "left")
-          nonOwnRetracted("r", right, sideCondCols._2, rPre, rCnt, rDelKeys)
+          nonOwnRetracted("r", right, sideCondCols._2, rPre, rDeleted, rCnt, rDelKeys)
             .foreach(k => downgrade(k, "r", right, "r"))
       }
       lDelKeys.foreach(_.unpersist())

@@ -73,23 +73,29 @@ class EpochDrainSpec extends AnyFunSuite {
     }
     // wave 1 drained normally to seed the output table
     mkPipe().runIncremental()
-    // wave 2: two updates, then TWO racing drainers — the non-idempotent
-    // delta merge must apply exactly once
-    oT.upsert(oDf.where(col("o_orderkey") % 3 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") + 10.0), uniqueKeys = true)
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val ts = (1 to 2).map { _ =>
-      new Thread { override def run(): Unit =
-        try mkPipe().runIncremental()
-        catch { case e: Throwable => errs.add(e) } }
+    // repeated waves: an update, then TWO racing drainers — the
+    // non-idempotent delta merge must apply exactly once, and the
+    // drain-state reads must survive the rival's overwrite-rename
+    // windows (the r9 flake: ChecksumException from an unguarded
+    // first read). Repetitions make the race land, like OccSpec.
+    val reps = sys.props.getOrElse("graft.test.drainReps", "8").toInt
+    (1 to reps).foreach { rep =>
+      oT.upsert(oDf.where(col("o_orderkey") % 3 === rep % 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0 * rep), uniqueKeys = true)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = (1 to 2).map { _ =>
+        new Thread { override def run(): Unit =
+          try mkPipe().runIncremental()
+          catch { case e: Throwable => errs.add(e) } }
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errs.isEmpty, s"rep $rep: drainer threw: ${errs.peek()}")
+      val got = KeyedTable.forPath(spark, s"$root/agg").snapshot()
+        .select(col("o_orderstatus"), round(col("total"), 2).as("total"), col("cnt"))
+      val want = oT.snapshot().groupBy("o_orderstatus")
+        .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("cnt"))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"rep $rep: racing drainers double- or under-applied a delta")
     }
-    ts.foreach(_.start()); ts.foreach(_.join())
-    assert(errs.isEmpty, s"drainer threw: ${errs.peek()}")
-    val got = KeyedTable.forPath(spark, s"$root/agg").snapshot()
-      .select(col("o_orderstatus"), round(col("total"), 2).as("total"), col("cnt"))
-    val want = oT.snapshot().groupBy("o_orderstatus")
-      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("cnt"))
-    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
-      "racing drainers double- or under-applied a delta")
   }
 }

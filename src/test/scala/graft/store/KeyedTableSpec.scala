@@ -193,6 +193,38 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(vdirs.length == 1, s"expected only latest version dir, got ${vdirs.mkString(",")}")
   }
 
+  test("vacuum spares a _tmp_ attempt whose only fresh activity is levels deep") {
+    // an in-flight write's files land under _temporary/0/task_*/b=*;
+    // level-1 dir mtimes stop moving once those dirs exist — liveness
+    // must look at the whole subtree or a long write gets reaped mid-job
+    val t = tmp()
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 2)
+    kt.upsert(df)
+    val old = System.currentTimeMillis() - 60 * 60 * 1000L
+    val deepDir = new java.io.File(s"$t/_tmp_attempt1/_temporary/0/task_x/b=0")
+    assert(deepDir.mkdirs())
+    val deepFile = new java.io.File(deepDir, "part-0.parquet")
+    assert(deepFile.createNewFile())
+    // age every DIRECTORY (level-1 included) but keep the deep file fresh
+    def ageDirs(f: java.io.File): Unit = {
+      if (f.isDirectory) { f.listFiles().foreach(ageDirs); f.setLastModified(old) }
+    }
+    ageDirs(new java.io.File(s"$t/_tmp_attempt1"))
+    deepFile.setLastModified(System.currentTimeMillis())
+    spark.conf.set("spark.graft.pendingGraceMs", "60000")
+    try {
+      kt.vacuum(retainVersions = 1)
+      assert(new java.io.File(s"$t/_tmp_attempt1").exists(),
+        "a scratch dir with fresh deep activity must be spared")
+      // now age the deep file too: provably dead, reaped
+      deepFile.setLastModified(old)
+      kt.vacuum(retainVersions = 1)
+      assert(!new java.io.File(s"$t/_tmp_attempt1").exists(),
+        "a fully-stale scratch dir must be reaped")
+    } finally spark.conf.unset("spark.graft.pendingGraceMs")
+  }
+
   test("forPath round-trips metadata") {
     val t = tmp()
     val df = Seq((1L, "a", 5L)).toDF("id", "x", "seq")

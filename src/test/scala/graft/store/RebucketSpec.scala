@@ -36,6 +36,27 @@ class RebucketSpec extends AnyFunSuite {
     assert(kt.changesSince(0L).count() == cdfBefore)
   }
 
+  test("time-travel point reads to a PRE-rebucket version hash with that version's modulus") {
+    // probing the old layout with the current modulus silently returns
+    // missing rows — the read must use the version's own recorded epoch
+    val t = tmp()
+    val df = (1L to 400L).map(i => (i, i * 2.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 4)
+    kt.upsert(df, uniqueKeys = true)
+    val v1 = kt.latestVersion
+    kt.rebucket(16)
+    kt.upsert(Seq((7L, 777.0)).toDF("id", "v"), uniqueKeys = true)
+    // current read sees the new value under the new modulus
+    val cur = kt.snapshotForKeys(Seq(7L).toDF("id")).collect()
+    assert(cur.length == 1 && cur.head.getDouble(1) == 777.0)
+    // historical read at v1 (modulus 4): must find every probed key
+    val probes = Seq(7L, 123L, 399L).toDF("id")
+    val got = kt.snapshotForKeys(probes, v1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(7L -> 14.0, 123L -> 246.0, 399L -> 798.0),
+      s"cross-epoch time-travel point read returned $got")
+  }
+
   test("merges after rebucket prune with the new modulus") {
     val t = tmp()
     val df = (1L to 300L).map(i => (i, i.toDouble)).toDF("id", "v")

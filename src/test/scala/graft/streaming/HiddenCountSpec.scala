@@ -102,4 +102,61 @@ class HiddenCountSpec extends AnyFunSuite {
     assert(KeyedTable.forPath(spark, s"$root/agg").snapshot()
       .where(col("grp") === "a").count() == 0)
   }
+
+  test("a group created AND fully deleted inside ONE window leaves no shell row") {
+    // insert of a brand-new group key then its delete, both pending in
+    // the same drain window: plus/minus cancel to an all-zero delta and
+    // the group is absent from the table — an inner-joined zero check
+    // never withholds it, so the zero row used to merge as a shell row
+    // the batch fixpoint has no row for (the r9 advice hole)
+    val root = tmp()
+    val schema = Seq((1L, "a", 1L, 0L)).toDF("id", "grp", "cents", "seq").schema
+    val t = KeyedTable.create(spark, s"$root/src", schema, Seq("id"),
+      seqCols = Seq("seq"), numBuckets = 4)
+    val pipe = Stream.fromKeyedTable(t).handleDeletes()
+      .groupBy("grp")
+      .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+      .writeToPath(s"$root/agg")
+    t.upsert(Seq((1L, "a", 100L, 1L)).toDF("id", "grp", "cents", "seq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    // SAME window: create group "z" then delete its only row
+    t.upsert(Seq((9L, "z", 10L, 1L)).toDF("id", "grp", "cents", "seq"),
+      uniqueKeys = true)
+    t.delete(Seq(9L).toDF("id"))
+    pipe.runIncremental()
+    val snap = KeyedTable.forPath(spark, s"$root/agg").snapshot()
+    assert(snap.where(col("grp") === "z").count() == 0,
+      "a created-and-retracted group must not leave a zero-count shell row")
+    val want = t.snapshot().groupBy("grp")
+      .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+    assertSameRows(snap, want, "created-and-deleted group fixpoint")
+  }
+
+  test("a group created then MOVED AWAY inside ONE window leaves no shell row (no deletes)") {
+    // same hole via a group move, with NO handleDeletes anywhere: a new
+    // row lands in group "z" and an update moves it to "a" in the same
+    // window — group "z" cancels to zero and is absent from the table
+    val root = tmp()
+    val schema = Seq((1L, "a", 1L, 0L)).toDF("id", "grp", "cents", "seq").schema
+    val t = KeyedTable.create(spark, s"$root/src", schema, Seq("id"),
+      seqCols = Seq("seq"), numBuckets = 4)
+    val pipe = Stream.fromKeyedTable(t)
+      .groupBy("grp")
+      .agg(sum(col("cents")).as("scents")) // sum-only: hidden count path
+      .writeToPath(s"$root/agg")
+    t.upsert(Seq((1L, "a", 100L, 1L)).toDF("id", "grp", "cents", "seq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    t.upsert(Seq((9L, "z", 10L, 1L)).toDF("id", "grp", "cents", "seq"),
+      uniqueKeys = true)
+    t.upsert(Seq((9L, "a", 10L, 2L)).toDF("id", "grp", "cents", "seq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    val snap = KeyedTable.forPath(spark, s"$root/agg").snapshot()
+    assert(snap.where(col("grp") === "z").count() == 0,
+      "a created-and-moved-away group must not leave a shell row")
+    val want = t.snapshot().groupBy("grp").agg(sum(col("cents")).as("scents"))
+    assertSameRows(snap, want, "created-and-moved group fixpoint")
+  }
 }

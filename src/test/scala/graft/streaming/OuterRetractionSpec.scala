@@ -236,6 +236,61 @@ class OuterRetractionSpec extends AnyFunSuite {
     assertSameRows(snap, want, "union non-owning downgrade")
   }
 
+  test("downgrade past the broadcast threshold falls back to a shuffle join and stays correct") {
+    // broadcastMaxRows=0 forces the affected-owning-rows re-derive onto
+    // the plain shuffle-join path — one retracted hot key joined by a
+    // low-cardinality column fans out to MANY owning rows, the shape an
+    // unconditional broadcast OOMs on at scale
+    val root = tmp()
+    val (lT, rT) = mkTables(root)
+    spark.conf.set("spark.graft.join.downgrade.broadcastMaxRows", "0")
+    try {
+      val pipe = Stream.fromKeyedTable(lT)
+        .join(Stream.fromKeyedTable(rT).handleDeletes(), "left")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .writeToPath(s"$root/out")
+      // 50 left rows all share lkey=10 — one right delete affects all
+      lT.upsert((1L to 50L).map(i => (i, 10L, i * 10L, 1L))
+        .toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+      rT.upsert(Seq((5L, 10L, "a", 1L), (6L, 10L, "b", 1L))
+        .toDF("rid", "rkey", "name", "rseq"), uniqueKeys = true)
+      pipe.runIncremental()
+      DowngradeDebug.record(-1L, bcast = true) // reset the hook
+      rT.delete(Seq(5L).toDF("rid"))
+      pipe.runIncremental()
+      assert(DowngradeDebug.lastAffRows == 50L,
+        s"hot-key fan-out must reach all owning rows (got ${DowngradeDebug.lastAffRows})")
+      assert(!DowngradeDebug.lastUsedBroadcast,
+        "past the threshold the re-derive must take the shuffle-join path")
+      val snap = KeyedTable.forPath(spark, s"$root/out").snapshot()
+      assert(snap.where(col("rid") === 5).count() == 0)
+      assert(snap.where(col("rid") === 6).count() == 50)
+      assertSameRows(snap, batchWant(lT, rT, snap), "shuffle-fallback downgrade")
+    } finally spark.conf.unset("spark.graft.join.downgrade.broadcastMaxRows")
+  }
+
+  test("downgrade below the broadcast threshold keeps the broadcast plan") {
+    val root = tmp()
+    val (lT, rT) = mkTables(root)
+    val pipe = Stream.fromKeyedTable(lT)
+      .join(Stream.fromKeyedTable(rT).handleDeletes(), "left")
+      .on((l, r) => l("lkey") === r("rkey"))
+      .writeToPath(s"$root/out")
+    lT.upsert(Seq((1L, 10L, 100L, 1L)).toDF("id", "lkey", "cents", "seq"),
+      uniqueKeys = true)
+    rT.upsert(Seq((5L, 10L, "a", 1L)).toDF("rid", "rkey", "name", "rseq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    DowngradeDebug.record(-1L, bcast = false)
+    rT.delete(Seq(5L).toDF("rid"))
+    pipe.runIncremental()
+    assert(DowngradeDebug.lastAffRows == 1L)
+    assert(DowngradeDebug.lastUsedBroadcast,
+      "a microbatch-sized affected set must broadcast")
+    val snap = KeyedTable.forPath(spark, s"$root/out").snapshot()
+    assertSameRows(snap, batchWant(lT, rT, snap), "broadcast downgrade")
+  }
+
   test("CHAINED: outer-stage downgrade deletes retract in the next stage without user handleDeletes") {
     val root = tmp()
     val (lT, rT) = mkTables(root)
