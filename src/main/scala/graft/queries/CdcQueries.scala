@@ -315,7 +315,11 @@ object CdcQueries {
   def cdcOuterDowngrade(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.Stream
     val root = freshDir()
+    // every third customer: the nationkey join fans out ~40 suppliers per
+    // customer, so the gate's cost is the SEED drain's output volume —
+    // a subset keeps every downgrade class at a third of the write cost
     val cDf = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+      .where(col("c_custkey") % 3 === 0)
     val sDf = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
     val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
     val sT = KeyedTable.create(s, s"$root/supplier", sDf.schema, Seq("s_suppkey"), numBuckets = 8)
@@ -326,11 +330,20 @@ object CdcQueries {
     cT.upsert(cDf, uniqueKeys = true)
     sT.upsert(sDf, uniqueKeys = true)
     p.runAvailableNow()
-    // move: surviving suppliers with s_suppkey % 5 == 0 shift nation by
-    // 7 (mod 25); delete: s_suppkey % 3 == 0
-    sT.upsert(sDf.where(col("s_suppkey") % 5 === 0 && col("s_suppkey") % 3 =!= 0)
-      .withColumn("s_nationkey", (col("s_nationkey") + 7) % 25), uniqueKeys = true)
-    sT.delete(sDf.where(col("s_suppkey") % 3 === 0).select("s_suppkey"))
+    // NATION-BOUNDED churn (gate economics: the downgrade pass re-derives
+    // the affected owning NEIGHBORHOOD — nations here — so unbounded churn
+    // re-derives the whole table and drowns the bench record; bounding it
+    // keeps every retraction class at a fraction of the cost):
+    //  - moves: every supplier of nations 0,1 shifts to 7,8 — old pairings
+    //    retract, target-nation customers gain pairings;
+    //  - deletes: ALL of nation 22 (its customers downgrade to
+    //    placeholders) + every third supplier of nation 20 (partial
+    //    retraction, surviving pairings stay).
+    sT.upsert(sDf.where(col("s_nationkey") < 2)
+      .withColumn("s_nationkey", col("s_nationkey") + 7), uniqueKeys = true)
+    sT.delete(sDf.where(col("s_nationkey") === 22 ||
+      (col("s_nationkey") === 20 && col("s_suppkey") % 3 === 0))
+      .select("s_suppkey"))
     p.runAvailableNow()
     KeyedTable.forPath(s, s"$root/out").snapshot()
   }
@@ -758,11 +771,13 @@ object CdcQueries {
     "cdc_outer_downgrade" ->
       """SELECT c.c_custkey, c.c_name, c.c_nationkey,
                 s.s_suppkey, s.s_name, s.s_nationkey
-         FROM customer c LEFT JOIN (
+         FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c LEFT JOIN (
            SELECT s_suppkey, s_name,
-             CASE WHEN s_suppkey % 5 = 0 THEN (s_nationkey + 7) % 25
+             CASE WHEN s_nationkey < 2 THEN s_nationkey + 7
                   ELSE s_nationkey END AS s_nationkey
-           FROM supplier WHERE s_suppkey % 3 <> 0) s
+           FROM supplier
+           WHERE NOT (s_nationkey = 22
+                      OR (s_nationkey = 20 AND s_suppkey % 3 = 0))) s
          ON c.c_nationkey = s.s_nationkey""",
     "cdc_chain_downgrade" ->
       """SELECT s.s_name, count(*) AS n_cust,

@@ -252,6 +252,79 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  // delete-then-REINSERT churn inside one drain window (the r10
+  // MigrationReinsertSpec shape, randomized): a random subset of each
+  // wave's deleted keys re-insert AFTER the delete with a fresh —
+  // often MOVED — join key, on BOTH sides, through a left join whose
+  // right join key is not its pk plus a chained agg downstream
+  Seq(13, 57).foreach { seed =>
+    test(s"random delete-then-reinsert waves through left join + chained agg (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = tmp()
+      val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+      val rSchema = Seq((1L, 1L, "x", 0L)).toDF("rid", "rkey", "name", "rseq").schema
+      val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+        seqCols = Seq("seq"), numBuckets = 4)
+      val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rid"),
+        seqCols = Seq("rseq"), numBuckets = 4)
+      val joinPipe = Stream.fromKeyedTable(lT).handleDeletes()
+        .join(Stream.fromKeyedTable(rT).handleDeletes(), "left")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .writeToPath(s"$root/out")
+      // chained: the reinsert retractions must also propagate through a
+      // staged inner-join agg keyed on a right-side attribute
+      val aggPipe = Stream.fromKeyedTable(lT).handleDeletes()
+        .join(Stream.fromKeyedTable(rT).handleDeletes(), "inner")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .groupByStaged(s"$root/stage", "name")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+        .writeToPath(s"$root/agged")
+      (1 to 6).foreach { wave =>
+        val lRows = (1 to 15).map(_ => rnd.nextInt(25).toLong).distinct.map { i =>
+          (i, rnd.nextInt(10).toLong, rnd.nextInt(10000).toLong, (10 * wave).toLong)
+        }
+        lT.upsert(lRows.toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+        val rRows = (1 to 6).map(_ => rnd.nextInt(12).toLong).distinct.map { k =>
+          (k, rnd.nextInt(14).toLong, s"n${rnd.nextInt(5)}", (10 * wave).toLong)
+        }
+        rT.upsert(rRows.toDF("rid", "rkey", "name", "rseq"), uniqueKeys = true)
+        // delete, then re-insert ~half the deleted keys with fresh join
+        // keys IN THE SAME WINDOW (no drain in between)
+        val lDel = (1 to 5).map(_ => rnd.nextInt(25).toLong).distinct
+        lT.delete(lDel.toDF("id"))
+        val lRe = lDel.filter(_ => rnd.nextBoolean()).map { i =>
+          (i, rnd.nextInt(10).toLong, rnd.nextInt(10000).toLong, (10 * wave + 1).toLong)
+        }
+        if (lRe.nonEmpty)
+          lT.upsert(lRe.toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+        if (wave % 2 == 1) {
+          val rDel = (1 to 3).map(_ => rnd.nextInt(12).toLong).distinct
+          rT.delete(rDel.toDF("rid"))
+          val rRe = rDel.filter(_ => rnd.nextBoolean()).map { k =>
+            (k, rnd.nextInt(14).toLong, s"n${rnd.nextInt(5)}", (10 * wave + 1).toLong)
+          }
+          if (rRe.nonEmpty)
+            rT.upsert(rRe.toDF("rid", "rkey", "name", "rseq"), uniqueKeys = true)
+        }
+        if (wave % 2 == 0 || wave == 5) { joinPipe.runIncremental(); aggPipe.runIncremental() }
+      }
+      joinPipe.runIncremental()
+      aggPipe.runIncremental()
+      val joined = KeyedTable.forPath(spark, s"$root/out").snapshot()
+      val wantJoin = lT.snapshot().join(rT.snapshot(),
+          col("lkey") === col("rkey"), "left")
+        .select(joined.columns.map(col).toSeq: _*)
+      assertSameRows(joined, wantJoin, s"seed $seed reinsert left join")
+      val agged = KeyedTable.forPath(spark, s"$root/agged").snapshot()
+      val wantAgg = lT.snapshot().join(rT.snapshot(),
+          col("lkey") === col("rkey"), "inner")
+        .groupBy("name")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+        .select(agged.columns.map(col).toSeq: _*)
+      assertSameRows(agged, wantAgg, s"seed $seed reinsert chained agg")
+    }
+  }
+
   Seq(11, 42, 1337).foreach { seed =>
     test(s"random op waves: incremental join+agg == batch recompute (seed $seed)") {
       val rnd = new scala.util.Random(seed)
