@@ -357,8 +357,12 @@ object CdcQueries {
   def cdcChainDowngrade(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.Stream
     val root = freshDir()
+    // every third customer: the gate's cost is its SEED drain (the
+    // staged 600k-row join output), not the retraction — same honest
+    // volume cut as cdc_outer_downgrade, chain semantics unchanged
     val cDf = Tables.customer(s, d)
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .where(col("c_custkey") % 3 === 0)
     val sDf = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
     val cT = KeyedTable.create(s, s"$root/customer", cDf.schema, Seq("c_custkey"), numBuckets = 8)
     val sT = KeyedTable.create(s, s"$root/supplier", sDf.schema, Seq("s_suppkey"), numBuckets = 8)
@@ -782,7 +786,7 @@ object CdcQueries {
     "cdc_chain_downgrade" ->
       """SELECT s.s_name, count(*) AS n_cust,
            round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2)::DOUBLE AS total_bal
-         FROM customer c LEFT JOIN (
+         FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c LEFT JOIN (
            SELECT s_suppkey, s_name,
              CASE WHEN s_suppkey % 7 = 0 THEN (s_nationkey + 7) % 25
                   ELSE s_nationkey END AS s_nationkey

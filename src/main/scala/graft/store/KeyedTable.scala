@@ -574,8 +574,9 @@ final class KeyedTable private (
             .select(dataCols.map(c => col(s"u.$c").alias(c)): _*)
             .withColumn("_change_type", lit("delete"))
           spark.sparkContext.setJobDescription("graft:merge:write")
-          val (cdfUp, cdfDel, cdfPre) = writeFused(dir, newVersion, remaining,
-            removed, hashSort = hashSortNeeded(readBytes, stagedCount))
+          val (cdfUp, cdfDel, cdfPre) = timed("deleteWrite")(writeFused(dir,
+            newVersion, remaining, removed,
+            hashSort = hashSortNeeded(readBytes, stagedCount)))
           spark.sparkContext.setJobDescription(null)
           // buckets the delete emptied entirely get tombstoned; the rest
           // point at carried + rewritten files
@@ -686,8 +687,9 @@ final class KeyedTable private (
         .select(dataCols.map(col): _*)
         .withColumn("_change_type", lit("delete"))
       spark.sparkContext.setJobDescription("graft:deleteWhere:write")
-      val (cdfUp, cdfDel, cdfPre) = writeFused(dir, newVersion, remaining,
-        removed, hashSort = hashSortNeeded(readBytes, 0L))
+      val (cdfUp, cdfDel, cdfPre) = timed("deleteWrite")(writeFused(dir,
+        newVersion, remaining, removed,
+        hashSort = hashSortNeeded(readBytes, 0L)))
       spark.sparkContext.setJobDescription(null)
       val newFiles = writtenFileStats(dir)
       val manifest = touched.toSeq.map { b =>
