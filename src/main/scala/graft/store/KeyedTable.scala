@@ -48,6 +48,17 @@ final case class TableMeta(
   def schema: StructType = TableMeta.parseDdl(schemaDdl)
 }
 
+/** Test observability for [[KeyedTable.snapshotForKeys]]'s capped
+  * probe collect: records whether the last point read stayed on the
+  * hash-pruned path or fell back to the distributed semi-join. */
+private[graft] object PointReadDebug {
+  @volatile var lastProbeHashes: Int = -1
+  @volatile var lastCapped: Boolean = false
+  def record(n: Int, capped: Boolean): Unit = {
+    lastProbeHashes = n; lastCapped = capped
+  }
+}
+
 object TableMeta {
   private val ddlCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
@@ -287,30 +298,63 @@ final class KeyedTable private (
     val modulus = if (ep >= 0) ep else meta.numBuckets
     val k = keys.select(meta.bucketKeys.map(col): _*).distinct()
       .withColumn(KHashCol, keyHashExpr(col))
-    val hashes = k.agg(collect_set(col(KHashCol))).collect().head
-      .getSeq[Long](0).sorted.toArray
-    val buckets = hashes
-      .map(h => java.lang.Math.floorMod(h, modulus.toLong).toInt).toSet
-    val bv = bucketVersionsAt(if (version < 0) latestVersion else version)
-      .filter { case (b, _) => buckets.contains(b) }
-    if (bv.isEmpty) emptyDf
-    else {
-      def anyProbeIn(mn: Long, mx: Long): Boolean = {
-        var i = java.util.Arrays.binarySearch(hashes, mn)
-        if (i < 0) i = -i - 1
-        i < hashes.length && hashes(i) <= mx
-      }
-      val paths = bv.toSeq.flatMap { case (b, v) =>
-        log.readCommit(v).files match {
-          case Some(m) => m.getOrElse(b, Nil)
-            .filter(e => anyProbeIn(e.minHash, e.maxHash))
-            .map(e => s"$path/${e.path}")
-          case None => Seq(s"$path/data/${log.dirOf(v)}/b=$b")
+    // the probe hashes drive file-granular pruning and are collected
+    // driver-side — CAPPED: an unbudgeted first drain over a giant
+    // delete backlog, or a user-supplied million-key probe, would
+    // otherwise materialize an unbounded array in the driver.
+    // limit(max+1) bounds the collect itself; past the cap the read
+    // falls back to bucket-set pruning only (that collect is bounded
+    // by the bucket modulus, never by key count) with a distributed
+    // semi-join filter in place of the broadcast.
+    val maxKeys = spark.conf.getOption("spark.graft.pointRead.maxKeys")
+      .map(_.toInt).getOrElse(1 << 20)
+    val collected = k.select(col(KHashCol)).distinct()
+      .limit(maxKeys + 1).collect()
+    val capped = collected.length > maxKeys
+    PointReadDebug.record(collected.length, capped)
+    val vAt = if (version < 0) latestVersion else version
+    if (capped) {
+      val buckets = k
+        .select(pmod(col(KHashCol), lit(modulus.toLong)).cast("int").alias("__b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val bv = bucketVersionsAt(vAt).filter { case (b, _) => buckets.contains(b) }
+      if (bv.isEmpty) emptyDf
+      else {
+        val paths = bv.toSeq.flatMap { case (b, v) =>
+          log.readCommit(v).files match {
+            case Some(m) => m.getOrElse(b, Nil).map(e => s"$path/${e.path}")
+            case None => Seq(s"$path/data/${log.dirOf(v)}/b=$b")
+          }
         }
+        val rows = readPaths(paths)
+          .join(k.drop(KHashCol), meta.bucketKeys, "left_semi")
+        if (includeInternal) rows else stripInternal(rows)
       }
-      val rows = readPaths(paths)
-        .join(broadcast(k.drop(KHashCol)), meta.bucketKeys, "left_semi")
-      if (includeInternal) rows else stripInternal(rows)
+    } else {
+      val hashes = collected.map(_.getLong(0)).sorted
+      val buckets = hashes
+        .map(h => java.lang.Math.floorMod(h, modulus.toLong).toInt).toSet
+      val bv = bucketVersionsAt(vAt)
+        .filter { case (b, _) => buckets.contains(b) }
+      if (bv.isEmpty) emptyDf
+      else {
+        def anyProbeIn(mn: Long, mx: Long): Boolean = {
+          var i = java.util.Arrays.binarySearch(hashes, mn)
+          if (i < 0) i = -i - 1
+          i < hashes.length && hashes(i) <= mx
+        }
+        val paths = bv.toSeq.flatMap { case (b, v) =>
+          log.readCommit(v).files match {
+            case Some(m) => m.getOrElse(b, Nil)
+              .filter(e => anyProbeIn(e.minHash, e.maxHash))
+              .map(e => s"$path/${e.path}")
+            case None => Seq(s"$path/data/${log.dirOf(v)}/b=$b")
+          }
+        }
+        val rows = readPaths(paths)
+          .join(broadcast(k.drop(KHashCol)), meta.bucketKeys, "left_semi")
+        if (includeInternal) rows else stripInternal(rows)
+      }
     }
   }
 

@@ -651,8 +651,6 @@ final class JoinedStream(
         spark.sparkContext.setJobDescription("graft:join:downgrade")
         val sk = srcKeys.persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val skN = sk.count()
-          if (skN == 0) return
           // owning rows paired with the retracted keys under their OLD
           // (window-start) images — the pairings to retract — UNION the
           // rows pairing under their NEW (window-end) images — the fresh
@@ -670,13 +668,17 @@ final class JoinedStream(
             .join(broadcast(sk), nonOwning.pks.toSeq, "left_semi")
           val oldImgs = windowStartImages(side, nonOwning.pks, sk)
             .unionByName(newImgs)
+          // the static prune is sized with `n` (the whole microbatch's
+          // row count) — an upper bound on the retracted-key count that
+          // is already known from the commit log, so sizing it no
+          // longer needs a dedicated sk.count() job
           val affRows0 =
             if (joinType == "left") {
-              val ls = prunedStatic(left, lPin, oldImgs, skN, lStatic,
+              val ls = prunedStatic(left, lPin, oldImgs, n, lStatic,
                 staticIsLeft = true)
               ls.join(broadcast(oldImgs), joinExpr(ls, oldImgs), "left_semi")
             } else {
-              val rs = prunedStatic(right, rPin, oldImgs, skN, rStatic,
+              val rs = prunedStatic(right, rPin, oldImgs, n, rStatic,
                 staticIsLeft = false)
               rs.join(broadcast(oldImgs), joinExpr(oldImgs, rs), "left_semi")
             }
@@ -688,7 +690,22 @@ final class JoinedStream(
           // pruning probe correctly) and fall back to a plain
           // shuffle join past the threshold.
           val aff = affRows0.persist(StorageLevel.MEMORY_AND_DISK)
-          val affN = aff.count()
+          // ONE fused count job for both gates — the retracted-key
+          // count (empty-pass early exit) and the affected-row count
+          // (broadcast decision + re-derive prune sizing). Counting
+          // them in two jobs cost the pass a fixed extra job per
+          // commit; the tagged union materializes both persists in the
+          // same pass. With sk empty, aff is necessarily empty too
+          // (every affected row semi-joins against sk-derived images),
+          // so the early exit after the fused count is equivalent to
+          // the old pre-derivation exit.
+          val cm = sk.select(lit(0).alias("__t"))
+            .unionByName(aff.select(lit(1).alias("__t")))
+            .groupBy(col("__t")).agg(count(lit(1)).alias("__c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val skN = cm.getOrElse(0, 0L)
+          val affN = cm.getOrElse(1, 0L)
+          if (skN == 0) { aff.unpersist(); return }
           val bcastMax = spark.conf
             .getOption("spark.graft.join.downgrade.broadcastMaxRows")
             .map(_.toLong).getOrElse(1L << 20)

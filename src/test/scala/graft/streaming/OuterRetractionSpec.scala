@@ -322,4 +322,57 @@ class OuterRetractionSpec extends AnyFunSuite {
       .select(got.columns.map(col).toSeq: _*)
     assertSameRows(got, want, "chained downgrade retraction")
   }
+
+  test("downgrade pass job count stays at its fused-count floor") {
+    // The pass's per-commit fixed job count is the last lever on the
+    // downgrade gates' bench cost: the sk/aff gate counts were folded
+    // into ONE tagged-union aggregate (they used to be two jobs). This
+    // pins the measured job count of a delete-downgrade commit so an
+    // accidentally re-split count (or any new fixed job) fails loudly.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val root = tmp()
+    val (lT, rT) = mkTables(root)
+    val pipe = Stream.fromKeyedTable(lT)
+      .join(Stream.fromKeyedTable(rT).handleDeletes(), "left")
+      .on((l, r) => l("lkey") === r("rkey"))
+      .writeToPath(s"$root/out")
+    lT.upsert(Seq((1L, 10L, 100L, 1L), (2L, 11L, 200L, 1L))
+      .toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+    rT.upsert(Seq((5L, 10L, "a", 1L), (6L, 11L, "b", 1L))
+      .toDF("rid", "rkey", "name", "rseq"), uniqueKeys = true)
+    pipe.runIncremental()
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val d = js.properties.getProperty("spark.job.description")
+        if (d == "graft:join:downgrade") counter.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      rT.delete(Seq(5L).toDF("rid"))
+      pipe.runIncremental()
+      // listener events are async: wait until the count is stable
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val c = counter.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        Thread.sleep(100)
+      }
+      val jobs = counter.get()
+      assert(jobs > 0, "the delete must route through the downgrade pass")
+      // measured floor after the fused count (was +1 before the fold);
+      // a regression here means a new fixed per-commit job crept in
+      assert(jobs <= DOWNGRADE_JOB_FLOOR,
+        s"downgrade pass ran $jobs jobs > pinned floor $DOWNGRADE_JOB_FLOOR")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val snap = KeyedTable.forPath(spark, s"$root/out").snapshot()
+    assertSameRows(snap, batchWant(lT, rT, snap), "fused-count downgrade")
+  }
+  // measured with the fused sk/aff count (see test above) — includes
+  // the merge's own write/stats jobs, which run inside the pass's job
+  // description scope; the pre-fold pass measured 16 on this scenario
+  private val DOWNGRADE_JOB_FLOOR = 14
 }
