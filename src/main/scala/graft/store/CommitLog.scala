@@ -125,6 +125,10 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     val cached = floorCache
     if (!fresh && cached.isDefined) cached.get
     else {
+      // a fresh floor read means truncation may have happened under us:
+      // the listing memos must not serve pre-truncation state (the
+      // synthesizeTruncated path resolves its checkpoint through them)
+      if (fresh) { ckptListCache = null; versionsCache = null }
       val f =
         if (!fs.exists(floorPath)) (-1L, -1L)
         else {
@@ -178,6 +182,7 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     writeAtomic(ckptPath(version),
       s"""{"version":$version,"maxBatchId":$maxBatchId,"filesRef":"$ref","entries":[$entries]}""",
       overwrite = true)
+    ckptListCache = null
   }
 
   private def checkpointManifest(v: Long): Option[Map[Int, Seq[FileEntry]]] = {
@@ -208,6 +213,8 @@ final class CommitLog(rootPath: String, conf: Configuration) {
           numSuffix("_manifest_ckpt-", ".parquet").exists(_ <= floor))
         fs.delete(st.getPath, false)
     }
+    versionsCache = null
+    ckptListCache = null
   }
 
   /** A truncated commit that still OWNS live buckets (untouched since
@@ -235,8 +242,38 @@ final class CommitLog(rootPath: String, conf: Configuration) {
 
   def readMeta(): String = readFully(new Path(logDir, "_meta.json"))
 
+  // Listing memo: `versions()` backs every read-path entry point
+  // (changesSince, floor guards, bucketVersions, drains), and against
+  // an object store at 10k+ commits the per-call directory listing is
+  // the dominant metadata latency. The memo is validated by TWO O(1)
+  // existence probes instead of a listing:
+  //  - TOP: the OCC claim protocol makes committed versions DENSE (a
+  //    writer only ever claims base+1 after listing base, and losers
+  //    back off), so no commit > last can exist unless last+1 does;
+  //  - BOTTOM: truncation deletes contiguously from the lowest version
+  //    up (deleteCommitsUpTo), so the cached head still existing means
+  //    no cross-process truncation removed cached entries — this is
+  //    what keeps floorForRead's listed-head gap detection working.
+  // Local writers update the memo in commit()/deleteCommitsUpTo.
+  @volatile private var versionsCache: Seq[Long] = null
+
   /** All committed versions in ascending order. */
   def versions(): Seq[Long] = {
+    val cached = versionsCache
+    val fresh =
+      cached != null &&
+        !fs.exists(commitPath(cached.lastOption.getOrElse(0L) + 1)) &&
+        cached.headOption.forall(h => fs.exists(commitPath(h)))
+    if (fresh) cached
+    else {
+      val listed = listVersions()
+      versionsCache = listed
+      ckptListCache = null // new commits may carry new checkpoints
+      listed
+    }
+  }
+
+  private def listVersions(): Seq[Long] = {
     if (!fs.exists(logDir)) return Nil
     fs.listStatus(logDir).toSeq
       .map(_.getPath.getName)
@@ -418,16 +455,36 @@ final class CommitLog(rootPath: String, conf: Configuration) {
       .map { case (b, v) => s"[$b,$v]" }.mkString(",")
     writeAtomic(ckptPath(version),
       s"""{"version":$version,"maxBatchId":$maxBatchId,"entries":[$entries]}""")
+    ckptListCache = null
+  }
+
+  // Checkpoint-name memo, same economics as the versions memo. A stale
+  // entry is only ever COSTLY, never wrong: missing a newer checkpoint
+  // means replaying more commits on top of an older one. The one case
+  // needing freshness — synthesizeTruncated resolving the floor
+  // checkpoint after a cross-process truncation — passes through
+  // loadFloor(fresh = true), which invalidates this memo first.
+  @volatile private var ckptListCache: Seq[Long] = null
+
+  private def ckptVersions(): Seq[Long] = {
+    val cached = ckptListCache
+    if (cached != null) cached
+    else {
+      val listed =
+        if (!fs.exists(logDir)) Nil
+        else fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith("_ckpt_") && n.endsWith(".json"))
+          .map(_.stripPrefix("_ckpt_").stripSuffix(".json").toLong)
+          .sorted
+      ckptListCache = listed
+      listed
+    }
   }
 
   /** Newest checkpoint at or below `upTo`:
     * (version, bucket map, maxBatchId). */
   def latestCheckpointAt(upTo: Long): Option[(Long, Map[Int, Long], Long)] = {
-    if (!fs.exists(logDir)) return None
-    val cks = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("_ckpt_") && n.endsWith(".json"))
-      .map(_.stripPrefix("_ckpt_").stripSuffix(".json").toLong)
-      .filter(_ <= upTo)
+    val cks = ckptVersions().filter(_ <= upTo)
     if (cks.isEmpty) None
     else {
       val v = cks.max
@@ -480,9 +537,17 @@ final class CommitLog(rootPath: String, conf: Configuration) {
     val json = s"""{"version":$version,"buckets":[${buckets.mkString(",")}],""" +
       s""""emptied":[${emptied.mkString(",")}]$bid$cb$cc$ep$fl,"dir":"$d"}"""
     val won = writeAtomicClaiming(commitPath(version), json)
-    if (won) commitCache.put(version,
-      CommitInfo(version, buckets, emptied, batchId, cdfBytes, d, files, epoch,
-        cdfUp, cdfDel, cdfPre))
+    if (won) {
+      commitCache.put(version,
+        CommitInfo(version, buckets, emptied, batchId, cdfBytes, d, files, epoch,
+          cdfUp, cdfDel, cdfPre))
+      // extend the listing memo in place when it was current through
+      // our claim base; anything else (stale or cold) re-lists lazily
+      val c = versionsCache
+      versionsCache =
+        if (c != null && c.lastOption.getOrElse(0L) == version - 1) c :+ version
+        else null
+    }
     won
   }
 

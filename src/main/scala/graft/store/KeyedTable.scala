@@ -313,6 +313,17 @@ final class KeyedTable private (
     val capped = collected.length > maxKeys
     PointReadDebug.record(collected.length, capped)
     val vAt = if (version < 0) latestVersion else version
+    // NULL-SAFE probe filter: a plain USING equi-join silently drops
+    // null-key rows — table keys can be nullable (nullableKeys; agg
+    // group keys over outer-join placeholders are null), and a point
+    // read that cannot see them corrupts every consumer that trusts it
+    // as the current state (the agg zero-group check classified a LIVE
+    // null-key group as emptied exactly this way — RandomizedEquivalence
+    // seed 67). Write- and probe-side hashes agree on nulls (xxhash64
+    // folds a null field the same way on both), so only the final
+    // row filter needed the null-safe form.
+    val probeCond = meta.bucketKeys
+      .map(kk => col(s"t.$kk") <=> col(s"p.$kk")).reduce(_ && _)
     if (capped) {
       val buckets = k
         .select(pmod(col(KHashCol), lit(modulus.toLong)).cast("int").alias("__b"))
@@ -326,8 +337,8 @@ final class KeyedTable private (
             case None => Seq(s"$path/data/${log.dirOf(v)}/b=$b")
           }
         }
-        val rows = readPaths(paths)
-          .join(k.drop(KHashCol), meta.bucketKeys, "left_semi")
+        val rows = readPaths(paths).alias("t")
+          .join(k.drop(KHashCol).alias("p"), probeCond, "left_semi")
         if (includeInternal) rows else stripInternal(rows)
       }
     } else {
@@ -351,8 +362,8 @@ final class KeyedTable private (
             case None => Seq(s"$path/data/${log.dirOf(v)}/b=$b")
           }
         }
-        val rows = readPaths(paths)
-          .join(broadcast(k.drop(KHashCol)), meta.bucketKeys, "left_semi")
+        val rows = readPaths(paths).alias("t")
+          .join(broadcast(k.drop(KHashCol).alias("p")), probeCond, "left_semi")
         if (includeInternal) rows else stripInternal(rows)
       }
     }

@@ -62,6 +62,27 @@ class PointReadCapSpec extends AnyFunSuite {
     assert(capV1.forall(r => r.getLong(1) == r.getLong(0) * 2))
   }
 
+  test("NULL bucket-key rows are visible to point reads on both paths") {
+    // a plain USING equi-join in the probe filter silently dropped
+    // null-key rows; agg group keys over outer-join placeholders are
+    // null, and the zero-group check deleted a LIVE null group because
+    // its current count probe came back empty (seed-67 regression)
+    val t = tmp()
+    val df = Seq((Some("a"), 1L), (Some("b"), 2L), (None: Option[String], 3L))
+      .toDF("k", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("k"),
+      numBuckets = 4)
+    kt.upsert(df, uniqueKeys = true)
+    val probe = Seq(Some("a"), (None: Option[String])).toDF("k")
+    val fast = kt.snapshotForKeys(probe)
+    assert(fast.count() == 2, "null-key row must be returned")
+    assert(fast.where(col("k").isNull && col("v") === 3L).count() == 1)
+    val slow = withCap(1)(kt.snapshotForKeys(probe))
+    assert(PointReadDebug.lastCapped)
+    assert(slow.where(col("k").isNull && col("v") === 3L).count() == 1,
+      "capped fallback must be null-safe too")
+  }
+
   test("retraction path stays correct when every point read is capped") {
     import graft.streaming.Stream
     val root = tmp()

@@ -159,4 +159,52 @@ class HiddenCountSpec extends AnyFunSuite {
     val want = t.snapshot().groupBy("grp").agg(sum(col("cents")).as("scents"))
     assertSameRows(snap, want, "created-and-moved group fixpoint")
   }
+
+  test("a NULL group key survives net-zero churn (placeholder member swap)") {
+    // Placeholder rows of a left join carry NULL group keys into a
+    // downstream agg. The zero-group check probes current counts with a
+    // point read; before the null-safe probe fix that read silently
+    // missed the null group (USING-join equality), misread its count as
+    // 0, and a member SWAP (one placeholder upgraded, one new
+    // placeholder in the same window — net count delta 0) classified
+    // the live group as emptied and deleted it (seed-67 regression).
+    val root = tmp()
+    val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+    val rSchema = Seq((1L, "x", 0L)).toDF("rkey", "name", "rseq").schema
+    val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+      seqCols = Seq("seq"), numBuckets = 4)
+    val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rkey"),
+      seqCols = Seq("rseq"), numBuckets = 4)
+    val pipe = Stream.fromKeyedTable(lT).handleDeletes()
+      .join(Stream.fromKeyedTable(rT).handleDeletes(), "left")
+      .on((l, r) => l("lkey") === r("rkey"))
+      .groupByStaged(s"$root/stage", "name")
+      .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+      .writeToPath(s"$root/agg")
+    // id=1 matches rkey=10; ids 2,3 are placeholders (null group, n=2)
+    lT.upsert(Seq((1L, 10L, 100L, 1L), (2L, 20L, 40L, 1L), (3L, 21L, 60L, 1L))
+      .toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+    rT.upsert(Seq((10L, "a", 1L)).toDF("rkey", "name", "rseq"),
+      uniqueKeys = true)
+    pipe.runIncremental()
+    def agged = KeyedTable.forPath(spark, s"$root/agg").snapshot()
+    assert(agged.where(col("name").isNull && col("n") === 2).count() == 1)
+    // ONE window: id=2 upgrades (rkey=20 appears) AND id=1 downgrades
+    // (its match moves away) — null group stays n=2 with swapped members
+    rT.upsert(Seq((20L, "b", 2L)).toDF("rkey", "name", "rseq"),
+      uniqueKeys = true)
+    rT.delete(Seq(10L).toDF("rkey"))
+    pipe.runIncremental()
+    val snap = agged
+    assert(snap.where(col("name").isNull).count() == 1,
+      "the live null group must survive net-zero churn")
+    assert(snap.where(col("name").isNull && col("n") === 2 &&
+      col("scents") === 160L).count() == 1,
+      "null group must carry the swapped members' sums (ids 1,3)")
+    val want = lT.snapshot().join(rT.snapshot(),
+        col("lkey") === col("rkey"), "left")
+      .groupBy("name")
+      .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+    assertSameRows(snap, want, "null-group fixpoint")
+  }
 }

@@ -387,4 +387,72 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
       assertSameRows(agged, wantAgg, s"seed $seed agg")
     }
   }
+
+  // MAINTENANCE interleaved into the churn — the one interleaving
+  // class the families above never touch: rebucket (bucket-epoch
+  // change mid-stream), compact, optimize, vacuum, and log truncation
+  // run between waves on sources AND outputs. Maintenance fires right
+  // after a drain (the production maintenance-window shape), so
+  // truncation never cuts an undrained feed; equivalence must survive
+  // every layout rewrite the store supports.
+  Seq(31, 67).foreach { seed =>
+    test(s"random op waves with MAINTENANCE interleaved (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = tmp()
+      val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+      val rSchema = Seq((1L, "x", 0L)).toDF("rkey", "name", "rseq").schema
+      val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+        seqCols = Seq("seq"), numBuckets = 4)
+      val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rkey"),
+        seqCols = Seq("rseq"), numBuckets = 4)
+      val pipe = Stream.fromKeyedTable(lT).handleDeletes()
+        .join(Stream.fromKeyedTable(rT).handleDeletes(), "left")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .groupByStaged(s"$root/stage", "name")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+        .writeToPath(s"$root/chained")
+      rT.upsert((0L until 8L).map(k => (k, s"n${k % 3}", 0L))
+        .toDF("rkey", "name", "rseq"), uniqueKeys = true)
+      (1 to 8).foreach { wave =>
+        val lRows = (1 to 20).map(_ => rnd.nextInt(30).toLong).distinct.map { i =>
+          (i, rnd.nextInt(12).toLong, rnd.nextInt(10000).toLong, wave.toLong)
+        }
+        lT.upsert(lRows.toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+        val rRows = (1 to 4).map(_ => rnd.nextInt(8).toLong).distinct
+          .map(k => (k, s"n${rnd.nextInt(4)}", wave.toLong))
+        rT.upsert(rRows.toDF("rkey", "name", "rseq"), uniqueKeys = true)
+        if (wave % 3 == 0)
+          lT.delete((1 to 5).map(_ => rnd.nextInt(30).toLong).distinct.toDF("id"))
+        if (wave % 4 == 0)
+          rT.delete((1 to 2).map(_ => rnd.nextInt(8).toLong).distinct.toDF("rkey"))
+        if (wave % 2 == 0) {
+          pipe.runIncremental()
+          // maintenance window: backlog drained, layout mutation safe
+          rnd.nextInt(5) match {
+            case 0 =>
+              lT.rebucket(if (lT.meta.numBuckets == 4) 8 else 4); ()
+            case 1 =>
+              lT.compact(); rT.compact(); ()
+            case 2 =>
+              lT.truncateLog(retainVersions = 2)
+              rT.truncateLog(retainVersions = 2)
+            case 3 =>
+              lT.optimize(Seq("lkey"))
+              KeyedTable.forPath(spark, s"$root/chained").compact(); ()
+            case 4 =>
+              lT.vacuum(retainVersions = 1)
+              KeyedTable.forPath(spark, s"$root/stage").compact(); ()
+          }
+        }
+      }
+      pipe.runIncremental()
+      val want = lT.snapshot().join(rT.snapshot(),
+          col("lkey") === col("rkey"), "left")
+        .groupBy("name")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+      val got = KeyedTable.forPath(spark, s"$root/chained").snapshot()
+        .select(want.columns.map(col).toSeq: _*)
+      assertSameRows(got, want, s"seed $seed maintenance-interleaved")
+    }
+  }
 }
