@@ -84,10 +84,15 @@ object ScaleData {
     write(replicate(embs)((d, i) =>
       if (i == 0) d
       else d.withColumn("vec_id", bump("vec_id", offV, i))
-        // small deterministic drift keeps replicas inside their source
-        // cluster without being identical vectors
-        .withColumn("embedding",
-          transform(col("embedding"), x => x + lit(i * 1e-4f)))), "embeddings")
+        // ROTATE dimensions by the replica index: rotations of a random
+        // vector are mutually near-orthogonal, so replicas stay
+        // in-distribution WITHOUT being near-dups of their source — a
+        // small additive drift left them at cosine ~0.9999 and the
+        // near-dup detector (correctly) flagged every replica pair,
+        // which a fixed-construction oracle can't enumerate
+        .withColumn("embedding", expr(
+          s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+            s"slice(embedding, 1, $i))"))), "embeddings")
     println(s"""{"scaled":"$dst","factor":$factor}""")
   }
 }

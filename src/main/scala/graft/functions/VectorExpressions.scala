@@ -133,7 +133,105 @@ final case class ArgMaxCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Banded hyperplane-LSH signature of a numeric vector in ONE native
+  * pass: `bands` long values, band b's bit p set iff
+  * `dot(vec, plane(b*planes+p)) >= 0`. The composed SQL form costs one
+  * `aggregate(zip_with(...))` traversal PER PLANE (bands×planes
+  * traversals — measured as the dominant cost of the banded near-dup
+  * pass at the sf1 sweep); this fuses all of them into a single
+  * traversal against a per-task-cached deterministic plane matrix
+  * (xxhash64-derived components, ~`bands·planes·dims·8` bytes). */
+final case class HyperplaneSig(child: Expression, planes: Int, bands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case dt =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sig expects array<float|double>, got ${dt.simpleString}")
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // plane matrix cached per task instance; a rare race rebuilds the
+  // same deterministic values, so no synchronization is needed
+  @transient private var matDims: Int = -1
+  @transient private var mat: Array[Double] = _
+
+  private def planeMatrix(dims: Int): Array[Double] = {
+    if (matDims != dims) {
+      val np = bands * planes
+      val m = new Array[Double](np * dims)
+      var gp = 0
+      while (gp < np) {
+        var i = 0
+        while (i < dims) {
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash((gp.toLong << 32) | i.toLong, LongType, 42L)
+          m(gp * dims + i) = java.lang.Math.floorMod(h, 1000L).toDouble / 1000.0 - 0.5
+          i += 1
+        }
+        gp += 1
+      }
+      mat = m
+      matDims = dims
+    }
+    mat
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val vf = elemIsFloat
+    val m = planeMatrix(n)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        val base = (b * planes + p) * n
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val xi = if (vf) v.getFloat(i).toDouble else v.getDouble(i)
+          dot += xi * m(base + i)
+          i += 1
+        }
+        if (dot >= 0) sig |= (1L << p)
+        p += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_sig"
+}
+
 object VectorExpressions {
+  /** Banded hyperplane-LSH signature column (array<long>, one value
+    * per band) — see [[HyperplaneSig]]. */
+  def hyperplaneSig(vec: Column, planes: Int, bands: Int): Column = {
+    val spark = SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"graft_hyperplane_sig_${planes}_$bands",
+      es => HyperplaneSig(es.head, planes, bands), "built-in")
+    call_function(s"graft_hyperplane_sig_${planes}_$bands", vec)
+  }
+
   /** Registers graft's native vector functions in the active session
     * (idempotent) and returns a cosine-similarity column. */
   def cosineSimilarity(a: Column, b: Column): Column = {

@@ -368,27 +368,78 @@ object Dedup {
   }
 
   /** B5: embedding near-dup — pairs with cosine ≥ `threshold`, bucketed
-    * by random-hyperplane LSH (see [[Similarity.hyperplaneBucket]]) so
-    * the candidate set stays linear-ish at corpus scale. */
+    * by random-hyperplane LSH (see [[Similarity.hyperplaneBucket]]).
+    *
+    * `planes <= 0` AUTO-SIZES the per-band bit count to the corpus
+    * (`max(8, log2(n/32))`, one count job): a FIXED plane count is a
+    * scale wall — bucket count stays constant while occupancy grows
+    * linearly, so candidate pairs grow QUADRATICALLY with the corpus
+    * (measured at the sf1 sweep: planes=4 → 16 buckets → 62M probe
+    * pairs on 20k vectors, 47× the sf0.1 gate cost for 10× data).
+    *
+    * `bands > 1` switches to a BANDED signature (the minhash-LSH shape
+    * re-expressed for hyperplanes): `bands` independent plane families,
+    * candidates = pairs sharing ANY band value, recall
+    * `1-(1-p^planes)^bands` where `p = 1 - angle/π`. Duplicate matches
+    * across bands are suppressed with a FIRST-BAND-WINS filter (a pair
+    * counts only in its lowest matching band), so no distinct shuffle
+    * is needed. Banded mode ignores `multiProbe` — bands control recall
+    * explicitly. The single-band default keeps the legacy multi-probe
+    * behavior (one plane-flip tolerated). */
   def embeddingNearDup(df: DataFrame, vec: String = "embedding", id: String = "vec_id",
-      threshold: Double = 0.95, planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
-    val withB = df.select(col(id), col(vec))
-      .withColumn("__bucket", Similarity.hyperplaneBucket(col(vec), planes))
-    // multi-probe: one side also probes every bucket one plane-flip away,
-    // so a near-identical pair split by a single hyperplane is still
-    // paired (miss now needs ≥2 separating planes). Fan-out is planes+1
-    // on ONE side only; each qualifying pair matches exactly one probe,
-    // so no dedup pass is needed.
-    val probes =
-      if (!multiProbe) array(col("__bucket"))
-      else array(col("__bucket") +:
-        (0 until planes).map(p => col("__bucket").bitwiseXOR(lit(1L << p))): _*)
-    val lhs = withB.withColumn("__probe", explode(probes))
-    val pairs = lhs.alias("a").join(withB.alias("b"),
-      col("a.__probe") === col("b.__bucket") && col(s"a.$id") < col(s"b.$id"))
-    pairs.select(
-        col(s"a.$id").alias("id_a"), col(s"b.$id").alias("id_b"),
-        round(Similarity.cosine(col(s"a.$vec"), col(s"b.$vec")), 4).alias("cosine"))
-      .where(col("cosine") >= threshold)
+      threshold: Double = 0.95, planes: Int = 8, multiProbe: Boolean = true,
+      bands: Int = 1): DataFrame = {
+    val k =
+      if (planes > 0) planes
+      else math.max(8, math.ceil(
+        math.log(math.max(df.count(), 2L).toDouble / 32.0) / math.log(2))).toInt
+    if (bands <= 1) {
+      val withB = df.select(col(id), col(vec))
+        .withColumn("__bucket", Similarity.hyperplaneBucket(col(vec), k))
+      // multi-probe: one side also probes every bucket one plane-flip away,
+      // so a near-identical pair split by a single hyperplane is still
+      // paired (miss now needs ≥2 separating planes). Fan-out is planes+1
+      // on ONE side only; each qualifying pair matches exactly one probe,
+      // so no dedup pass is needed.
+      val probes =
+        if (!multiProbe) array(col("__bucket"))
+        else array(col("__bucket") +:
+          (0 until k).map(p => col("__bucket").bitwiseXOR(lit(1L << p))): _*)
+      val lhs = withB.withColumn("__probe", explode(probes))
+      val pairs = lhs.alias("a").join(withB.alias("b"),
+        col("a.__probe") === col("b.__bucket") && col(s"a.$id") < col(s"b.$id"))
+      pairs.select(
+          col(s"a.$id").alias("id_a"), col(s"b.$id").alias("id_b"),
+          round(Similarity.cosine(col(s"a.$vec"), col(s"b.$vec")), 4).alias("cosine"))
+        .where(col("cosine") >= threshold)
+    } else {
+      // native one-pass signature: the composed SQL form traverses the
+      // vector once PER PLANE (bands×planes aggregate(zip_with(...))
+      // traversals — measured as the dominant cost at the sf1 sweep)
+      val sig = graft.functions.VectorExpressions
+        .hyperplaneSig(col(vec), k, bands)
+      val withSig = df.select(col(id), col(vec)).withColumn("__sig", sig)
+        .select(col(id), col(vec), col("__sig"),
+          posexplode(col("__sig")).as(Seq("__band", "__bv")))
+      // both sides exploded → plain shuffle join on (band, value); the
+      // per-band bucket count scales with the corpus via auto-planes,
+      // so per-bucket occupancy (and the candidate volume) stays flat
+      val pairs = withSig.alias("a").join(withSig.alias("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bv") === col("b.__bv") &&
+          col(s"a.$id") < col(s"b.$id") &&
+          // first-band-wins: drop the match if any LOWER band already
+          // paired these two (slice of the first __band signature values)
+          !exists(
+            zip_with(
+              slice(col("a.__sig"), lit(1), col("a.__band")),
+              slice(col("b.__sig"), lit(1), col("a.__band")),
+              (x, y) => x === y),
+            p => p))
+      pairs.select(
+          col(s"a.$id").alias("id_a"), col(s"b.$id").alias("id_b"),
+          round(Similarity.cosine(col(s"a.$vec"), col(s"b.$vec")), 4).alias("cosine"))
+        .where(col("cosine") >= threshold)
+    }
   }
 }

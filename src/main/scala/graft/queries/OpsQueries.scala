@@ -87,10 +87,15 @@ object OpsQueries {
         .cast("array<float>").alias("embedding"))
     // The oracle asserts EXACTLY the 50 planted pairs come back (ids
     // only — the cosine values are spec-tested; reproducing Spark's
-    // xxhash64 perturbation inside DuckDB isn't possible). Multi-probe
-    // makes the recall deterministic-complete: a planted pair (cosine
-    // ≈ 0.998) misses only if ≥ 2 of the 4 hyperplanes separate it.
-    Dedup.embeddingNearDup(e.unionByName(planted), threshold = 0.99, planes = 4)
+    // xxhash64 perturbation inside DuckDB isn't possible). Banded
+    // auto-scaled signatures (planes = max(8, log2(n/32)) per band,
+    // 8 bands): a planted pair (cosine ≈ 0.998, p ≈ 0.98 per plane)
+    // misses a band at ~1-0.98^planes and ALL 8 bands at ~1e-6 — while
+    // per-band bucket occupancy stays flat as the corpus grows, so the
+    // candidate volume scales linearly (the fixed-planes version
+    // measured QUADRATIC at the sf1 sweep).
+    Dedup.embeddingNearDup(e.unionByName(planted), threshold = 0.99,
+        planes = -1, bands = 8)
       .select("id_a", "id_b")
   }
 

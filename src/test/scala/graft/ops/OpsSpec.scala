@@ -113,6 +113,16 @@ class OpsSpec extends AnyFunSuite {
     val expected = (0L until 30L).map(i => (i, i + 1000000L)).toSet
     assert(found == expected,
       s"missing ${expected -- found}, extra ${found -- expected}")
+    // BANDED auto-scaled signatures (the sf1 scale fix: fixed planes
+    // make candidates quadratic in corpus size) must recover the same
+    // planted pairs, each exactly once (first-band-wins dedup)
+    val banded = Dedup.embeddingNearDup(e.unionByName(planted),
+        threshold = 0.99, planes = -1, bands = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(banded.length == banded.toSet.size,
+      "first-band-wins must emit each pair exactly once")
+    assert(banded.toSet == expected,
+      s"banded: missing ${expected -- banded.toSet}, extra ${banded.toSet -- expected}")
   }
 
   test("lsh ANN results are true neighbors from the brute-force ranking's bucket") {
