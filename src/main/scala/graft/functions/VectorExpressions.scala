@@ -161,13 +161,19 @@ final case class HyperplaneSig(child: Expression, planes: Int, bands: Int)
     case _ => false
   }
 
-  // plane matrix cached per task instance; a rare race rebuilds the
-  // same deterministic values, so no synchronization is needed
-  @transient private var matDims: Int = -1
-  @transient private var mat: Array[Double] = _
+  // plane matrix cached per expression instance. ONE volatile field
+  // holding an immutable (dims, matrix) pair: the pair is fully built
+  // before the single volatile write publishes it, so a second thread
+  // sharing the instance (nothing forbids it for a CodegenFallback
+  // expression) can never observe a dims/matrix mismatch — two plain
+  // fields written separately could. A rare race just rebuilds the
+  // same deterministic values.
+  @transient @volatile private var cached: (Int, Array[Double]) = _
 
   private def planeMatrix(dims: Int): Array[Double] = {
-    if (matDims != dims) {
+    val c = cached
+    if (c != null && c._1 == dims) c._2
+    else {
       val np = bands * planes
       val m = new Array[Double](np * dims)
       var gp = 0
@@ -181,10 +187,9 @@ final case class HyperplaneSig(child: Expression, planes: Int, bands: Int)
         }
         gp += 1
       }
-      mat = m
-      matDims = dims
+      cached = (dims, m)
+      m
     }
-    mat
   }
 
   override def nullSafeEval(a: Any): Any = {

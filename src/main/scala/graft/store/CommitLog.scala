@@ -482,8 +482,21 @@ final class CommitLog(rootPath: String, conf: Configuration) {
   }
 
   /** Newest checkpoint at or below `upTo`:
-    * (version, bucket map, maxBatchId). */
-  def latestCheckpointAt(upTo: Long): Option[(Long, Map[Int, Long], Long)] = {
+    * (version, bucket map, maxBatchId). A cross-process truncation
+    * DELETES superseded `_ckpt_*` files, so a stale [[ckptListCache]]
+    * can still list one — a read miss here invalidates the memo and
+    * retries once against a fresh listing (mirroring readCommit's
+    * missing-file → loadFloor(fresh) pattern) instead of surfacing a
+    * FileNotFoundException for a checkpoint that no longer exists. */
+  def latestCheckpointAt(upTo: Long): Option[(Long, Map[Int, Long], Long)] =
+    try latestCheckpointAtOnce(upTo) catch {
+      case _: java.io.FileNotFoundException =>
+        ckptListCache = null
+        latestCheckpointAtOnce(upTo)
+    }
+
+  private def latestCheckpointAtOnce(
+      upTo: Long): Option[(Long, Map[Int, Long], Long)] = {
     val cks = ckptVersions().filter(_ <= upTo)
     if (cks.isEmpty) None
     else {

@@ -651,6 +651,20 @@ final class JoinedStream(
         spark.sparkContext.setJobDescription("graft:join:downgrade")
         val sk = srcKeys.persist(StorageLevel.MEMORY_AND_DISK)
         try {
+          // cheap emptiness guard FIRST: downgrade() is entered on any
+          // window with non-owning preimages/deletes, but a routine
+          // update window's moved-key set usually resolves to EMPTY.
+          // Building the affected-row derivation below is not free even
+          // unexecuted — prunedStatic's snapshotForKeys runs driver-side
+          // probe collects at plan-construction time — so exit on one
+          // limit(1) probe of the persisted keys before deriving
+          // anything. The non-empty path then needs only the affected-
+          // row count (sk's exact count was only ever the empty gate).
+          // A plain count() beats isEmpty here: one deterministic job
+          // that fully materializes the persist (isEmpty's executeTake
+          // scales partitions incrementally — several probe jobs on an
+          // empty result, and a partially-cached persist otherwise).
+          if (sk.count() == 0L) return
           // owning rows paired with the retracted keys under their OLD
           // (window-start) images — the pairings to retract — UNION the
           // rows pairing under their NEW (window-end) images — the fresh
@@ -690,22 +704,7 @@ final class JoinedStream(
           // pruning probe correctly) and fall back to a plain
           // shuffle join past the threshold.
           val aff = affRows0.persist(StorageLevel.MEMORY_AND_DISK)
-          // ONE fused count job for both gates — the retracted-key
-          // count (empty-pass early exit) and the affected-row count
-          // (broadcast decision + re-derive prune sizing). Counting
-          // them in two jobs cost the pass a fixed extra job per
-          // commit; the tagged union materializes both persists in the
-          // same pass. With sk empty, aff is necessarily empty too
-          // (every affected row semi-joins against sk-derived images),
-          // so the early exit after the fused count is equivalent to
-          // the old pre-derivation exit.
-          val cm = sk.select(lit(0).alias("__t"))
-            .unionByName(aff.select(lit(1).alias("__t")))
-            .groupBy(col("__t")).agg(count(lit(1)).alias("__c"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          val skN = cm.getOrElse(0, 0L)
-          val affN = cm.getOrElse(1, 0L)
-          if (skN == 0) { aff.unpersist(); return }
+          val affN = aff.count()
           val bcastMax = spark.conf
             .getOption("spark.graft.join.downgrade.broadcastMaxRows")
             .map(_.toLong).getOrElse(1L << 20)

@@ -147,4 +147,36 @@ class LogTruncationSpec extends AnyFunSuite {
     val got = out.snapshot().select("o_custkey", "cnt")
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("stale checkpoint-name memo retries after a cross-process truncation") {
+    // A truncation DELETES superseded _ckpt_* files; another process's
+    // warm ckptVersions memo can still list one. latestCheckpointAt
+    // must invalidate the memo and retry against a fresh listing on
+    // the read miss — not surface FileNotFoundException (and a small
+    // upTo must resolve to the clean None, feeding the loud
+    // below-floor error upstream).
+    val root = tmp()
+    val (t, df) = mkTable(root)
+    t.truncateLog(retainVersions = 2) // ckpt at v5, the oldest retained
+    val conf = spark.sessionState.newHadoopConf()
+    val logA = new CommitLog(s"$root/t", conf) // warmed, goes stale
+    val logB = new CommitLog(s"$root/t", conf) // warmed, small-upTo probe
+    assert(logA.latestCheckpointAt(Long.MaxValue).map(_._1).contains(5L))
+    assert(logB.latestCheckpointAt(Long.MaxValue).map(_._1).contains(5L))
+    // cross-process: more commits, then a second truncation deletes
+    // the superseded _ckpt_5 both warm memos still list
+    (7 to 8).foreach { i =>
+      t.upsert(df.limit(1).withColumn("o_totalprice", lit(i.toDouble)),
+        uniqueKeys = true)
+    }
+    t.truncateLog(retainVersions = 2)
+    val newCkpt = new CommitLog(s"$root/t", conf)
+      .latestCheckpointAt(Long.MaxValue).map(_._1)
+    assert(newCkpt.exists(_ > 5L), s"second truncation wrote no newer ckpt: $newCkpt")
+    assert(logA.latestCheckpointAt(Long.MaxValue).map(_._1) == newCkpt,
+      "stale memo must retry to the fresh checkpoint, not throw")
+    // a time-travel-style upTo below the surviving checkpoint: the
+    // stale memo's hit is gone — clean None after the retry, not FNF
+    assert(logB.latestCheckpointAt(5L).isEmpty)
+  }
 }

@@ -323,12 +323,11 @@ class OuterRetractionSpec extends AnyFunSuite {
     assertSameRows(got, want, "chained downgrade retraction")
   }
 
-  test("downgrade pass job count stays at its fused-count floor") {
+  test("downgrade pass job count stays at its pinned floor") {
     // The pass's per-commit fixed job count is the last lever on the
-    // downgrade gates' bench cost: the sk/aff gate counts were folded
-    // into ONE tagged-union aggregate (they used to be two jobs). This
-    // pins the measured job count of a delete-downgrade commit so an
-    // accidentally re-split count (or any new fixed job) fails loudly.
+    // downgrade gates' bench cost. This pins the measured job count of
+    // a delete-downgrade commit so a new fixed per-commit job creeps
+    // in loudly, not silently.
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val root = tmp()
     val (lT, rT) = mkTables(root)
@@ -363,16 +362,79 @@ class OuterRetractionSpec extends AnyFunSuite {
       }
       val jobs = counter.get()
       assert(jobs > 0, "the delete must route through the downgrade pass")
-      // measured floor after the fused count (was +1 before the fold);
-      // a regression here means a new fixed per-commit job crept in
       assert(jobs <= DOWNGRADE_JOB_FLOOR,
         s"downgrade pass ran $jobs jobs > pinned floor $DOWNGRADE_JOB_FLOOR")
     } finally spark.sparkContext.removeSparkListener(listener)
     val snap = KeyedTable.forPath(spark, s"$root/out").snapshot()
-    assertSameRows(snap, batchWant(lT, rT, snap), "fused-count downgrade")
+    assertSameRows(snap, batchWant(lT, rT, snap), "non-empty downgrade")
   }
-  // measured with the fused sk/aff count (see test above) — includes
-  // the merge's own write/stats jobs, which run inside the pass's job
-  // description scope; the pre-fold pass measured 16 on this scenario
-  private val DOWNGRADE_JOB_FLOOR = 14
+
+  test("empty moved-set downgrade window exits on the cheap guard") {
+    // downgrade() runs on ANY window with non-owning preimages, but a
+    // routine update that moves no condition column resolves to an
+    // empty key set. The pass must exit on one cheap count of the
+    // persisted keys — BEFORE building the affected-row derivation,
+    // whose prunedStatic path runs driver-side probe collects even
+    // when the plan is never executed. Two pins: (a) DowngradeDebug
+    // (recorded only after the derivation's aff count) must stay at
+    // its sentinel, proving the derivation never ran; (b) the job
+    // count stays well under the non-empty floor — AQE materializes
+    // one job per query stage, so sk's own derivation accounts for
+    // ~6; the derivation + fused-commit merge would push it to ~16.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val root = tmp()
+    val (lT, rT) = mkTables(root)
+    val pipe = Stream.fromKeyedTable(lT)
+      .join(Stream.fromKeyedTable(rT).handleDeletes(), "left")
+      .on((l, r) => l("lkey") === r("rkey"))
+      .writeToPath(s"$root/out")
+    lT.upsert(Seq((1L, 10L, 100L, 1L), (2L, 11L, 200L, 1L))
+      .toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+    rT.upsert(Seq((5L, 10L, "a", 1L), (6L, 11L, "b", 1L))
+      .toDF("rid", "rkey", "name", "rseq"), uniqueKeys = true)
+    pipe.runIncremental()
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val d = js.properties.getProperty("spark.job.description")
+        if (d == "graft:join:downgrade") counter.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    DowngradeDebug.record(-7L, bcast = false) // sentinel
+    try {
+      // non-condition-column update: preimage present (pass entered),
+      // but rkey unchanged so the moved-key set is empty
+      rT.upsert(Seq((5L, 10L, "a2", 2L)).toDF("rid", "rkey", "name", "rseq"),
+        uniqueKeys = true)
+      pipe.runIncremental()
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val c = counter.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        Thread.sleep(100)
+      }
+      val jobs = counter.get()
+      assert(jobs > 0, "the preimage window must enter the downgrade pass")
+      assert(DowngradeDebug.lastAffRows == -7L,
+        "the affected-row derivation ran on an empty moved-key window — " +
+          "the cheap guard must exit first")
+      assert(jobs <= 8,
+        s"empty moved-set downgrade ran $jobs jobs — the cheap guard " +
+          "must exit before the affected-row derivation and merge")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val snap = KeyedTable.forPath(spark, s"$root/out").snapshot()
+    assertSameRows(snap, batchWant(lT, rT, snap), "empty-sk window")
+  }
+  // measured floor on the delete scenario above — includes the merge's
+  // own write/stats jobs, which run inside the pass's job description
+  // scope. History: 16 with two separate sk/aff counts, 14 with the
+  // fused tagged-union count, back to 16 now that the sk-emptiness
+  // guard runs as its own count ahead of the plain aff count: rare
+  // retraction windows pay ~2 extra trivial scheduler jobs over tiny
+  // cached data so that ROUTINE empty-moved-set windows (the common
+  // case) skip the entire derivation — see the empty-window test.
+  private val DOWNGRADE_JOB_FLOOR = 16
 }

@@ -24,7 +24,6 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-NGATES=$(echo "$GATES" | awk -F, '{print NF}')
 run_one() {
   local arm="$1" classes="$2" idx="$3"
   local out
@@ -40,14 +39,17 @@ run_one() {
     tail -20 /tmp/ab_arm_err.log >&2
     exit 1
   fi
-  # sanity: every requested gate must appear in the per-query map
-  local got
-  got=$(echo "$out" | grep -o '"[a-z0-9_]*":[0-9.]*' | wc -l)
-  if [ "$got" -lt "$NGATES" ]; then
-    echo "FATAL: arm $arm run $idx recorded $got per-query entries < $NGATES requested" >&2
-    echo "$out" >&2
-    exit 1
-  fi
+  # sanity: every requested gate must appear in the per-query map —
+  # check each key EXPLICITLY (a numeric-field count would let
+  # bookkeeping fields like total_ms pad over a missing gate)
+  local g
+  for g in $(echo "$GATES" | tr ',' ' '); do
+    if ! echo "$out" | grep -q "\"$g\":"; then
+      echo "FATAL: arm $arm run $idx missing gate \"$g\" in its per-query map" >&2
+      echo "$out" >&2
+      exit 1
+    fi
+  done
   echo "{\"arm\":\"$arm\",\"run\":$idx,$(echo "$out" | sed 's/^{//')"
 }
 for i in $(seq 1 "$PAIRS"); do
