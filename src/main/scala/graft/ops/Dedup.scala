@@ -72,7 +72,6 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // Stage 1 (cached): the shingle table — reused by the verify pass.
     val base = df.select(col(id), col(text))
       .withColumn("__sh", Shingles.wordShingles(col(text), n))
@@ -89,16 +88,7 @@ object Dedup {
         graft.functions.HashExpressions.minhashShingles(col("__sh"), numHashes))
       .select(col(id), col("__sig"))
       .cache()
-    val banded = sigd.select(col(id), explode(array((0 until bands).map { b =>
-      struct(lit(b).alias("band"),
-        xxhash64((0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1)) :+ lit(b): _*)
-          .alias("bhash"))
-    }: _*)).alias("bk")).select(col(id), col("bk.band"), col("bk.bhash"))
-    val cand = banded.alias("x").join(banded.alias("y"),
-        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
-          col(s"x.$id") < col(s"y.$id"))
-      .select(col(s"x.$id").alias("id_a"), col(s"y.$id").alias("id_b"))
-      .distinct()
+    val cand = bandedCandidates(sigd, id, numHashes, bands)
     // signature-estimate pre-filter: the minhash agreement fraction IS
     // an unbiased Jaccard estimate — 64 int compares per candidate,
     // orders of magnitude cheaper than the exact shingle intersect.
@@ -116,6 +106,29 @@ object Dedup {
       .select("id_a", "id_b")
     val out = verifyJaccard(estFiltered, base.select(col(id), col("__sh")), id, threshold)
     materializeThenRelease(out, base, sigd)
+  }
+
+  /** Banded-LSH candidate pairs from a minhash signature table
+    * (id, __sig): docs sharing any band's hash, id_a < id_b, distinct.
+    * The banding keys are CONTENT hashes (xxhash64 over signature
+    * lanes), so bucket occupancy tracks actual text duplication, never
+    * signature-bit correlation — the property that makes this the
+    * entropy-robust candidate source shared by [[minhashLsh]] and
+    * [[simhashNearDup]] (see the latter for the failure mode it
+    * avoids). */
+  private[ops] def bandedCandidates(sigd: DataFrame, id: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val banded = sigd.select(col(id), explode(array((0 until bands).map { b =>
+      struct(lit(b).alias("band"),
+        xxhash64((0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1)) :+ lit(b): _*)
+          .alias("bhash"))
+    }: _*)).alias("bk")).select(col(id), col("bk.band"), col("bk.bhash"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").alias("id_a"), col(s"y.$id").alias("id_b"))
+      .distinct()
   }
 
   /** Near-dup outputs are tiny (true pairs) while their intermediates
@@ -184,12 +197,34 @@ object Dedup {
   }
 
   /** Exact shingle-Jaccard verification of candidate pairs against a
-    * precomputed (id, __sh) shingle table. */
+    * precomputed (id, __sh) shingle table. Joins through 8-byte
+    * shingle HASHES, not 20-char strings (the same trade
+    * [[allPairsJaccard]] makes): set intersect/union sizes are
+    * identical modulo 64-bit collisions — negligible against distinct
+    * shingle counts far below 2^32 — and the verify shuffle, which on
+    * dup-dense corpora carries every candidate pair's full shingle
+    * set TWICE, shrinks to a fraction of the bytes. */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
       id: String, threshold: Double): DataFrame = {
-    pairs
-      .join(sh.select(col(id).alias("id_a"), col("__sh").alias("__sa")), "id_a")
-      .join(sh.select(col(id).alias("id_b"), col("__sh").alias("__sb")), "id_b")
+    val hsh = sh.select(col(id),
+      graft.functions.HashExpressions.hashArray(col("__sh")).alias("__sh"))
+    // EXACT size-ratio prefilter: J = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|)
+    // (|∩| ≤ min, |∪| ≥ max), so min < t·max cannot pass the threshold
+    // — a pair of 8-byte counts decides before the pair ever pays the
+    // shingle-array joins. Candidate generators bound pair COUNTS but
+    // not similarity, so on mixed-length corpora this drops a large
+    // slice of candidates for two narrow int joins. 1e-9 guards the
+    // float boundary (J exactly t must be kept).
+    val sizes = hsh.select(col(id), size(col("__sh")).alias("__n"))
+    val szOk = pairs
+      .join(sizes.select(col(id).alias("id_a"), col("__n").alias("__na")), "id_a")
+      .join(sizes.select(col(id).alias("id_b"), col("__n").alias("__nb")), "id_b")
+      .where(least(col("__na"), col("__nb")).cast("double") >=
+        greatest(col("__na"), col("__nb")).cast("double") * threshold - 1e-9)
+      .select("id_a", "id_b")
+    szOk
+      .join(hsh.select(col(id).alias("id_a"), col("__sh").alias("__sa")), "id_a")
+      .join(hsh.select(col(id).alias("id_b"), col("__sh").alias("__sb")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
           size(array_union(col("__sa"), col("__sb"))), 4))
@@ -253,18 +288,21 @@ object Dedup {
   }
 
   /** B3: SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
-    * The DEFAULT (scale) path buckets by `64/chunkBits` signature
-    * chunks first, so candidates are bounded by chunk collisions
-    * instead of the n² all-pairs join. Pigeonhole gives EXACT recall
-    * for `maxHamming < 64/chunkBits` (some chunk must be diff-free —
-    * the Manku/WWW'07 block trick); beyond that, recall degrades
-    * gracefully (a pair must still share one clean chunk) in exchange
-    * for never paying a cartesian — the standard web-scale trade.
-    * `chunkBits` trades guarantee depth against collision fan-out:
-    * 16-bit chunks (4, guarantee h≤3) keep bucket collisions ~n²/2^16
-    * per chunk — the 100 TB setting; 8-bit chunks (8, guarantee h≤7)
-    * suit corpora small enough that 256-way bucketing still bounds the
-    * join (at Manku scale you'd instead add permuted 16-bit tables).
+    * The DEFAULT (scale) path buckets by TWO-LEVEL keys — a
+    * `chunkBits`-bit signature chunk PLUS a subchunk of that chunk's
+    * complement (the Manku/WWW'07 block trick, deepened one level) —
+    * so candidates are bounded by (chunk, subchunk) collisions on a
+    * ~2·chunkBits-wide key instead of the n² all-pairs join or the
+    * chunk-only key whose 2^chunkBits buckets random-collide
+    * quadratically once the corpus outgrows them. Pigeonhole gives
+    * EXACT recall for `maxHamming < 64/chunkBits`: some chunk is
+    * diff-free, and the complement carries those same errors across
+    * as many subchunks, so one subchunk is diff-free too. Beyond the
+    * bound, recall degrades gracefully (a pair must still share one
+    * clean chunk+subchunk) in exchange for never paying a cartesian —
+    * the standard web-scale trade. `chunkBits` trades guarantee depth
+    * against key width: 16-bit chunks (guarantee h≤3) give 28-bit
+    * keys; 8-bit chunks (guarantee h≤7) give 15-bit keys.
     * `bucketed = false` is the small-table reference path (all-pairs,
     * exact at any hamming) kept for the recall spec. */
   def simhashPairs(df: DataFrame, text: String = "text", id: String = "doc_id",
@@ -277,14 +315,60 @@ object Dedup {
           .select(col(s"a.$id").alias("id_a"), col("a.simhash").alias("__sha"),
             col(s"b.$id").alias("id_b"), col("b.simhash").alias("__shb"))
       else {
+        // TWO-LEVEL bucketing (chunk ⊗ complement-subchunk): bucketing
+        // on a chunk alone is a scale wall — 2^chunkBits buckets hold
+        // a growing corpus, so RANDOM chunk collisions grow n²/2^bits
+        // (measured at sf1: 50k docs × 8-bit chunks → 508M candidate
+        // pairs, 216 s, the dominant cost of the near-dup gate). The
+        // fix widens the bucket key without weakening the pigeonhole
+        // guarantee: a pair within maxHamming < nChunks has a clean
+        // chunk c, AND the complement (the other 64-chunkBits bits)
+        // carries those same ≤ maxHamming errors across nChunks
+        // subchunks — so some subchunk of the complement is clean too.
+        // Bucket key = (c, j, chunk value, subchunk-of-complement
+        // value): ~2^(chunkBits+subBits) buckets per (c, j) table,
+        // collisions bounded at corpora 2^subBits times larger, for an
+        // explode of nChunks² (vs nChunks) rows per doc — cheap
+        // against a half-billion-pair join.
         val nChunks = 64 / chunkBits
         val mask = (1L << chunkBits) - 1
+        val subBits = (64 - chunkBits) / nChunks
+        val submask = (1L << subBits) - 1
+        def sru(c: Column, n: Int): Column =
+          if (n == 0) c else shiftrightunsigned(c, n)
+        def chunkOf(sig: Column, c: Int): Column =
+          sru(sig, c * chunkBits).bitwiseAND(mask)
+        // the signature with chunk c's bits excised (64-chunkBits bits)
+        def compOf(sig: Column, c: Int): Column = {
+          val lowBits = c * chunkBits
+          val lower =
+            if (lowBits == 0) lit(0L) else sig.bitwiseAND((1L << lowBits) - 1)
+          val upper =
+            if ((c + 1) * chunkBits >= 64) lit(0L)
+            else shiftleft(sru(sig, (c + 1) * chunkBits), lowBits)
+          lower.bitwiseOR(upper)
+        }
+        def subOf(sig: Column, c: Int, j: Int): Column =
+          sru(compOf(sig, c), j * subBits).bitwiseAND(submask)
         val chunked = sigs.select(col(id), col("simhash"), explode(array(
-          (0 until nChunks).map(c => struct(lit(c).alias("chunk"),
-            shiftright(col("simhash"), c * chunkBits).bitwiseAND(mask).alias("ck"))): _*)).alias("e"))
-          .select(col(id), col("simhash"), col("e.chunk"), col("e.ck"))
+          (for { c <- 0 until nChunks; j <- 0 until nChunks } yield
+            struct(lit(c).alias("chunk"), lit(j).alias("sub"),
+              chunkOf(col("simhash"), c).alias("ck"),
+              subOf(col("simhash"), c, j).alias("sk"))): _*)).alias("e"))
+          .select(col(id), col("simhash"),
+            col("e.chunk"), col("e.sub"), col("e.ck"), col("e.sk"))
+        // Duplicate suppression: a qualifying pair collides in up to
+        // nChunks² (c, j) tables; `.distinct()` dedups them in one
+        // shuffle of (ids, signatures) — bounded by the two-level
+        // join's output, which the wider key keeps near-linear (the
+        // chunk-only key's half-billion-row output was what made a
+        // dedup shuffle unaffordable; a first-wins filter expression
+        // over all nChunks² combos was tried instead and its ~70-term
+        // predicate drove Catalyst planning, not execution, into the
+        // tens of minutes).
         chunked.alias("a").join(chunked.alias("b"),
-            col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+            col("a.chunk") === col("b.chunk") && col("a.sub") === col("b.sub") &&
+              col("a.ck") === col("b.ck") && col("a.sk") === col("b.sk") &&
               col(s"a.$id") < col(s"b.$id"))
           .select(col(s"a.$id").alias("id_a"), col("a.simhash").alias("__sha"),
             col(s"b.$id").alias("id_b"), col("b.simhash").alias("__shb"))
@@ -295,22 +379,71 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** B3 (verified form): simhash-bucketed candidate pairs exact-verified
-    * by shingle Jaccard ≥ `threshold` — the same candidates→verify shape
-    * as [[minhashLsh]], with simhash as the (cheaper, shuffle-free-
-    * signature) candidate generator. Output (id_a, id_b, jaccard).
-    * Recall = recall of the hamming prefilter on true pairs; on corpora
-    * where every J ≥ threshold pair sits within `maxHamming` simhash
-    * bits (gate-checked empirically here), the output EQUALS the
-    * all-pairs jaccard result. */
+  /** B3 (verified form): candidate pairs filtered to simhash Hamming
+    * ≤ `maxHamming`, exact-verified by shingle Jaccard ≥ `threshold`.
+    * Output (id_a, id_b, jaccard). Recall = recall of the hamming
+    * prefilter on true pairs; on corpora where every J ≥ threshold
+    * pair sits within `maxHamming` simhash bits (gate-checked
+    * empirically here), the output EQUALS the all-pairs jaccard
+    * result.
+    *
+    * CANDIDATE SOURCE — measured at the sf1 sweep, this is the whole
+    * ballgame: `candidates = "minhash"` (default) buckets by banded
+    * minhash — CONTENT-hash keys whose bucket occupancy tracks actual
+    * duplication — then applies the hamming filter per candidate.
+    * `candidates = "chunks"` buckets by simhash chunk⊗subchunk
+    * ([[simhashPairs]]); its keys are signature-BIT projections, and
+    * simhash bits on a real corpus are heavily correlated (stopword
+    * votes bias whole bit ranges), so a projection key can put
+    * thousands of non-dup docs in one bucket: at sf1, 50k docs held
+    * only ~35k distinct signatures, the hottest 15-bit projection
+    * bucket held 5,800 docs, and chunk candidates totaled 0.5-0.6B
+    * pairs against 4M true hamming-≤7 pairs — a 150× join-volume tax
+    * no choice of bit partition can fix (every partition inherits the
+    * bias). Use "chunks" only when a maintained simhash-chunk index is
+    * the lookup infrastructure and the corpus' signature entropy has
+    * been checked. */
   def simhashNearDup(df: DataFrame, text: String = "text", id: String = "doc_id",
       maxHamming: Int = 12, n: Int = 3, threshold: Double = 0.5,
-      chunkBits: Int = 16): DataFrame = {
+      chunkBits: Int = 16, candidates: String = "minhash"): DataFrame = {
     val base = df.select(col(id), Shingles.wordShingles(col(text), n).alias("__sh"))
       .cache()
-    val cand = simhashPairs(df, text, id, maxHamming, bucketed = true, chunkBits)
-      .select("id_a", "id_b")
-    materializeThenRelease(verifyJaccard(cand, base, id, threshold), base)
+    if (candidates == "chunks") {
+      val cand = simhashPairs(df, text, id, maxHamming, bucketed = true, chunkBits)
+        .select("id_a", "id_b")
+      materializeThenRelease(verifyJaccard(cand, base, id, threshold), base)
+    } else {
+      val numHashes = 64
+      val sigd = base
+        .withColumn("__sig",
+          graft.functions.HashExpressions.minhashShingles(col("__sh"), numHashes))
+        .select(col(id), col("__sig"))
+        .cache()
+      val sims = simhash(df, text, id)
+      // bands=32 (r=2): short docs give the minhash estimate high
+      // variance — a J=0.8 ten-word pair was measured agreeing on only
+      // 33/64 lanes, which 16 bands of 4 miss ~30% of the time while
+      // 32 bands of 2 miss at ~5e-5. Same recall floor the
+      // dedup_minhash gate runs with.
+      val withinH = bandedCandidates(sigd, id, numHashes, bands = 32)
+        .join(sims.select(col(id).alias("id_a"), col("simhash").alias("__sha")), "id_a")
+        .join(sims.select(col(id).alias("id_b"), col("simhash").alias("__shb")), "id_b")
+        .where(bit_count(col("__sha").bitwiseXOR(col("__shb"))) <= maxHamming)
+        .select("id_a", "id_b")
+      // the minhash signatures are already in hand — apply the same
+      // estimate pre-filter minhashLsh uses before paying the exact
+      // shingle intersect
+      val estFiltered = withinH
+        .join(sigd.select(col(id).alias("id_a"), col("__sig").alias("__siga")), "id_a")
+        .join(sigd.select(col(id).alias("id_b"), col("__sig").alias("__sigb")), "id_b")
+        .withColumn("__est",
+          size(filter(zip_with(col("__siga"), col("__sigb"),
+            (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") / numHashes)
+        .where(col("__est") >= threshold - 0.05)
+        .select("id_a", "id_b")
+      materializeThenRelease(
+        verifyJaccard(estFiltered, base, id, threshold), base, sigd)
+    }
   }
 
   /** Near-dup CLUSTERING: connected components over a dup-pair edge

@@ -79,6 +79,32 @@ class OpsSpec extends AnyFunSuite {
     val b8 = pairs(8, bucketed = true)
     assert(b8.subsetOf(all8), "bucketed path produced a pair all-pairs did not")
     assert(b8.size >= all3.size, "bucketed h=8 should at least contain the h=3 pairs")
+    // identical copies collide in EVERY (chunk, subchunk) table, so
+    // each pair must still surface exactly once (a Set comparison
+    // alone would hide duplicated rows)
+    val rows3 = Dedup.simhashPairs(docs, maxHamming = 3, bucketed = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows3.length == rows3.toSet.size,
+      s"bucketed path emitted duplicate pairs: ${rows3.length} rows, " +
+        s"${rows3.toSet.size} distinct")
+  }
+
+  test("simhashNearDup: minhash-candidate default equals the chunk-index path") {
+    // the two candidate sources must agree on the final verified pair
+    // set wherever both discover the truth (this corpus) — the default
+    // swap to content-hash candidates is a cost change, not a
+    // semantics change
+    val base = Tables.documents(spark, sf).limit(150)
+    val docs = base.unionByName(base.withColumn("doc_id", col("doc_id") + 5000))
+    def pairs(mode: String) =
+      Dedup.simhashNearDup(docs, maxHamming = 7, threshold = 0.5,
+        chunkBits = 8, candidates = mode)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaMinhash = pairs("minhash")
+    val viaChunks = pairs("chunks")
+    assert(viaMinhash.nonEmpty, "planted dups must verify")
+    assert(viaMinhash == viaChunks,
+      s"missing ${viaChunks -- viaMinhash}, extra ${viaMinhash -- viaChunks}")
   }
 
   test("argmax-cosine expression matches the window-argmin formulation") {
