@@ -139,7 +139,28 @@ final class KeyedTable private (
   private[graft] def bucketVersionsAt(v: Long): Map[Int, Long] = {
     val cached = bvCache
     if (cached._1 == v) cached._2
-    else {
+    else if (cached._1 >= 0 && cached._1 < v &&
+        cached._1 > log.truncationFloor) {
+      // forward extension: fold ONLY the commits in (cached, v] on top
+      // of the cached exact map, instead of replaying from the newest
+      // checkpoint (up to a whole checkpoint interval of commits) —
+      // the same economics as the commit-listing memo. Hit whenever
+      // another writer advanced the log under this handle. NOT taken
+      // when the cached version fell at/below a truncation floor: the
+      // extension would fold SYNTHESIZED records for truncated commits,
+      // which carry owned buckets but not `emptied` ones — a bucket
+      // emptied inside the truncated range would survive as a stale
+      // entry. The cold replay below starts from the floor checkpoint
+      // and is exact.
+      var acc = cached._2
+      log.versions().iterator.filter(x => x > cached._1 && x <= v).foreach { ver =>
+        val info = log.readCommit(ver)
+        info.buckets.foreach(b => acc += b -> ver)
+        info.emptied.foreach(b => acc -= b)
+      }
+      bvCache = (v, acc)
+      acc
+    } else {
       val bv = log.bucketVersions(v)
       bvCache = (v, bv)
       bv
@@ -451,7 +472,7 @@ final class KeyedTable private (
 
   // test seam: runs after files are written, immediately before the
   // commit claim — lets a spec deterministically interleave two writers
-  private[store] var preCommitHook: () => Unit = () => ()
+  private[graft] var preCommitHook: () => Unit = () => ()
 
   private def occMaxRetries: Int = spark.conf
     .getOption("spark.graft.occ.maxRetries").map(_.toInt).getOrElse(20)
@@ -1429,9 +1450,15 @@ final class KeyedTable private (
             val planKeys = del0.fold(staged0)(d =>
               staged0.select(col(BucketCol), col(KHashCol))
                 .unionByName(d.select(col(BucketCol), col(KHashCol))))
+            // timed separately from "plan" (the staged-batch collect
+            // job): this is the manifest fold + the optional broadcast
+            // refinement job — the piece that would grow with HISTORY
+            // size if the fold ever regressed, where "plan" grows with
+            // the staged batch's bytes (data-proportional by design)
             val (readablePaths, carriedFiles, readBytes) =
-              splitByHashRange(planKeys, bv.toSeq, stagedRange, stagedCount,
-                prunedValsByBucket)
+              timed("planSplit")(
+                splitByHashRange(planKeys, bv.toSeq, stagedRange, stagedCount,
+                  prunedValsByBucket))
             val currentRaw0 = readPaths(readablePaths)
             // deletions apply to the CURRENT state before the staged
             // batch merges; removed rows become delete change rows

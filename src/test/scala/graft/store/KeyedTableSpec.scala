@@ -298,4 +298,45 @@ class KeyedTableSpec extends AnyFunSuite {
     val r1 = kt2.snapshot().where(col("id") === 1L).head
     assert(r1.getString(1) == "a2" && r1.getDouble(2) == 1.5)
   }
+
+  test("bucket-map cache extends forward incrementally and equals a cold fold") {
+    // A stale handle whose cached bucket map lags the log must extend
+    // by folding ONLY the missing commits — and the extended map must
+    // be byte-identical to a cold checkpoint+tail replay, including
+    // across commits that EMPTY a bucket (the -= branch) and a
+    // truncation (ownership never rewritten).
+    val t = tmp()
+    val df = (1L to 64L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 8)
+    kt.upsert(df, uniqueKeys = true)
+    val a = KeyedTable.forPath(spark, t) // second handle, its own cache
+    val warm = a.bucketVersionsAt(a.latestVersion)
+    assert(warm.nonEmpty)
+    // advance the log under `a`: two sparse waves, then delete EVERY
+    // row of one bucket so its entry must vanish from the map
+    kt.upsert(Seq((1L, 9.9)).toDF("id", "v"), uniqueKeys = true)
+    kt.upsert(Seq((2L, 8.8)).toDF("id", "v"), uniqueKeys = true)
+    val bucketOf = kt.snapshot().select(
+      col("id"), pmod(xxhash64(col("id")), lit(8)).cast("int").alias("b"))
+    val victim = bucketOf.head.getInt(1)
+    val victims = bucketOf.where(col("b") === victim).select("id")
+    kt.delete(victims)
+    val v = kt.latestVersion
+    def cold(at: Long) = new CommitLog(t, spark.sessionState.newHadoopConf())
+      .bucketVersions(at)
+    val extended = a.bucketVersionsAt(v) // forward-extension path
+    assert(extended == cold(v),
+      s"extended map diverged from cold fold: extended=$extended cold=${cold(v)}")
+    assert(!extended.contains(victim), "emptied bucket must drop out")
+    // across a truncation the extension must NOT fold synthesized
+    // (emptied-blind) records: a handle whose cache predates the floor
+    // takes the cold-replay path and still matches
+    val b = KeyedTable.forPath(spark, t)
+    b.bucketVersionsAt(1L) // pin b's cache below the coming floor
+    kt.truncateLog(retainVersions = 2)
+    kt.upsert(Seq((3L, 7.7)).toDF("id", "v"), uniqueKeys = true)
+    val v2 = kt.latestVersion
+    assert(b.bucketVersionsAt(v2) == cold(v2),
+      "post-truncation map must match a cold fold (no synthesized fold)")
+  }
 }

@@ -455,4 +455,91 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
       assertSameRows(got, want, s"seed $seed maintenance-interleaved")
     }
   }
+
+  // CONCURRENT WRITERS racing churn — the one interleaving class the
+  // families above never touch (maintenance covered layout mutation;
+  // EpochDrainSpec covers crafted drainer races): every wave lands via
+  // TWO writer threads upserting disjoint key halves of the same
+  // source (overlapping buckets → real OCC claim losses and replays),
+  // with a randomly-injected pre-commit rival commit forcing
+  // additional claim losses (including the disjoint-bucket re-stamp
+  // path), and every drain runs as TWO racing drainer threads through
+  // the A35 arbitration. Final chained output must still equal the
+  // batch fixpoint over the final snapshots.
+  Seq(13, 41).foreach { seed =>
+    test(s"random op waves with RACING writers and drainers (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = tmp()
+      val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+      val rSchema = Seq((1L, "x", 0L)).toDF("rkey", "name", "rseq").schema
+      val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+        seqCols = Seq("seq"), numBuckets = 4)
+      val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rkey"),
+        seqCols = Seq("rseq"), numBuckets = 4)
+      def mkPipe() = Stream.fromKeyedTable(KeyedTable.forPath(spark, s"$root/l"))
+        .handleDeletes()
+        .join(Stream.fromKeyedTable(KeyedTable.forPath(spark, s"$root/r"))
+          .handleDeletes(), "inner")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .groupByStaged(s"$root/stage", "name")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+        .writeToPath(s"$root/chained")
+      rT.upsert((0L until 8L).map(k => (k, s"n${k % 3}", 0L))
+        .toDF("rkey", "name", "rseq"), uniqueKeys = true)
+      (1 to 6).foreach { wave =>
+        val rows = (1 to 24).map(_ => rnd.nextInt(40).toLong).distinct.map { i =>
+          (i, rnd.nextInt(10).toLong, rnd.nextInt(10000).toLong, wave.toLong)
+        }
+        // DISJOINT halves → the final table state is deterministic no
+        // matter which writer's claim lands first
+        val (h1, h2) = rows.partition(_._1 % 2 == 0)
+        val w1 = KeyedTable.forPath(spark, s"$root/l")
+        val w2 = KeyedTable.forPath(spark, s"$root/l")
+        if (rnd.nextBoolean()) {
+          // claim-loss injection: w1's pre-commit window lets a rival
+          // sentinel commit land first, guaranteeing w1 loses its
+          // first claim and replays (or re-stamps when disjoint)
+          var fired = false
+          w1.preCommitHook = () => if (!fired) {
+            fired = true
+            KeyedTable.forPath(spark, s"$root/l").upsert(
+              Seq((999L, 9L, 9999L, wave.toLong))
+                .toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+          }
+        }
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val ts = Seq(h1, h2).zip(Seq(w1, w2)).map { case (half, w) =>
+          new Thread { override def run(): Unit =
+            try { if (half.nonEmpty)
+              w.upsert(half.toDF("id", "lkey", "cents", "seq"), uniqueKeys = true) }
+            catch { case e: Throwable => errs.add(e) } }
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+        assert(errs.isEmpty, s"wave $wave: racing writer threw: ${errs.peek()}")
+        rT.upsert((1 to 4).map(_ => rnd.nextInt(8).toLong).distinct
+          .map(k => (k, s"n${rnd.nextInt(4)}", wave.toLong))
+          .toDF("rkey", "name", "rseq"), uniqueKeys = true)
+        if (wave % 3 == 0)
+          lT.delete((1 to 5).map(_ => rnd.nextInt(40).toLong).distinct.toDF("id"))
+        if (wave % 2 == 0 || wave == 6) {
+          val derrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+          val ds = (1 to 2).map { _ =>
+            new Thread { override def run(): Unit =
+              try mkPipe().runIncremental()
+              catch { case e: Throwable => derrs.add(e) } }
+          }
+          ds.foreach(_.start()); ds.foreach(_.join())
+          assert(derrs.isEmpty, s"wave $wave: racing drainer threw: ${derrs.peek()}")
+        }
+      }
+      mkPipe().runIncremental()
+      val want = lT.snapshot().join(rT.snapshot(),
+          col("lkey") === col("rkey"), "inner")
+        .groupBy("name")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+      val got = KeyedTable.forPath(spark, s"$root/chained").snapshot()
+        .select(want.columns.map(col).toSeq: _*)
+      assertSameRows(got, want, s"seed $seed racing writers")
+    }
+  }
 }
