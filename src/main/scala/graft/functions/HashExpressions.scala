@@ -16,9 +16,12 @@ import org.apache.spark.sql.types._
   * allocates `k` intermediate arrays (higher-order functions never enter
   * whole-stage codegen). This expression hashes each shingle once
   * (xxhash64, seed 42 — identical to `functions.xxhash64`) and updates
-  * all `numHashes` lane minima in a tight JVM loop; the lane mix is the
-  * same xorshift64 over `h ⊕ goldenGamma·(lane+1)` as `Dedup.remix`, so
-  * signatures are bit-equal to the composed form.
+  * all `numHashes` lane minima in a tight JVM loop; the lane mix is
+  * `xxhash64(lane, h)` exactly as `Dedup.remix` composes it (lane
+  * hashed first LongType against seed 42, then `h` against that), so
+  * signatures are bit-equal to the composed form. A full re-hash per
+  * lane, not a cheap xorshift: the xorshift mixer's weak cross-lane
+  * avalanche made lane minima correlate (see Dedup.remix).
   *
   * Reference behavior matched: LeoneGarage/StreamJoin has no minhash —
   * this backs graft's §2B dedup surface.
@@ -34,8 +37,11 @@ final case class MinHashShingles(child: Expression, numHashes: Int)
       s"graft_minhash expects array<string>, got ${dt.simpleString}")
   }
 
+  // per-lane xxhash seeds: `xxhash64(lane, h)` folds left over its
+  // children, so lane i's value is hash(h, LongType, hash(i, LongType, 42))
   private lazy val laneSeeds: Array[Long] =
-    Array.tabulate(numHashes)(i => 0x9E3779B97F4A7C15L * (i + 1))
+    Array.tabulate(numHashes)(i =>
+      XxHash64Function.hash(i.toLong, LongType, 42L))
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -51,10 +57,7 @@ final case class MinHashShingles(child: Expression, numHashes: Int)
         val h = XxHash64Function.hash(arr.getUTF8String(j), StringType, 42L)
         var i = 0
         while (i < k) {
-          val seeded = h ^ laneSeeds(i)
-          val a = seeded ^ (seeded << 13)
-          val b = a ^ (a >>> 7)
-          val c = b ^ (b << 17)
+          val c = XxHash64Function.hash(h, LongType, laneSeeds(i))
           if (c < mins(i)) mins(i) = c
           i += 1
         }

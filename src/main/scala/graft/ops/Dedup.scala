@@ -43,16 +43,18 @@ object Dedup {
     }: _*)
   }
 
-  /** Cheap 64-bit mixer: xorshift64 over h ⊕ seed_i — distinct lanes
-    * behave as independent hash functions for minhash purposes. Pure
-    * bitwise ops (no multiply) so it is safe under ANSI mode, which
-    * rejects wrapping arithmetic. */
-  private def remix(h: Column, lane: Int): Column = {
-    val seeded = h.bitwiseXOR(lit(0x9E3779B97F4A7C15L * (lane + 1)))
-    val a = seeded.bitwiseXOR(shiftleft(seeded, 13))
-    val b = a.bitwiseXOR(shiftrightunsigned(a, 7))
-    b.bitwiseXOR(shiftleft(b, 17))
-  }
+  /** Per-lane 64-bit mixer: `xxhash64(lane, h)` — a full-avalanche
+    * re-hash per lane. The previous xorshift-over-`h ⊕ seed_i` mixer
+    * (3 shift-xors, no multiply) had weak avalanche across lanes: the
+    * 64 seeded inputs differ only in the xor constant, and the
+    * correlated outputs made lane MINIMA correlate — measured on a
+    * 15-shingle doc pair with J=0.857 whose lanes agreed only 24/64
+    * (a ≥10σ deviation under independence), pushing the pair under
+    * the estimate pre-filter and skewing band recall. xxhash64 keeps
+    * both forms ANSI-safe (hashing, not SQL arithmetic) and the
+    * native pass bit-equal ([[graft.functions.HashExpressions]]). */
+  private def remix(h: Column, lane: Int): Column =
+    xxhash64(lit(lane.toLong), h)
 
   /** B2: MinHash+LSH near-dup pairs. Bands the `numHashes`-element
     * signature into `bands` groups, buckets docs by banded hash, and

@@ -89,6 +89,31 @@ class OpsSpec extends AnyFunSuite {
         s"${rows3.toSet.size} distinct")
   }
 
+  test("minhash lane agreement tracks jaccard on short docs (mixer avalanche)") {
+    // Regression pin for the lane mixer: the old xorshift remix had
+    // weak cross-lane avalanche (64 inputs differing only in an xor
+    // constant), which let lane MINIMA correlate — a real J=0.857
+    // replica pair measured 24/64 agreeing lanes (≥10σ under
+    // independence) and fell under the estimate pre-filter, silently
+    // dropping 3 true pairs at the sf1 scale point. With the
+    // xxhash64-per-lane mix, agreement must sit near 64·J. The docs
+    // reproduce that failing shape: 15 words sharing all but the last.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "row join small part data spark agg fast sort join order table key group r1"),
+      (2L, "row join small part data spark agg fast sort join order table key group r5"))
+      .toDF("doc_id", "text")
+    val sig = docs.select(col("doc_id"),
+      graft.functions.HashExpressions.minhashShingles(
+        Shingles.wordShingles(col("text"), 3), 64).alias("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = sig(1L).zip(sig(2L)).count(p => p._1 == p._2)
+    // J = 12/14 ≈ 0.857 → E[agree] ≈ 55, σ ≈ 2.8; pin at > 40 (5σ),
+    // far above the correlated mixer's measured 24
+    assert(agree > 40, s"lane agreement $agree/64 for a J≈0.86 pair — " +
+      "the lane mixer is correlating minima again")
+  }
+
   test("simhashNearDup: minhash-candidate default equals the chunk-index path") {
     // the two candidate sources must agree on the final verified pair
     // set wherever both discover the truth (this corpus) — the default

@@ -152,8 +152,19 @@ def main():
     assert (max_id + 1) % factor == 0, f"doc_id range not a {factor}-fold replication"
     t = 0.5
     print(f"[sf1-oracle] docs={max_id + 1} families={off} threshold={t}")
-    pairs = con.execute(windowed_pairs_sql(off, t)).df()
-    cross = con.execute(windowed_cross_sql(off, t)).df()
+    # the windowed truth depends only on the corpus — cache it next to
+    # the data so repeated checks don't redo the base all-pairs scan
+    cache = f"{sf_dir}/_dedup_truth_cache"
+    os.makedirs(cache, exist_ok=True)
+    def cached(name, sql):
+        p = f"{cache}/{name}.parquet"
+        if os.path.exists(p):
+            return pd.read_parquet(p)
+        df = con.execute(sql).df()
+        df.to_parquet(p)
+        return df
+    pairs = cached("pairs", windowed_pairs_sql(off, t))
+    cross = cached("cross", windowed_cross_sql(off, t))
     docs = con.execute("SELECT doc_id FROM documents ORDER BY doc_id").df()["doc_id"]
     simhash_exp = pairs
     if sigs_path:
