@@ -15,6 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Slack for the signature-estimate pre-filter, scaled to the
+    * estimator's own dispersion. The `numHashes`-lane agreement
+    * fraction is Binomial(numHashes, J)/numHashes with
+    * σ = √(J(1−J)/numHashes) — 0.0625 at J=0.5 with 64 lanes — so any
+    * FIXED slack smaller than σ drops true boundary pairs at double-
+    * digit rates (a 0.05 slack loses a true J=t pair ~19% of the time
+    * at t=0.5). k=3 puts the cut 3σ below the threshold: per-pair miss
+    * ≈ P[Bin(64,.5) ≤ 20] ≈ 0.1%, while the exact size-ratio and
+    * hashed-shingle prefilters in [[verifyJaccard]] absorb the extra
+    * sub-threshold candidates the wider cut admits. Pinned end-to-end
+    * by BoundaryRecallSpec (planted pairs at J ∈ {t, t+0.02, t+0.05}). */
+  private[ops] def estSlack(threshold: Double, numHashes: Int): Double =
+    3.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+
   /** B1: exact dedup by content hash. Adds the canonical (minimum) id
     * and group size per identical-content group; `is_canonical` marks
     * the row to keep. One hash-shuffle on the 128-bit digest. */
@@ -96,15 +110,16 @@ object Dedup {
     // orders of magnitude cheaper than the exact shingle intersect.
     // Corpora with heavy shared vocabulary (like this one) produce many
     // band collisions just below threshold; this cut keeps the exact
-    // verify pass linear in TRUE near-dups. 0.05 slack keeps recall at
-    // the threshold boundary.
+    // verify pass linear in TRUE near-dups. The slack scales with the
+    // estimator's σ (see [[estSlack]]) so true pairs AT the threshold
+    // survive with ≥99.8% probability.
     val estFiltered = cand
       .join(sigd.select(col(id).alias("id_a"), col("__sig").alias("__siga")), "id_a")
       .join(sigd.select(col(id).alias("id_b"), col("__sig").alias("__sigb")), "id_b")
       .withColumn("__est",
         size(filter(zip_with(col("__siga"), col("__sigb"),
           (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") / numHashes)
-      .where(col("__est") >= threshold - 0.05)
+      .where(col("__est") >= threshold - estSlack(threshold, numHashes))
       .select("id_a", "id_b")
     val out = verifyJaccard(estFiltered, base.select(col(id), col("__sh")), id, threshold)
     materializeThenRelease(out, base, sigd)
@@ -185,7 +200,7 @@ object Dedup {
       .withColumn("__est",
         size(filter(zip_with(col("__siga"), col("__sigb"),
           (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") / numHashes)
-      .where(col("__est") >= threshold - 0.05)
+      .where(col("__est") >= threshold - estSlack(threshold, numHashes))
       .select("new_id", "old_id")
     val out = est
       .join(baseN.select(col(id).alias("new_id"), col("__sh").alias("__sa")), "new_id")
@@ -383,11 +398,16 @@ object Dedup {
 
   /** B3 (verified form): candidate pairs filtered to simhash Hamming
     * ≤ `maxHamming`, exact-verified by shingle Jaccard ≥ `threshold`.
-    * Output (id_a, id_b, jaccard). Recall = recall of the hamming
-    * prefilter on true pairs; on corpora where every J ≥ threshold
-    * pair sits within `maxHamming` simhash bits (gate-checked
-    * empirically here), the output EQUALS the all-pairs jaccard
-    * result.
+    * Output (id_a, id_b, jaccard). Recall on true pairs is the product
+    * of three filters, not an equality guarantee: (1) the hamming
+    * prefilter — exact on corpora where every J ≥ threshold pair sits
+    * within `maxHamming` simhash bits (gate-checked empirically here);
+    * (2) on the default "minhash" candidate path, the banded-LSH miss
+    * probability (≈(1−t²)^32 ≈ 1e-4 at t=0.5 with 32 bands of r=2);
+    * (3) the signature-estimate prefilter, whose σ-scaled slack
+    * ([[estSlack]]) keeps a true J=t pair with ≥99.8% probability.
+    * The "chunks" candidate path has pigeonhole-exact candidate
+    * recall but pays filters (1) and (3).
     *
     * CANDIDATE SOURCE — measured at the sf1 sweep, this is the whole
     * ballgame: `candidates = "minhash"` (default) buckets by banded
@@ -441,7 +461,7 @@ object Dedup {
         .withColumn("__est",
           size(filter(zip_with(col("__siga"), col("__sigb"),
             (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") / numHashes)
-        .where(col("__est") >= threshold - 0.05)
+        .where(col("__est") >= threshold - estSlack(threshold, numHashes))
         .select("id_a", "id_b")
       materializeThenRelease(
         verifyJaccard(estFiltered, base, id, threshold), base, sigd)

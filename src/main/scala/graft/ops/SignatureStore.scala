@@ -69,7 +69,7 @@ object SignatureStore {
       .withColumn("__est",
         size(filter(zip_with(col("__siga"), col("__sigb"),
           (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") / NumHashes)
-      .where(col("__est") >= threshold - 0.05)
+      .where(col("__est") >= threshold - Dedup.estSlack(threshold, NumHashes))
       .select("new_id", "old_id")
     // exact verify: shingles recomputed for CANDIDATE rows only
     val out = est

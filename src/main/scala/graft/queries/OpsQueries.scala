@@ -225,11 +225,19 @@ object OpsQueries {
     Dedup.packSequences(Tables.documents(s, d),
       tokens = size(split(col("text"), " ")).cast("long"), capacity = 2048)
 
-  /** Near-dup clustering: connected components over the exact-jaccard
-    * dup pairs; every doc labeled with its min reachable doc id. */
+  /** Near-dup clustering: connected components over the dup-pair edge
+    * list; every doc labeled with its min reachable doc id. The edges
+    * come from banded-minhash candidates (the SCALE path — bounded by
+    * band collisions, never all-pairs), exact-verified to the same
+    * J ≥ 0.5 contract the recursive-CTE oracle asserts: bands=32
+    * (r=2) misses a true J=0.5 pair with probability (1−t²)^32 ≈ 1e-4,
+    * and the `dedup_minhash` gate proves the identical pair set on
+    * this corpus against the same full exact-jaccard oracle. The
+    * exact all-pairs engine (`allPairsJaccard`) remains the
+    * `dedup_jaccard` gate's deliberate quadratic-by-contract path. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.allPairsJaccard(docs, threshold = 0.5)
+    val pairs = Dedup.minhashLsh(docs, bands = 32, threshold = 0.5)
     Dedup.nearDupClusters(docs.select("doc_id"), pairs)
   }
 

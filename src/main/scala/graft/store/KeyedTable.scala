@@ -140,7 +140,17 @@ final class KeyedTable private (
     val cached = bvCache
     if (cached._1 == v) cached._2
     else if (cached._1 >= 0 && cached._1 < v &&
-        cached._1 > log.truncationFloor) {
+        cached._1 > log.floorForRead(cached._1)) {
+      // floorForRead, NOT the cached truncationFloor: a cross-process
+      // truncation past `cached._1` leaves this handle's floor cache
+      // stale while versions() freshly lists only the retained tail —
+      // the cached-floor guard would pass and the fold would silently
+      // skip every commit in (cached, floor], resurrecting buckets
+      // emptied (or rewritten) inside the skipped range. floorForRead
+      // detects the gap from the listed head (commit ids are dense;
+      // truncation deletes contiguously from the bottom) and re-reads
+      // the floor file, so a stale cache falls through to the exact
+      // cold checkpoint replay below.
       // forward extension: fold ONLY the commits in (cached, v] on top
       // of the cached exact map, instead of replaying from the newest
       // checkpoint (up to a whole checkpoint interval of commits) —
@@ -474,6 +484,15 @@ final class KeyedTable private (
   // commit claim — lets a spec deterministically interleave two writers
   private[graft] var preCommitHook: () => Unit = () => ()
 
+  // both hooks at every commit site: the instance hook reaches only the
+  // handle a spec holds; the companion-global hook (path-keyed) reaches
+  // handles created INTERNALLY by drain pipelines, which is what lets a
+  // spec kill a drainer at a chosen commit boundary (crash injection)
+  private def firePreCommit(): Unit = {
+    KeyedTable.globalPreCommitHook(path)
+    preCommitHook()
+  }
+
   private def occMaxRetries: Int = spark.conf
     .getOption("spark.graft.occ.maxRetries").map(_.toInt).getOrElse(20)
 
@@ -663,7 +682,7 @@ final class KeyedTable private (
           }.filter(_._2.nonEmpty).toMap
           val written = manifest.keys.toSeq
           val emptied = touched.filterNot(manifest.contains)
-          preCommitHook()
+          firePreCommit()
           if (log.commit(newVersion, written, emptied, cdfBytes = cdfBytesOf(dir),
               dir = dir, files = Some(manifest), epoch = planEpoch,
               cdfUp = cdfUp, cdfDel = cdfDel, cdfPre = cdfPre)) {
@@ -773,7 +792,7 @@ final class KeyedTable private (
       }.filter(_._2.nonEmpty).toMap
       val written = manifest.keys.toSeq
       val emptied = touched.toSeq.filterNot(manifest.contains)
-      preCommitHook()
+      firePreCommit()
       if (log.commit(newVersion, written, emptied, cdfBytes = cdfBytesOf(dir),
           dir = dir, files = Some(manifest), epoch = planEpoch,
           cdfUp = cdfUp, cdfDel = cdfDel, cdfPre = cdfPre)) {
@@ -844,7 +863,7 @@ final class KeyedTable private (
       }.filter(_._2.nonEmpty).toMap
       val written = manifest.keys.toSeq
       val emptied = touched.toSeq.filterNot(manifest.contains)
-      preCommitHook()
+      firePreCommit()
       if (log.commit(newVersion, written, emptied, cdfBytes = 0L,
           dir = dir, files = Some(manifest), epoch = planEpoch,
           cdfUp = 0L, cdfDel = 0L, cdfPre = 0L)) {
@@ -971,7 +990,7 @@ final class KeyedTable private (
       val manifest = writtenFileStats(dir)
       val written = manifest.keys.toSeq
       val emptied = bv.keys.toSeq.filterNot(manifest.contains)
-      preCommitHook()
+      firePreCommit()
       if (log.commit(newVersion, written, emptied, dir = dir,
           files = Some(manifest), epoch = stepEpoch,
           cdfUp = 0L, cdfDel = 0L, cdfPre = 0L)) {
@@ -1420,7 +1439,7 @@ final class KeyedTable private (
             // few small files and re-claim; no bucket re-read, no merge.
             occRestamps += 1
             restampCdf(prevDir, newVersion)
-            preCommitHook()
+            firePreCommit()
             if (log.commit(newVersion, prevWritten, prevEmptied, batchId,
                 cdfBytesOf(prevDir), prevDir, Option(prevManifest), planEpoch,
                 cdfUp = prevUp, cdfDel = prevDel, cdfPre = prevPre)) {
@@ -1529,7 +1548,7 @@ final class KeyedTable private (
               }.filter(_._2.nonEmpty).toMap
               val written = manifest.keys.toSeq
               val emptied = affected.filterNot(manifest.contains)
-              preCommitHook()
+              firePreCommit()
               if (timed("commit")(log.commit(newVersion, written, emptied, batchId,
                   cdfBytesOf(dir), dir, Some(manifest), planEpoch,
                   cdfUp = cdfUp, cdfDel = cdfDel, cdfPre = cdfPre))) {
@@ -2168,6 +2187,14 @@ final class KeyedTable private (
 }
 
 object KeyedTable {
+  /** Test seam: fired (with the table path) before EVERY commit publish
+    * across ALL handles — unlike the instance `preCommitHook`, this
+    * reaches table handles created internally by drain pipelines, so a
+    * spec can crash-inject a drainer at a chosen table's commit
+    * boundary. Throwing simulates a process kill AFTER data files are
+    * staged, BEFORE the commit claim. Always reset in a finally. */
+  @volatile private[graft] var globalPreCommitHook: String => Unit = _ => ()
+
   private[store] val BucketCol = "__bucket"
   private[store] val SideCol = "__side"
   private[store] val KHashCol = "__khash"

@@ -18,6 +18,13 @@ import org.apache.spark.sql.SparkSession
 private[streaming] object DrainState {
   final case class St(versions: Map[String, Long], next: Long)
 
+  /** Test seam: fired (with the drain dir) on entry to [[commit]] —
+    * throwing simulates a drainer killed AFTER its merge landed but
+    * BEFORE the intent→state promotion, the recovery window
+    * [[loadRecovering]] promotes-and-replays. Always reset in a
+    * finally. */
+  @volatile private[streaming] var preStateCommitHook: String => Unit = _ => ()
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -286,6 +293,7 @@ private[streaming] object DrainState {
     * content identical); anything else is a real anomaly and fails
     * loudly rather than corrupting drain history. */
   def commit(spark: SparkSession, dir: String, claimed: St): Unit = {
+    preStateCommitHook(dir)
     val f = fs(spark, dir)
     val state = new Path(dir, "state.properties")
     val intent = new Path(dir, "intent.properties")

@@ -648,7 +648,10 @@ final class JoinedStream(
 
       def downgrade(srcKeys: DataFrame, side: String, nonOwning: Stream,
           idxSubPath: String): Unit = graft.store.PhaseStats.time("downgrade") {
-        spark.sparkContext.setJobDescription("graft:join:downgrade")
+        // sub-phase job labels (gate / aff / rederive; the fused
+        // delete+merge tags itself graft:merge:*) — ProfCdc attributes
+        // the pass's scale behavior per step from these
+        spark.sparkContext.setJobDescription("graft:join:downgrade:gate")
         val sk = srcKeys.persist(StorageLevel.MEMORY_AND_DISK)
         try {
           // cheap emptiness guard FIRST: downgrade() is entered on any
@@ -656,14 +659,13 @@ final class JoinedStream(
           // update window's moved-key set usually resolves to EMPTY.
           // Building the affected-row derivation below is not free even
           // unexecuted — prunedStatic's snapshotForKeys runs driver-side
-          // probe collects at plan-construction time — so exit on one
-          // limit(1) probe of the persisted keys before deriving
-          // anything. The non-empty path then needs only the affected-
-          // row count (sk's exact count was only ever the empty gate).
-          // A plain count() beats isEmpty here: one deterministic job
-          // that fully materializes the persist (isEmpty's executeTake
-          // scales partitions incrementally — several probe jobs on an
-          // empty result, and a partially-cached persist otherwise).
+          // probe collects at plan-construction time — so gate on ONE
+          // count() job over the persisted keys before deriving
+          // anything. count() (not isEmpty) is deliberate: one
+          // deterministic job that fully materializes the persist,
+          // whereas isEmpty's executeTake scales partitions
+          // incrementally — several probe jobs on an empty result, and
+          // a partially-cached persist otherwise.
           if (sk.count() == 0L) return
           // owning rows paired with the retracted keys under their OLD
           // (window-start) images — the pairings to retract — UNION the
@@ -704,6 +706,7 @@ final class JoinedStream(
           // pruning probe correctly) and fall back to a plain
           // shuffle join past the threshold.
           val aff = affRows0.persist(StorageLevel.MEMORY_AND_DISK)
+          spark.sparkContext.setJobDescription("graft:join:downgrade:aff")
           val affN = aff.count()
           val bcastMax = spark.conf
             .getOption("spark.graft.join.downgrade.broadcastMaxRows")
@@ -735,6 +738,7 @@ final class JoinedStream(
               nonOwning.pks.map(k => col(k).isNull).reduce(_ || _)))
             .persist(StorageLevel.MEMORY_AND_DISK)
           try {
+            spark.sparkContext.setJobDescription("graft:join:downgrade:rederive")
             reRows.count() // pin before the output changes under it
             // stale pairings = output rows of the retracted keys the
             // recompute did NOT reproduce (resolved post-merge, so

@@ -339,4 +339,43 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(b.bucketVersionsAt(v2) == cold(v2),
       "post-truncation map must match a cold fold (no synthesized fold)")
   }
+
+  test("bucket-map extension survives a STALE floor cache across cross-process truncation") {
+    // The hazard the cached-floor guard misses: a long-lived handle
+    // loads floor=-1 into its floor cache, ANOTHER process truncates
+    // past the handle's cached map version, and versions() freshly
+    // lists only the retained tail — the cached-floor guard passes
+    // while the fold silently skips every commit in (cached, floor],
+    // resurrecting a bucket emptied inside the skipped range. The
+    // guard must use the stale-proof floorForRead (listed-head gap
+    // detection) and fall through to the cold checkpoint replay.
+    val t = tmp()
+    val df = (1L to 64L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 8)
+    kt.upsert(df, uniqueKeys = true) // v1
+    val b = KeyedTable.forPath(spark, t) // the long-lived stale handle
+    b.bucketVersionsAt(b.latestVersion) // bvCache = (1, map)
+    kt.upsert(Seq((1L, 9.9)).toDF("id", "v"), uniqueKeys = true) // v2
+    // this extension loads floor=-1 into b's floor cache — the
+    // precondition for the staleness hazard
+    b.bucketVersionsAt(b.latestVersion) // bvCache = (2, map)
+    // cross-process: empty one whole bucket (v3), then truncate past it
+    val bucketOf = kt.snapshot().select(
+      col("id"), pmod(xxhash64(col("id")), lit(8)).cast("int").alias("b"))
+    val victim = bucketOf.head.getInt(1)
+    val survivor = bucketOf.where(col("b") =!= victim).head.getLong(0)
+    kt.delete(bucketOf.where(col("b") === victim).select("id")) // v3 empties it
+    kt.upsert(Seq((survivor, 8.8)).toDF("id", "v"), uniqueKeys = true) // v4
+    kt.truncateLog(retainVersions = 1) // ckpt at v4, floor = 3: v3 GONE from the listing
+    kt.upsert(Seq((survivor, 7.7)).toDF("id", "v"), uniqueKeys = true) // v5 tail
+    val v = kt.latestVersion
+    val cold = new CommitLog(t, spark.sessionState.newHadoopConf())
+      .bucketVersions(v)
+    assert(!cold.contains(victim), "test setup: victim bucket must be emptied")
+    val got = b.bucketVersionsAt(v)
+    assert(got == cold,
+      s"stale-floor extension resurrected truncated state: got=$got cold=$cold")
+    assert(!got.contains(victim),
+      "bucket emptied inside the truncated range must not resurrect")
+  }
 }

@@ -542,4 +542,100 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
       assertSameRows(got, want, s"seed $seed racing writers")
     }
   }
+
+  // RANDOMIZED CRASH INJECTION — the crash seams are spec-tested at
+  // CRAFTED points (CrashRecoverySpec, IncrementalDrainSpec, OccSpec,
+  // RebucketSpec); this family kills a drainer at a RANDOM commit
+  // boundary each drain wave and recovers it, covering both recovery
+  // classes: a PRE-merge kill (globalPreCommitHook throwing on the
+  // stage or output table's commit publish) leaves a claimed intent
+  // the next drainer must adopt VERBATIM once the claim goes stale;
+  // a POST-merge kill (preStateCommitHook throwing on intent→state
+  // promotion) leaves a landed merge that loadRecovering must promote
+  // and whose post-merge passes it must replay. Final chained output
+  // must equal the batch fixpoint over the final snapshots.
+  private class CrashSignal extends RuntimeException("injected drainer kill")
+
+  Seq(17, 73).foreach { seed =>
+    test(s"random op waves with CRASH-INJECTED drainer kills (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = tmp()
+      val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+      val rSchema = Seq((1L, "x", 0L)).toDF("rkey", "name", "rseq").schema
+      val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+        seqCols = Seq("seq"), numBuckets = 4)
+      val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rkey"),
+        seqCols = Seq("rseq"), numBuckets = 4)
+      def mkPipe() = Stream.fromKeyedTable(KeyedTable.forPath(spark, s"$root/l"))
+        .handleDeletes()
+        .join(Stream.fromKeyedTable(KeyedTable.forPath(spark, s"$root/r"))
+          .handleDeletes(), "left")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .groupByStaged(s"$root/stage", "name")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+        .writeToPath(s"$root/chained")
+      rT.upsert((0L until 8L).map(k => (k, s"n${k % 3}", 0L))
+        .toDF("rkey", "name", "rseq"), uniqueKeys = true)
+      // short grace so a killed drainer's stale claim is adopted fast;
+      // the recovery drainer polls staleClaim every 50ms until then
+      spark.conf.set("spark.graft.drain.claimGraceMs", "300")
+      val armed = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val kills = new java.util.concurrent.atomic.AtomicInteger(0)
+      // one-shot kill at the armed boundary (self-disarms on fire)
+      KeyedTable.globalPreCommitHook = p =>
+        if (p == armed.get) { armed.set(null); kills.incrementAndGet(); throw new CrashSignal }
+      DrainState.preStateCommitHook = d =>
+        if (d == armed.get) { armed.set(null); kills.incrementAndGet(); throw new CrashSignal }
+      try {
+        (1 to 6).foreach { wave =>
+          val lRows = (1 to 20).map(_ => rnd.nextInt(30).toLong).distinct.map { i =>
+            (i, rnd.nextInt(12).toLong, rnd.nextInt(10000).toLong, wave.toLong)
+          }
+          lT.upsert(lRows.toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+          rT.upsert((1 to 4).map(_ => rnd.nextInt(8).toLong).distinct
+            .map(k => (k, s"n${rnd.nextInt(4)}", wave.toLong))
+            .toDF("rkey", "name", "rseq"), uniqueKeys = true)
+          if (wave % 2 == 0)
+            lT.delete((1 to 5).map(_ => rnd.nextInt(30).toLong).distinct.toDF("id"))
+          if (wave % 3 == 0)
+            rT.delete((1 to 2).map(_ => rnd.nextInt(8).toLong).distinct.toDF("rkey"))
+          // kill the drainer at a random boundary: PRE-merge on the
+          // staged table, PRE-merge on the output table, or POST-merge
+          // before either stage's state promotion (one-shot arm)
+          val target = rnd.nextInt(4) match {
+            case 0 => s"$root/stage"          // stage-1 merge publish
+            case 1 => s"$root/chained"        // stage-2 merge publish
+            case 2 => s"$root/stage/_drain"   // stage-1 state promotion
+            case 3 => s"$root/chained/_drain" // stage-2 state promotion
+          }
+          armed.set(target)
+          try mkPipe().runIncremental()
+          catch { case _: CrashSignal => () } // the injected kill
+          // a layout-only wave may never reach the armed boundary —
+          // disarm regardless, then recover: the next drain must adopt
+          // the dead drainer's claim (pre-merge kill) or promote-and-
+          // replay the landed step (post-merge kill)
+          armed.set(null)
+          mkPipe().runIncremental()
+        }
+        mkPipe().runIncremental()
+        val want = lT.snapshot().join(rT.snapshot(),
+            col("lkey") === col("rkey"), "left")
+          .groupBy("name")
+          .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+        val got = KeyedTable.forPath(spark, s"$root/chained").snapshot()
+          .select(want.columns.map(col).toSeq: _*)
+        assertSameRows(got, want, s"seed $seed crash-injected drains")
+        // the family must actually kill drainers, not just drain: every
+        // wave arms a boundary the churn reliably reaches (both seeds
+        // measured 6/6 fires; floor at 4 leaves headroom for a future
+        // layout-only wave)
+        assert(kills.get >= 4, s"only ${kills.get} injected kills fired")
+      } finally {
+        spark.conf.unset("spark.graft.drain.claimGraceMs")
+        KeyedTable.globalPreCommitHook = _ => ()
+        DrainState.preStateCommitHook = _ => ()
+      }
+    }
+  }
 }

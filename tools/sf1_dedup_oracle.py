@@ -152,10 +152,18 @@ def main():
     assert (max_id + 1) % factor == 0, f"doc_id range not a {factor}-fold replication"
     t = 0.5
     print(f"[sf1-oracle] docs={max_id + 1} families={off} threshold={t}")
-    # the windowed truth depends only on the corpus — cache it next to
-    # the data so repeated checks don't redo the base all-pairs scan
-    cache = f"{sf_dir}/_dedup_truth_cache"
+    # the windowed truth depends only on the corpus AND the threshold —
+    # cache it next to the data so repeated checks don't redo the base
+    # all-pairs scan, keyed by a corpus fingerprint (doc count, max_id,
+    # a content hash) + t so an in-place regeneration or a threshold
+    # change can never silently verify against stale truth
+    n_docs, text_fp = con.execute(
+        "SELECT count(*), CAST(sum(hash(doc_id || '|' || text)) AS VARCHAR)"
+        " FROM documents").fetchone()
+    fp = f"n{n_docs}_m{max_id}_t{t}_h{text_fp}"
+    cache = f"{sf_dir}/_dedup_truth_cache/{fp}"
     os.makedirs(cache, exist_ok=True)
+    print(f"[sf1-oracle] truth-cache key: {fp}")
     def cached(name, sql):
         p = f"{cache}/{name}.parquet"
         if os.path.exists(p):
