@@ -344,7 +344,7 @@ class OuterRetractionSpec extends AnyFunSuite {
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val d = js.properties.getProperty("spark.job.description")
-        if (d == "graft:join:downgrade") counter.incrementAndGet()
+        if (d != null && d.startsWith("graft:join:downgrade")) counter.incrementAndGet()
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -397,7 +397,7 @@ class OuterRetractionSpec extends AnyFunSuite {
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val d = js.properties.getProperty("spark.job.description")
-        if (d == "graft:join:downgrade") counter.incrementAndGet()
+        if (d != null && d.startsWith("graft:join:downgrade")) counter.incrementAndGet()
       }
     }
     spark.sparkContext.addSparkListener(listener)
