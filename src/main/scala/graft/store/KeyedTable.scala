@@ -2159,6 +2159,43 @@ final class KeyedTable private (
         indexed.partition { case (_, i) => hitIds.contains(i) }
       } else (indexed, Nil)
     missed.foreach { case ((b, e), _) => carried += b -> (e :: carried(b)) }
+    // exact MEMBERSHIP probe (Delta-style matched-file pruning): the
+    // range refinement above keeps any file whose [minHash,maxHash]
+    // SPAN a staged key lands in — but an insert-heavy batch with
+    // uniformly distributed keys lands inside EVERY file's span while
+    // matching no existing row, so range pruning alone rewrites the
+    // whole table per drain sub-batch (write cost ∝ table size — the
+    // one curve that must stay flat at 100 TB; measured 3.0× per-commit
+    // write growth for 3× data at constant batch bytes, ProfConstBatch
+    // r13). One narrow extra job reads ONLY the bucket-key columns of
+    // the surviving candidates and keeps the files holding at least one
+    // staged hash. Safe: key-equal ⇒ hash-equal (keyHashExpr is over
+    // bucketKeys, which update matches, placeholder upgrades, and fused
+    // deletes all agree on — `staged` here already unions the delete
+    // keys), so a dropped file provably holds no matchable row; a hash
+    // collision only ever KEEPS an extra file. Skipped when candidates
+    // are small (read-everything is cheaper than planning around it)
+    // or when the staged batch is a large fraction of the candidate
+    // bytes (full-table upserts match almost every file anyway, and
+    // 64 B/row is the planner's standing staged-size estimate).
+    val matchMin = spark.conf.getOption("spark.graft.merge.matchPruneMinBytes")
+      .map(_.toLong).getOrElse(32L << 20)
+    val hitBytes = hit.map(_._1._2.bytes).sum
+    val (hitF, missedF) =
+      if (hit.nonEmpty && stagedCount <= exactMax &&
+          hitBytes >= matchMin && stagedCount * 64L < hitBytes / 2) {
+        val hashes = staged.select(col(KHashCol)).distinct()
+        val probe = readPaths(hit.map { case ((_, e), _) => s"$path/${e.path}" })
+          .select(keyHashExpr(col).alias(KHashCol))
+          .withColumn("__f", input_file_name())
+        spark.sparkContext.setJobDescription("graft:merge:probe")
+        val mset =
+          try timed("planProbe")(probe.join(broadcast(hashes), Seq(KHashCol))
+            .select("__f").distinct().collect().map(_.getString(0)).toSet)
+          finally spark.sparkContext.setJobDescription(null)
+        hit.partition { case ((_, e), _) => mset.exists(_.endsWith("/" + e.path)) }
+      } else (hit, Nil)
+    missedF.foreach { case ((b, e), _) => carried += b -> (e :: carried(b)) }
     // auto-compact (Delta auto-optimize analog): sparse merges carry most
     // files forward, so a hot bucket's file count only ever grows. The
     // merge is rewriting the bucket anyway — fold the SMALLEST carried
@@ -2180,8 +2217,8 @@ final class KeyedTable private (
     }
     val readBytes =
       if (legacy.nonEmpty) None
-      else Some(hit.map(_._1._2.bytes).sum + foldedBytes)
-    (legacy.toSeq ++ hit.map { case ((_, e), _) => s"$path/${e.path}" } ++ folded,
+      else Some(hitF.map(_._1._2.bytes).sum + foldedBytes)
+    (legacy.toSeq ++ hitF.map { case ((_, e), _) => s"$path/${e.path}" } ++ folded,
       carriedOut, readBytes)
   }
 }

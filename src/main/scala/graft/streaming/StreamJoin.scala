@@ -756,8 +756,16 @@ final class JoinedStream(
                 keyCols.map(k => col(s"fk.$k") <=> col(s"rr.$k")).reduce(_ && _),
                 "left_anti")
               .select(keyCols.map(k => col(s"fk.$k").alias(k)): _*)
-            out.merge(reRows, MergeSpec(), uniqueKeys = true,
-              deleteKeys = Some(stale))
+            // nested timer: the pass's cost splits into the derivation
+            // above (flat in scale — bounded by churned keys × fan-out
+            // probes) and this fused delete+merge (data-proportional to
+            // the re-derived neighborhood). The r12 sf1 profile showed
+            // the phase's growth is ENTIRELY this merge — keep the split
+            // in every bench record so that stays checkable.
+            graft.store.PhaseStats.time("downgradeMerge") {
+              out.merge(reRows, MergeSpec(), uniqueKeys = true,
+                deleteKeys = Some(stale))
+            }
           } finally { reRows.unpersist(); aff.unpersist() }
         } finally {
           sk.unpersist()

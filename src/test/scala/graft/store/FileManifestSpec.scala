@@ -194,4 +194,112 @@ class FileManifestSpec extends AnyFunSuite {
     val live = manifestOf(t, kt.latestVersion)(0)
     assert(live.forall(_.bytes > 0L), "manifest entries must record file bytes")
   }
+
+  private def withMatchProbe[T](minBytes: Long)(f: => T): T = {
+    // raise the auto-compact fold cap too: these accounting tests hold
+    // 20+ small files per bucket, and the fold (correctly) rewriting
+    // the smallest tail would conflate with what the probe carries
+    spark.conf.set("spark.graft.merge.matchPruneMinBytes", minBytes.toString)
+    spark.conf.set("spark.graft.autoCompact.maxFiles", "64")
+    try f finally {
+      spark.conf.unset("spark.graft.merge.matchPruneMinBytes")
+      spark.conf.unset("spark.graft.autoCompact.maxFiles")
+    }
+  }
+
+  test("membership probe: insert-only merge carries EVERY existing file") {
+    // Range pruning alone cannot help an insert-heavy batch: uniformly
+    // distributed new hashes land inside every file's [min,max] span
+    // while matching no existing row. The probe must detect zero true
+    // matches and carry all seed files by reference, appending the
+    // inserts as new files — the property that keeps per-commit drain
+    // write cost flat in TABLE size at 100 TB (ProfConstBatch r13).
+    val t = tmp()
+    val df = (1L to 20000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(1000) { kt.upsert(df, uniqueKeys = true) }
+    val before = manifestOf(t, 1L)(0)
+    assert(before.size == 20, s"seed should split into 20 files, got ${before.size}")
+    val inserts = (20001L to 20100L).map(i => (i, -i * 1.0)).toDF("id", "v")
+    withSmallFiles(1000) { withMatchProbe(0L) {
+      kt.upsert(inserts, uniqueKeys = true)
+    } }
+    val after = manifestOf(t, 2L)(0)
+    assert(before.map(_.path).toSet.subsetOf(after.map(_.path).toSet),
+      "insert-only merge rewrote a file that provably holds no staged key")
+    assert(after.size == before.size + 1,
+      s"inserts should land as exactly 1 new file, got ${after.size} entries")
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 20100 && m(20050L) == -20050.0 && m(123L) == 123.0)
+    // cdf carries the inserts (and nothing else)
+    assert(kt.changesSince(1L).where(col("_change_type") === "insert").count() == 100)
+    assert(kt.changesSince(1L).count() == 100)
+  }
+
+  test("membership probe A/B: the same inserts rewrite files when the probe is off") {
+    // Control for the test above: with the probe gated off (its default
+    // 32 MB floor), range pruning alone keeps every range-hit candidate
+    // and the merge rewrites seed bytes for a pure-insert batch. Pins
+    // that the insert-only carry really is the probe's doing, not an
+    // accident of range geometry.
+    val t = tmp()
+    val df = (1L to 20000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(1000) { kt.upsert(df, uniqueKeys = true) }
+    val before = manifestOf(t, 1L)(0)
+    val inserts = (20001L to 20100L).map(i => (i, -i * 1.0)).toDF("id", "v")
+    withSmallFiles(1000) { kt.upsert(inserts, uniqueKeys = true) }
+    val after = manifestOf(t, 2L)(0)
+    val replaced = before.map(_.path).toSet.diff(after.map(_.path).toSet)
+    assert(replaced.nonEmpty,
+      "with the probe off, 100 uniform inserts should range-hit (and rewrite) " +
+        "at least one of 20 seed files — if this starts passing, the range " +
+        "refinement got membership-exact and the probe may be redundant")
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 20100 && m(20050L) == -20050.0)
+  }
+
+  test("membership probe: mixed batch rewrites ONLY the matched file") {
+    val t = tmp()
+    val df = (1L to 20000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(1000) { kt.upsert(df, uniqueKeys = true) }
+    val before = manifestOf(t, 1L)(0)
+    val batch = ((20001L to 20100L).map(i => (i, -1.0)) :+ (500L, 0.5)).toDF("id", "v")
+    withSmallFiles(1000) { withMatchProbe(0L) {
+      kt.upsert(batch, uniqueKeys = true)
+    } }
+    val after = manifestOf(t, 2L)(0)
+    val replaced = before.map(_.path).toSet.diff(after.map(_.path).toSet)
+    assert(replaced.size == 1,
+      s"exactly the file holding id=500 should rewrite, got ${replaced.size}")
+    val h500 = Seq(500L).toDF("id").select(xxhash64(col("id"))).collect().head.getLong(0)
+    val old = before.find(e => replaced(e.path)).get
+    assert(old.minHash <= h500 && h500 <= old.maxHash,
+      "probe rewrote a file whose range does not contain the updated key")
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 20100 && m(500L) == 0.5 && m(501L) == 501.0)
+    val cdf = kt.changesSince(1L)
+    assert(cdf.where(col("_change_type") === "insert").count() == 100)
+    assert(cdf.where(col("_change_type") === "update_postimage").count() == 1)
+  }
+
+  test("membership probe: fused delete keys keep their files rewritable") {
+    // The probe input unions the staged AND fused-delete hashes: a file
+    // holding only a to-delete row must never carry forward, or the
+    // delete silently survives. Exercised through the public delete()
+    // (same splitByHashRange path with the delete keys as `staged`).
+    val t = tmp()
+    val df = (1L to 20000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(1000) { kt.upsert(df, uniqueKeys = true) }
+    val before = manifestOf(t, 1L)(0)
+    withMatchProbe(0L) { kt.delete(Seq(700L, 9000L).toDF("id")) }
+    val after = manifestOf(t, 2L)(0)
+    val replaced = before.map(_.path).toSet.diff(after.map(_.path).toSet)
+    assert(replaced.size <= 2 && replaced.nonEmpty,
+      s"only the files holding the deleted keys may rewrite, got ${replaced.size}")
+    assert(kt.snapshot().count() == 19998)
+    assert(kt.snapshot().where(col("id").isin(700L, 9000L)).count() == 0)
+  }
 }
