@@ -92,6 +92,31 @@ object CdcQueries {
     } finally s.conf.unset("spark.graft.targetFileRows")
   }
 
+  /** §6t-8 membership probe under the driver oracle: the orders table
+    * is built as TWELVE disjoint insert waves with the probe forced on
+    * (`matchPruneMinBytes=0`; the staged-fraction guard still skips the
+    * earliest waves, so both probe-on and probe-off merges land), then
+    * one point-update wave rewrites matched files only. Any file the
+    * probe wrongly carries (missed match ⇒ duplicate/stale rows) or
+    * wrongly drops (over-prune ⇒ lost rows) hash-mismatches against
+    * the recomputed final content. */
+  def manifestInsertProbe(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    s.conf.set("spark.graft.targetFileRows", "500")
+    s.conf.set("spark.graft.merge.matchPruneMinBytes", "0")
+    try {
+      val kt = KeyedTable.create(s, freshDir(), o.schema, keys = Seq("o_orderkey"), numBuckets = 4)
+      (0 until 12).foreach(i =>
+        kt.upsert(o.where(col("o_orderkey") % 12 === i), uniqueKeys = true))
+      kt.upsert(o.where(col("o_orderkey") % 97 === 5)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), uniqueKeys = true)
+      kt.snapshot()
+    } finally {
+      s.conf.unset("spark.graft.targetFileRows")
+      s.conf.unset("spark.graft.merge.matchPruneMinBytes")
+    }
+  }
+
   /** A35: manifest zone maps + GraftFileIndex data skipping — optimize
     * clusters files by `o_orderdate`, the commit manifest records each
     * file's per-column [min,max], and the filtered snapshot prunes
@@ -657,6 +682,7 @@ object CdcQueries {
     "keyed_lookup" -> (keyedLookup _),
     "index_lookup" -> (indexLookup _),
     "manifest_point_merge" -> (manifestPointMerge _),
+    "manifest_insert_probe" -> (manifestInsertProbe _),
     "scan_zone_skip" -> (scanZoneSkip _),
     "delete_where" -> (deleteWhereGate _))
 
@@ -697,6 +723,11 @@ object CdcQueries {
            o_totalprice + CASE WHEN o_orderkey % 151 = 0 AND o_orderkey % 211 <> 3
              THEN 1000.0 ELSE 0 END AS o_totalprice
          FROM orders WHERE o_orderkey % 163 <> 1""",
+    "manifest_insert_probe" ->
+      """SELECT o_orderkey, o_custkey,
+           o_totalprice * CASE WHEN o_orderkey % 97 = 5 THEN 2 ELSE 1 END
+             AS o_totalprice
+         FROM orders""",
     "index_lookup" ->
       """WITH fin0 AS (SELECT o_orderkey,
              CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 100000 ELSE o_custkey END AS o_custkey,
