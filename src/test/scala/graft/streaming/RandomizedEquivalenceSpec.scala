@@ -543,6 +543,116 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  // CONCURRENT MAINTENANCE racing writers and drainers — the
+  // maintenance family above (seeds 31/67) mutates layout only in SAFE
+  // windows (backlog drained, no concurrent writer), and EpochDrainSpec
+  // crafts exactly one merge-vs-rebucket race. Here every wave runs a
+  // random maintenance op (compact / optimize / optimizeIncremental /
+  // rebucket 4<->8) on its OWN handle in a THREAD racing the wave's
+  // writer upsert, and on drain waves a second maintenance op races the
+  // drainer — certifying the OCC claim/epoch machinery under arbitrary
+  // interleavings: a rewrite that loses its claim replays against the
+  // new latest; a merge planned under the old modulus detects the epoch
+  // flip and replays; an optimize step overlapped by a merge merely
+  // loses clustering, never rows. All maintenance here is LAYOUT-only,
+  // so the final table state is writer-determined no matter which
+  // interleaving the scheduler picks — the equality check stays
+  // deterministic. truncateLog/vacuum are excluded on purpose:
+  // retention versus in-flight readers is a POLICY contract
+  // (retainVersions must cover reader lag), not a race the engine
+  // arbitrates; seeds 31/67 cover them in safe windows.
+  Seq(19, 83).foreach { seed =>
+    test(s"random op waves with CONCURRENT maintenance racing writers and drainers (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = tmp()
+      val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+      val rSchema = Seq((1L, "x", 0L)).toDF("rkey", "name", "rseq").schema
+      val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+        seqCols = Seq("seq"), numBuckets = 4)
+      val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rkey"),
+        seqCols = Seq("rseq"), numBuckets = 4)
+      def mkPipe() = Stream.fromKeyedTable(KeyedTable.forPath(spark, s"$root/l"))
+        .handleDeletes()
+        .join(Stream.fromKeyedTable(KeyedTable.forPath(spark, s"$root/r"))
+          .handleDeletes(), "left")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .groupByStaged(s"$root/stage", "name")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+        .writeToPath(s"$root/chained")
+      rT.upsert((0L until 8L).map(k => (k, s"n${k % 3}", 0L))
+        .toDF("rkey", "name", "rseq"), uniqueKeys = true)
+      def maintOp(h: KeyedTable, pick: Int): Unit = pick match {
+        case 0 => h.compact(); ()
+        case 1 => h.optimize(Seq("lkey")); ()
+        case 2 => h.optimizeIncremental(Seq("lkey"), bucketsPerStep = 2); ()
+        case 3 => h.rebucket(if (h.meta.numBuckets == 4) 8 else 4); ()
+      }
+      var contended = 0 // OCC claim losses observed across every race
+      (1 to 6).foreach { wave =>
+        val lRows = (1 to 20).map(_ => rnd.nextInt(30).toLong).distinct.map { i =>
+          (i, rnd.nextInt(12).toLong, rnd.nextInt(10000).toLong, wave.toLong)
+        }
+        // separate handles = separate `synchronized` monitors and
+        // separate replay caches — a faithful two-process model
+        val writer = KeyedTable.forPath(spark, s"$root/l")
+        val maint = KeyedTable.forPath(spark, s"$root/l")
+        // all randomness drawn on the test thread BEFORE the race
+        val pick = rnd.nextInt(4)
+        val maintFirst = rnd.nextBoolean()
+        val stagger = rnd.nextInt(40).toLong
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val wT = new Thread { override def run(): Unit =
+          try writer.upsert(lRows.toDF("id", "lkey", "cents", "seq"),
+            uniqueKeys = true)
+          catch { case e: Throwable => errs.add(e) } }
+        val mT = new Thread { override def run(): Unit =
+          try maintOp(maint, pick)
+          catch { case e: Throwable => errs.add(e) } }
+        val order = if (maintFirst) Seq(mT, wT) else Seq(wT, mT)
+        order.head.start(); Thread.sleep(stagger); order.last.start()
+        order.foreach(_.join())
+        assert(errs.isEmpty,
+          s"wave $wave: racing maintenance/writer threw: ${errs.peek()}")
+        contended += writer.occRetries + maint.occRetries
+        rT.upsert((1 to 4).map(_ => rnd.nextInt(8).toLong).distinct
+          .map(k => (k, s"n${rnd.nextInt(4)}", wave.toLong))
+          .toDF("rkey", "name", "rseq"), uniqueKeys = true)
+        if (wave % 3 == 0)
+          lT.delete((1 to 5).map(_ => rnd.nextInt(30).toLong).distinct.toDF("id"))
+        if (wave % 2 == 0 || wave == 6) {
+          val pick2 = rnd.nextInt(3) // no rebucket-vs-rebucket pileup
+          val m2 = KeyedTable.forPath(spark, s"$root/l")
+          val derrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+          val ds = Seq(
+            new Thread { override def run(): Unit =
+              try mkPipe().runIncremental()
+              catch { case e: Throwable => derrs.add(e) } },
+            new Thread { override def run(): Unit =
+              try maintOp(m2, pick2)
+              catch { case e: Throwable => derrs.add(e) } })
+          ds.foreach(_.start()); ds.foreach(_.join())
+          assert(derrs.isEmpty,
+            s"wave $wave: racing maintenance/drainer threw: ${derrs.peek()}")
+          contended += m2.occRetries
+        }
+      }
+      mkPipe().runIncremental()
+      val want = lT.snapshot().join(rT.snapshot(),
+          col("lkey") === col("rkey"), "left")
+        .groupBy("name")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+      val got = KeyedTable.forPath(spark, s"$root/chained").snapshot()
+        .select(want.columns.map(col).toSeq: _*)
+      assertSameRows(got, want, s"seed $seed concurrent maintenance")
+      // the family must actually RACE, not serialize: across 6 waves ×
+      // 2 concurrent commit attempts each, at least one claim must be
+      // lost and replayed (both seeds measure well above the floor;
+      // epoch-flip replays land in the same counter). A zero here means
+      // the scheduler serialized every wave and the test proved nothing.
+      assert(contended >= 1, s"no OCC contention observed in any wave")
+    }
+  }
+
   // RANDOMIZED CRASH INJECTION — the crash seams are spec-tested at
   // CRAFTED points (CrashRecoverySpec, IncrementalDrainSpec, OccSpec,
   // RebucketSpec); this family kills a drainer at a RANDOM commit
