@@ -102,7 +102,14 @@ object CdcQueries {
     * the recomputed final content. */
   def manifestInsertProbe(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-    s.conf.set("spark.graft.targetFileRows", "500")
+    // file sizing must scale WITH the input: production tables hold a
+    // bounded FILE COUNT per bucket (byte-sized files + auto-compact +
+    // rebucketing), so the scale-honest gate shape is ~24 files/bucket
+    // at every SF — a fixed 500-row size at sf1 would instead model a
+    // knob misconfiguration (3,000 tiny files, every wave's fold
+    // rewriting the table) and measure that artifact, not the probe
+    val n = o.count()
+    s.conf.set("spark.graft.targetFileRows", math.max(500L, n / 96).toString)
     s.conf.set("spark.graft.merge.matchPruneMinBytes", "0")
     try {
       val kt = KeyedTable.create(s, freshDir(), o.schema, keys = Seq("o_orderkey"), numBuckets = 4)

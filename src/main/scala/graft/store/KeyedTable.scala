@@ -2201,18 +2201,40 @@ final class KeyedTable private (
     // merge is rewriting the bucket anyway — fold the SMALLEST carried
     // files into the rewrite whenever a bucket would otherwise exceed
     // maxFiles, so file count stays bounded without a separate pass.
+    // Fold ELIGIBILITY is size-capped (foldMaxFileBytes, 32 MB default —
+    // Delta's small-file notion): a file at/above the cap NEVER folds on
+    // write. Without the cap, a steady state of small budgeted batches
+    // into a mature bucket (16 files × bucket/16 bytes each) folds a
+    // FULL-SIZED file on every insert-bearing commit — e.g. a 400 MB
+    // rewrite to ingest a 3 MB batch, ~130× write amplification, which
+    // re-introduces table-size-proportional write cost through the back
+    // door the membership probe just closed. With the cap, small files
+    // fold among themselves geometrically (each byte is rewritten
+    // O(log(cap/batch)) times before its file graduates at the cap) and
+    // graduated files are left to the SCHEDULED passes — compact()
+    // packs them (its minFileBytes default equals this cap) and
+    // optimizeIncremental() repacks whole bucket ranges. The count
+    // bound therefore goes soft when a bucket holds > maxFiles
+    // graduated files — by design: that state means the knobs ask for
+    // more than maxFiles × cap bytes per bucket, which scheduled
+    // maintenance (or rebucketing) must resolve, not per-commit writes.
     val maxFiles = spark.conf.getOption("spark.graft.autoCompact.maxFiles")
       .map(_.toInt).getOrElse(16)
+    val foldCap = spark.conf.getOption("spark.graft.autoCompact.foldMaxFileBytes")
+      .map(_.toLong).getOrElse(32L << 20)
     var folded = List.empty[String]
     var foldedBytes = 0L
     val carriedOut = carried.collect { case (b, es) if es.nonEmpty =>
-      if (es.size + 1 <= maxFiles) b -> es.sortBy(_.minHash)
+      val eligible = es.count(_.bytes < foldCap)
+      if (es.size + 1 <= maxFiles || eligible == 0) b -> es.sortBy(_.minHash)
       else {
-        val bySize = es.sortBy(e => (e.bytes, e.path))
-        val (fold, keep) = bySize.splitAt(es.size - (maxFiles - 1))
+        val (small, big) = es.partition(_.bytes < foldCap)
+        val bySize = small.sortBy(e => (e.bytes, e.path))
+        val excess = math.min(es.size - (maxFiles - 1), bySize.size)
+        val (fold, keep) = bySize.splitAt(excess)
         folded :::= fold.map(e => s"$path/${e.path}")
         foldedBytes += fold.map(_.bytes).sum
-        b -> keep.sortBy(_.minHash)
+        b -> (keep ++ big).sortBy(_.minHash)
       }
     }
     val readBytes =

@@ -195,6 +195,50 @@ class FileManifestSpec extends AnyFunSuite {
     assert(live.forall(_.bytes > 0L), "manifest entries must record file bytes")
   }
 
+  test("auto-compact fold eligibility: files at/above foldMaxFileBytes never fold on write") {
+    // The steady-state hazard this pins: a mature bucket at maxFiles
+    // full-sized files + small budgeted batches would, without the
+    // eligibility cap, fold one FULL-SIZED file on every insert-bearing
+    // commit (table-size-proportional write cost per batch — the curve
+    // the membership probe exists to keep flat). Graduated files must
+    // carry untouched; only the small tail folds among itself.
+    val t = tmp()
+    val df = (1L to 4000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(500) { kt.upsert(df, uniqueKeys = true) } // 8 seed files, ~5 KB each
+    val seed = manifestOf(t, 1L)(0)
+    assert(seed.size == 8, s"seed shape drifted: ${seed.size} files")
+    // cap = the smallest seed's size, so every seed file sits AT/ABOVE
+    // the fold cap ⇒ graduated, while the 1-row insert files fall far
+    // below it; bucket capped at 4 files so the fold is desperate to
+    // trigger, probe on so the inserts never force a rewrite through
+    // matching either
+    spark.conf.set("spark.graft.autoCompact.maxFiles", "4")
+    spark.conf.set("spark.graft.autoCompact.foldMaxFileBytes",
+      seed.map(_.bytes).min.toString)
+    spark.conf.set("spark.graft.merge.matchPruneMinBytes", "0")
+    try {
+      (1 to 6).foreach { i =>
+        kt.upsert(Seq((100000L + i, -i * 1.0)).toDF("id", "v"), uniqueKeys = true)
+        val live = manifestOf(t, kt.latestVersion)(0)
+        assert(seed.map(_.path).toSet.subsetOf(live.map(_.path).toSet),
+          s"wave $i folded a graduated file (>= foldMaxFileBytes) into a write")
+      }
+      // the small insert files DO keep folding among themselves: the
+      // live manifest holds the 8 graduated seeds plus a small tail
+      // strictly below seeds+waves (i.e. some tiny files were packed)
+      val live = manifestOf(t, kt.latestVersion)(0)
+      assert(live.size < 8 + 6, s"small tail never folded: ${live.size} files")
+      val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m.size == 4006 && (1 to 6).forall(i => m(100000L + i) == -i * 1.0) &&
+        m(1234L) == 1234.0, "fold eligibility changed table contents")
+    } finally {
+      spark.conf.unset("spark.graft.autoCompact.maxFiles")
+      spark.conf.unset("spark.graft.autoCompact.foldMaxFileBytes")
+      spark.conf.unset("spark.graft.merge.matchPruneMinBytes")
+    }
+  }
+
   private def withMatchProbe[T](minBytes: Long)(f: => T): T = {
     // raise the auto-compact fold cap too: these accounting tests hold
     // 20+ small files per bucket, and the fold (correctly) rewriting
