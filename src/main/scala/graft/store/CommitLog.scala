@@ -22,9 +22,17 @@ import java.nio.charset.StandardCharsets
   *                decoded lazily against the table schema by
   *                [[ZoneStats.parse]]. Empty for entries written before
   *                the field existed — such files are never skipped.
+  * @param bloom   true when every row group of the file carries a parquet
+  *                bloom filter on the stored key-hash column — the merge
+  *                planner's membership probe then tests staged hashes
+  *                against the footer-resident sketches driver-side (a few
+  *                KB tail reads) instead of launching a column-scan job.
+  *                False for pre-sketch files; those fall back to the
+  *                exact read probe.
   */
 final case class FileEntry(path: String, minHash: Long, maxHash: Long,
-    bytes: Long = 0L, stats: Map[String, ColStat] = Map.empty)
+    bytes: Long = 0L, stats: Map[String, ColStat] = Map.empty,
+    bloom: Boolean = false)
 
 /** One parsed commit. `dir` is the data/cdf directory name the commit's
   * files live under (`data/<dir>/b=<bucket>`, `cdf/<dir>/`) — unique per
@@ -346,6 +354,7 @@ final class CommitLog(rootPath: String, conf: Configuration) {
            required int64 maxHash;
            required int64 bytes;
            required binary stats (STRING);
+           required int32 bloom;
          }""")
 
   private def manifestSidecarName(dir: String) = s"_manifest_$dir.parquet"
@@ -381,6 +390,7 @@ final class CommitLog(rootPath: String, conf: Configuration) {
         g.add("maxHash", e.maxHash)
         g.add("bytes", e.bytes)
         g.add("stats", ZoneStats.encode(e.stats))
+        g.add("bloom", if (e.bloom) 1 else 0)
         writer.write(g)
       }
     } finally writer.close()
@@ -400,7 +410,10 @@ final class CommitLog(rootPath: String, conf: Configuration) {
           g.getString("path", 0),
           g.getLong("minHash", 0), g.getLong("maxHash", 0),
           g.getLong("bytes", 0),
-          ZoneStats.decode(g.getString("stats", 0)))
+          ZoneStats.decode(g.getString("stats", 0)),
+          // pre-sketch sidecars lack the field → no bloom, exact fallback
+          bloom = g.getType.containsField("bloom") &&
+            g.getInteger("bloom", 0) == 1)
         g = reader.read()
       }
     } finally reader.close()
@@ -413,7 +426,7 @@ final class CommitLog(rootPath: String, conf: Configuration) {
   private def encodeFiles(files: Map[Int, Seq[FileEntry]]): String =
     files.toSeq.sortBy(_._1).flatMap { case (b, es) =>
       es.map { e =>
-        s""""$b|${e.path}|${e.minHash}|${e.maxHash}|${e.bytes}|${ZoneStats.encode(e.stats)}""""
+        s""""$b|${e.path}|${e.minHash}|${e.maxHash}|${e.bytes}|${ZoneStats.encode(e.stats)}|${if (e.bloom) 1 else 0}""""
       }
     }.mkString(""","files":[""", ",", "]")
 
@@ -425,7 +438,8 @@ final class CommitLog(rootPath: String, conf: Configuration) {
           val p = s.split('|')
           p(0).toInt -> FileEntry(p(1), p(2).toLong, p(3).toLong,
             if (p.length > 4) p(4).toLong else 0L,
-            if (p.length > 5) ZoneStats.decode(p(5)) else Map.empty)
+            if (p.length > 5) ZoneStats.decode(p(5)) else Map.empty,
+            bloom = p.length > 6 && p(6) == "1")
         }.toSeq.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
     }
 
@@ -654,6 +668,13 @@ final class CommitLog(rootPath: String, conf: Configuration) {
 
   def clearRebucketMarker(): Unit =
     if (fs.exists(rebucketPath)) fs.delete(rebucketPath, false)
+
+  /** Marker file mtime — liveness evidence for the attempt it names
+    * (recovery must not reclaim an attempt whose marker is younger than
+    * the grace window: the writer may not have produced any files yet). */
+  def rebucketMarkerMtime(): Option[Long] =
+    try Some(fs.getFileStatus(rebucketPath).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
 
   private def parseIntArray(json: String, field: String): Seq[Int] = {
     val m = (s""""$field":\\[([0-9,\\s]*)\\]""").r.findFirstMatchIn(json)

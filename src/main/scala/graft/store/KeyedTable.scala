@@ -484,6 +484,11 @@ final class KeyedTable private (
   // commit claim — lets a spec deterministically interleave two writers
   private[graft] var preCommitHook: () => Unit = () => ()
 
+  // buckets this handle has already warned about crossing the soft
+  // file-count bound (see splitByHashRange's fold note)
+  private val softBoundWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   // both hooks at every commit site: the instance hook reaches only the
   // handle a spec holds; the companion-global hook (path-keyed) reaches
   // handles created INTERNALLY by drain pipelines, which is what lets a
@@ -570,9 +575,33 @@ final class KeyedTable private (
     * claim a HIGHER version than its name prefix suggests, and deleting
     * it would lose that commit's change rows. */
   private def deadPending(st: org.apache.hadoop.fs.FileStatus): Boolean =
-    System.currentTimeMillis() - st.getModificationTime >
-      spark.conf.getOption("spark.graft.pendingGraceMs").map(_.toLong)
-        .getOrElse(KeyedTable.DefaultPendingGraceMs)
+    System.currentTimeMillis() - st.getModificationTime > pendingGraceMs
+
+  private def pendingGraceMs: Long =
+    spark.conf.getOption("spark.graft.pendingGraceMs").map(_.toLong)
+      .getOrElse(KeyedTable.DefaultPendingGraceMs)
+
+  /** Newest modification time across an entire subtree (Long.MinValue if
+    * the path doesn't exist). Liveness must look at the WHOLE subtree:
+    * an in-flight write's activity lands two-plus levels down (task
+    * attempt dirs under _temporary, part files under b=N) and directory
+    * mtimes only move when DIRECT children are added — a long write job
+    * whose level-1 dirs were all created early would look dead one level
+    * deep and be reaped mid-write. Each subtree is one attempt's files,
+    * so the recursive walk is small and bounded. */
+  private def newestMtimeOf(p: org.apache.hadoop.fs.Path): Long = {
+    val fs = hfs
+    def walk(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val children =
+        if (st.isDirectory)
+          try fs.listStatus(st.getPath).toSeq
+          catch { case _: java.io.IOException => Nil } // racing cleanup
+        else Nil
+      (st.getModificationTime +: children.map(walk)).max
+    }
+    try walk(fs.getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => Long.MinValue }
+  }
 
   /** Rolls forward commits whose cdf publish rename was interrupted by a
     * crash (some commit references the dir, change rows still under the
@@ -813,6 +842,40 @@ final class KeyedTable private (
     }
     out
   } }
+
+  /** Table file-health report: one row per bucket of the latest
+    * snapshot, with file counts and bytes split at the auto-compact
+    * fold cap (small = still fold-eligible on write, graduated = left
+    * to scheduled maintenance) and an `over_bound` flag when the
+    * GRADUATED count alone exceeds `autoCompact.maxFiles` — the state
+    * in which the write-time file-count bound has gone soft (see the
+    * fold-cap design note in splitByHashRange) and a [[compact]] /
+    * [[optimizeIncremental]] / [[rebucket]] pass is owed. Driver-side
+    * over the manifests; no data files are read. */
+  def describeHealth(): DataFrame = {
+    val maxFiles = spark.conf.getOption("spark.graft.autoCompact.maxFiles")
+      .map(_.toInt).getOrElse(16)
+    val foldCap = spark.conf.getOption("spark.graft.autoCompact.foldMaxFileBytes")
+      .map(_.toLong).getOrElse(32L << 20)
+    val fs = hfs
+    val rows = bucketVersionsAt(latestVersion).toSeq.sortBy(_._1).map { case (b, v) =>
+      val es: Seq[FileEntry] = log.readCommit(v).files match {
+        case Some(m) => m.getOrElse(b, Nil)
+        case None => // pre-manifest commit: list the dir, sizes only
+          val p = new org.apache.hadoop.fs.Path(s"$path/data/${log.dirOf(v)}/b=$b")
+          if (!fs.exists(p)) Nil
+          else fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+            .map(st => FileEntry(st.getPath.getName, Long.MinValue,
+              Long.MaxValue, st.getLen)).toSeq
+      }
+      val small = es.filter(_.bytes < foldCap)
+      val graduated = es.size - small.size
+      (b, es.size, small.size, graduated,
+        es.map(_.bytes).sum, small.map(_.bytes).sum, graduated > maxFiles)
+    }
+    spark.createDataFrame(rows).toDF("bucket", "files", "small_files",
+      "graduated_files", "bytes", "small_bytes", "over_bound")
+  }
 
   /** Bin-packing compaction (Delta's file-size OPTIMIZE analog, distinct
     * from [[optimize]]'s clustering rewrite): buckets holding 2+ files
@@ -1057,25 +1120,43 @@ final class KeyedTable private (
       val newVersion = v + 1
       val dir = attemptDir(newVersion)
       log.writeRebucketMarker(newVersion, newBuckets, dir)
+      KeyedTable.globalPreRebucketWriteHook(path)
       val content = snapshotFull(v).withColumn(BucketCol,
         pmod(xxhash64(meta.bucketKeys.map(col): _*), lit(newBuckets)).cast("int"))
       val emptyCdf = emptyDf.withColumn("_change_type", lit(null).cast(StringType))
       spark.sparkContext.setJobDescription("graft:rebucket:write")
-      writeFused(dir, newVersion, content, emptyCdf, sortKeys)
-      spark.sparkContext.setJobDescription(null)
-      val manifest = writtenFileStats(dir)
-      val written = manifest.keys.toSeq
-      if (log.commit(newVersion, written, oldLive.filterNot(manifest.contains),
-          dir = dir, files = Some(manifest), epoch = newBuckets,
-          cdfUp = 0L, cdfDel = 0L, cdfPre = 0L)) {
-        swapMeta()
-        log.clearRebucketMarker()
-        bvCache = (newVersion, written.map(_ -> newVersion).toMap)
-        maybeCheckpoint(newVersion)
-        return newVersion
+      // belt-and-braces against a foreign recovery reclaiming this
+      // attempt's scratch mid-write (recovery requires provable deadness,
+      // but a misconfigured grace or clock skew could still race us): if
+      // the write failed AND both the scratch and landed dirs are gone,
+      // the attempt was reclaimed — fall through to the retry with a
+      // fresh attempt dir instead of crashing the maintenance op
+      val wrote =
+        try { writeFused(dir, newVersion, content, emptyCdf, sortKeys); true }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            val fs = hfs
+            def gone(s: String) = !fs.exists(new org.apache.hadoop.fs.Path(s))
+            if (gone(s"$path/_tmp_$dir") && gone(s"$path/data/$dir")) false
+            else throw e
+        } finally spark.sparkContext.setJobDescription(null)
+      if (wrote) {
+        val manifest = writtenFileStats(dir)
+        val written = manifest.keys.toSeq
+        firePreCommit()
+        if (log.commit(newVersion, written, oldLive.filterNot(manifest.contains),
+            dir = dir, files = Some(manifest), epoch = newBuckets,
+            cdfUp = 0L, cdfDel = 0L, cdfPre = 0L)) {
+          swapMeta()
+          log.clearRebucketMarker()
+          bvCache = (newVersion, written.map(_ -> newVersion).toMap)
+          maybeCheckpoint(newVersion)
+          return newVersion
+        }
       }
-      // a concurrent merge claimed the version first: the rewrite is a
-      // whole-snapshot op, so re-run it against the new latest
+      // a concurrent merge claimed the version first (or a foreign
+      // recovery reclaimed the scratch): the rewrite is a whole-snapshot
+      // op, so re-run it against the new latest
       occRetries += 1
       attempt += 1
       discardAttempt(dir)
@@ -1090,12 +1171,21 @@ final class KeyedTable private (
     * open and before every merge/delete claim): marker whose commit is
     * present under the marker's dir ⇒ finish the meta swap; marker whose
     * version was claimed by a DIFFERENT dir ⇒ the attempt definitively
-    * lost, discard its orphan files. With `onlyDead = true` (the
-    * merge/delete path) an uncommitted marker is left alone — it may
-    * belong to a rebucket still in flight on another handle, and attempt
-    * dirs are unique so it cannot collide with us; the next full
-    * recovery resolves it once its version is settled. Idempotent, and a
-    * no-op stat when no marker exists. */
+    * lost, discard its orphan files — but ONLY once the attempt is
+    * provably DEAD. A losing rewrite learns it lost at ITS OWN commit
+    * claim, which can be long after a competitor claimed its version: a
+    * foreign recovery running in that window would yank the scratch dir
+    * out from under the still-running write job (observed as a crashed
+    * chmod inside writeFused). The live loser self-cleans on replay
+    * (rewriteLayout's retry loop), so eager foreign cleanup is only
+    * needed for CRASHED losers — gated here by the same newest-mtime
+    * grace rule the `_tmp_` reap uses, with the marker file's own mtime
+    * as extra evidence (a fresh marker may predate any file activity).
+    * With `onlyDead = true` (the merge/delete path) an uncommitted
+    * marker is left alone — it may belong to a rebucket still in flight
+    * on another handle, and attempt dirs are unique so it cannot collide
+    * with us; the next full recovery resolves it once its version is
+    * settled. Idempotent, and a no-op stat when no marker exists. */
   private[store] def recoverPendingRebucket(onlyDead: Boolean = false): Unit =
     log.readRebucketMarker().foreach { case (v, n, dir) =>
       val committed = log.hasCommit(v)
@@ -1106,11 +1196,23 @@ final class KeyedTable private (
             log.writeMeta(metaToJson(next))
             metaVar = next
           }
+          log.clearRebucketMarker()
         } else {
-          discardAttempt(dir)
-          hfs.delete(new org.apache.hadoop.fs.Path(s"$path/_tmp_$dir"), true)
+          def P(s: String) = new org.apache.hadoop.fs.Path(s)
+          val evidence = Seq(
+            log.rebucketMarkerMtime().getOrElse(Long.MinValue),
+            newestMtimeOf(P(s"$path/_tmp_$dir")),
+            newestMtimeOf(P(s"$path/data/$dir")),
+            newestMtimeOf(pendingCdfPath(dir))).max
+          if (System.currentTimeMillis() - evidence > pendingGraceMs) {
+            discardAttempt(dir)
+            hfs.delete(P(s"$path/_tmp_$dir"), true)
+            log.clearRebucketMarker()
+          }
+          // else: possibly alive — leave the marker and dirs untouched;
+          // the loser replays and cleans itself, and a genuinely crashed
+          // attempt is reclaimed here once the grace window passes
         }
-        log.clearRebucketMarker()
       }
     }
 
@@ -1185,30 +1287,13 @@ final class KeyedTable private (
     // that crashed between its write job and the rename-out leaves
     // `_tmp_<attempt>` at the table root; the attempt can never commit
     // (the claim follows the cleanup), so the dir is garbage once
-    // provably dead. Liveness looks at the NEWEST mtime over the WHOLE
-    // subtree: an in-flight write's activity lands two-plus levels down
-    // (_temporary/0/task_*/, b=*/part files) and directory mtimes only
-    // move when DIRECT children are added — a single long write job
-    // whose level-1 dirs were all created early would look dead one
-    // level deep and be reaped mid-write. The subtree is one attempt's
-    // files, so the recursive walk is small and bounded.
-    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long = {
-      val children =
-        if (st.isDirectory)
-          try fs.listStatus(st.getPath).toSeq
-          catch { case _: java.io.IOException => Nil } // racing cleanup
-        else Nil
-      (st.getModificationTime +: children.map(newestMtime)).max
-    }
+    // provably dead — liveness is the newest mtime over the WHOLE
+    // subtree (see [[newestMtimeOf]] for why one level is not enough)
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("_tmp_") && st.isDirectory) {
-        val newest = newestMtime(st)
-        if (System.currentTimeMillis() - newest >
-            spark.conf.getOption("spark.graft.pendingGraceMs").map(_.toLong)
-              .getOrElse(KeyedTable.DefaultPendingGraceMs))
-          fs.delete(st.getPath, true)
-      }
+      if (n.startsWith("_tmp_") && st.isDirectory &&
+          System.currentTimeMillis() - newestMtimeOf(st.getPath) > pendingGraceMs)
+        fs.delete(st.getPath, true)
     }
     // orphan manifest sidecars: a LOSING attempt's spilled manifest is
     // never referenced by any commit — reclaim it once provably dead
@@ -1736,6 +1821,23 @@ final class KeyedTable private (
       .write.mode("overwrite")
       .option("maxRecordsPerFile", spark.conf
         .getOption("spark.graft.targetFileRows").map(_.toLong).getOrElse(1L << 23))
+      // parquet-native bloom filter over the stored key hash: built by
+      // the writer at near-zero cost, read back by the merge planner's
+      // membership probe as a few-KB footer tail read PER FILE — no
+      // column-scan job (the probe's read was the last table-size-
+      // proportional per-commit cost; see splitByHashRange). Adaptive
+      // sizing keeps small files' sketches small while meeting the
+      // default 1% FPP on large ones; false positives only KEEP files.
+      .option(s"parquet.bloom.filter.enabled#$KHashCol",
+        spark.conf.getOption("spark.graft.manifest.bloom").getOrElse("true"))
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
+      // adaptive candidates are max.bytes/2^i: the default 5 makes the
+      // SMALLEST candidate 64 KB, dwarfing small files; 12 reaches 512 B
+      // so a tiny file pays a tiny sketch while big files still get the
+      // full 1 MB budget (memory during write is ~2×max regardless).
+      // NB: parquet reads this key ONLY in per-column `key#col` form
+      // (ColumnConfigParser), never bare.
+      .option(s"parquet.bloom.filter.candidates.number#$KHashCol", "12")
       .partitionBy(SideCol, "b")
       .parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
@@ -2031,12 +2133,14 @@ final class KeyedTable private (
       var zacc = Map.empty[String, (Any, Any)]
       var znulls = Map.empty[String, Boolean].withDefaultValue(false)
       var zdrop = Set.empty[String] // a block without usable stats poisons the column
+      var bloomAll = true // every block must carry a khash bloom to claim it
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
       try rd.getFooter.getBlocks.forEach { blk =>
         blk.getColumns.forEach { c =>
           val name = c.getPath.toDotString
           if (name == KHashCol) {
+            if (c.getBloomFilterOffset < 0) bloomAll = false
             val st = c.getStatistics
             if (st != null && st.hasNonNullValue) {
               mn = math.min(mn, st.genericGetMin.asInstanceOf[java.lang.Long])
@@ -2063,8 +2167,9 @@ final class KeyedTable private (
       val zs = zacc.map { case (c, (lo, hi)) =>
         c -> ColStat(ZoneStats.stringify(lo), ZoneStats.stringify(hi), znulls(c))
       }
-      b -> (if (any) FileEntry(rel, mn, mx, st.getLen, zs)
-            else FileEntry(rel, Long.MinValue, Long.MaxValue, st.getLen, zs))
+      b -> (if (any) FileEntry(rel, mn, mx, st.getLen, zs, bloom = bloomAll)
+            else FileEntry(rel, Long.MinValue, Long.MaxValue, st.getLen, zs,
+              bloom = bloomAll))
     }
     // a bulk load writes one file per bucket — dozens of footers; read
     // them concurrently (each is one ~KB tail read) so manifest
@@ -2084,6 +2189,101 @@ final class KeyedTable private (
         } finally pool.shutdown()
       }
     out.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sortBy(_.minHash) }
+  }
+
+  /** Per-row-group (khash min, khash max, parquet bloom) of one data
+    * file — the driver-side sketch [[bloomProbeKeep]] tests staged
+    * hashes against. One footer tail read per file, LRU-cached across
+    * sub-batches in [[KeyedTable.bloomCache]] (data files are immutable:
+    * attempt dirs are unique, so entries never invalidate). A block
+    * whose bloom is missing yields None and probes as "keep". */
+  private def readBlockBlooms(rel: String): KeyedTable.BlockBlooms = {
+    val key = s"$path/$rel"
+    val cached = KeyedTable.bloomCache.synchronized {
+      Option(KeyedTable.bloomCache.get(key))
+    }
+    cached.getOrElse {
+      val conf = spark.sessionState.newHadoopConf()
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(key), conf))
+      val out: KeyedTable.BlockBlooms = try {
+        import scala.jdk.CollectionConverters._
+        rd.getFooter.getBlocks.asScala.toSeq.map { blk =>
+          blk.getColumns.asScala.find(_.getPath.toDotString == KHashCol) match {
+            case Some(c) =>
+              val st = c.getStatistics
+              val (mn, mx) =
+                if (st != null && st.hasNonNullValue)
+                  (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                    st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+                else (Long.MinValue, Long.MaxValue)
+              (mn, mx, Option(rd.readBloomFilter(c)))
+            case None => (Long.MinValue, Long.MaxValue, None)
+          }
+        }
+      } finally rd.close()
+      KeyedTable.bloomCache.synchronized {
+        KeyedTable.bloomCache.put(key, out); ()
+      }
+      out
+    }
+  }
+
+  /** Driver-side membership probe over sketch-carrying candidates: tests
+    * the staged key hashes against each file's parquet bloom filter on
+    * the stored hash column — footer tail reads only, NO column-scan
+    * job, so the probe's cost is sketch-sized, not candidate-bytes-
+    * proportional (the last table-size-proportional per-commit cost for
+    * insert-heavy drains; ProfConstBatch r13/r14). Per row group only
+    * the staged hashes inside the group's [min,max] span are tested
+    * (commit files are hash-sorted, so the binary-searched slice is
+    * small). Returns the candidate INDICES to keep; a bloom false
+    * positive only keeps an extra file — the same safety argument as
+    * the exact read probe. */
+  private def bloomProbeKeep(cand: Seq[((Int, FileEntry), Int)],
+      stagedSorted: Array[Long]): Set[Int] = {
+    if (cand.isEmpty || stagedSorted.isEmpty) return Set.empty
+    // parquet's bloom hash of a value is instance-independent (spec'd
+    // xxhash64 over the plain encoding) — hash every staged value ONCE
+    val hasher =
+      new org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter(32)
+    val stagedHashes = stagedSorted.map(hasher.hash(_: Long))
+    def lowerBound(target: Long): Int = {
+      var lo = 0; var hi = stagedSorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (stagedSorted(mid) < target) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    def keepOne(e: FileEntry): Boolean =
+      readBlockBlooms(e.path).exists { case (mn, mx, bloomOpt) =>
+        bloomOpt match {
+          case None => true // block without a sketch: conservative keep
+          case Some(bf) =>
+            var i = lowerBound(mn)
+            var found = false
+            while (!found && i < stagedSorted.length && stagedSorted(i) <= mx) {
+              found = bf.findHash(stagedHashes(i))
+              i += 1
+            }
+            found
+        }
+      }
+    if (cand.sizeIs <= 2) cand.collect { case ((_, e), i) if keepOne(e) => i }.toSet
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, cand.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(cand.map { case ((_, e), i) =>
+          new java.util.concurrent.Callable[(Int, Boolean)] {
+            def call(): (Int, Boolean) = (i, keepOne(e))
+          }
+        }.asJava).asScala.collect { case f if f.get()._2 => f.get()._1 }.toSet
+      } finally pool.shutdown()
+    }
   }
 
   /** Splits the affected buckets' current files into files the merge
@@ -2178,29 +2378,51 @@ final class KeyedTable private (
     // or when the staged batch is a large fraction of the candidate
     // bytes (full-table upserts match almost every file anyway, and
     // 64 B/row is the planner's standing staged-size estimate).
+    // Two execution tiers: files whose manifest entry carries a parquet
+    // bloom on the stored hash column probe DRIVER-SIDE against the
+    // footer-resident sketch (no read job — see bloomProbeKeep);
+    // pre-sketch files fall back to the exact column-scan probe.
     val matchMin = spark.conf.getOption("spark.graft.merge.matchPruneMinBytes")
       .map(_.toLong).getOrElse(32L << 20)
     val hitBytes = hit.map(_._1._2.bytes).sum
     val (hitF, missedF) =
       if (hit.nonEmpty && stagedCount <= exactMax &&
           hitBytes >= matchMin && stagedCount * 64L < hitBytes / 2) {
-        val hashes = staged.select(col(KHashCol)).distinct()
-        val probe = readPaths(hit.map { case ((_, e), _) => s"$path/${e.path}" })
-          .select(keyHashExpr(col).alias(KHashCol))
-          .withColumn("__f", input_file_name())
-        spark.sparkContext.setJobDescription("graft:merge:probe")
-        val mset =
-          try timed("planProbe")(probe.join(broadcast(hashes), Seq(KHashCol))
-            .select("__f").distinct().collect().map(_.getString(0)).toSet)
-          finally spark.sparkContext.setJobDescription(null)
-        hit.partition { case ((_, e), _) => mset.exists(_.endsWith("/" + e.path)) }
+        timed("planProbe") {
+          val (sketched, plain) = hit.partition { case ((_, e), _) => e.bloom }
+          val keepSketched: Set[Int] =
+            if (sketched.isEmpty) Set.empty
+            else bloomProbeKeep(sketched,
+              staged.select(col(KHashCol)).where(col(KHashCol).isNotNull)
+                .distinct().collect().map(_.getLong(0)).sorted)
+          val keepPlain: Set[Int] =
+            if (plain.isEmpty) Set.empty
+            else {
+              val hashes = staged.select(col(KHashCol)).distinct()
+              val probe = readPaths(plain.map { case ((_, e), _) => s"$path/${e.path}" })
+                .select(keyHashExpr(col).alias(KHashCol))
+                .withColumn("__f", input_file_name())
+              spark.sparkContext.setJobDescription("graft:merge:probe")
+              val mset =
+                try probe.join(broadcast(hashes), Seq(KHashCol))
+                  .select("__f").distinct().collect().map(_.getString(0)).toSet
+                finally spark.sparkContext.setJobDescription(null)
+              plain.collect {
+                case ((_, e), i) if mset.exists(_.endsWith("/" + e.path)) => i
+              }.toSet
+            }
+          val keep = keepSketched ++ keepPlain
+          hit.partition { case (_, i) => keep.contains(i) }
+        }
       } else (hit, Nil)
     missedF.foreach { case ((b, e), _) => carried += b -> (e :: carried(b)) }
     // auto-compact (Delta auto-optimize analog): sparse merges carry most
     // files forward, so a hot bucket's file count only ever grows. The
     // merge is rewriting the bucket anyway — fold the SMALLEST carried
     // files into the rewrite whenever a bucket would otherwise exceed
-    // maxFiles, so file count stays bounded without a separate pass.
+    // maxFiles, so the SMALL-file count stays bounded without a separate
+    // pass (graduated files are exempt; the bound on them is conditional
+    // — see below).
     // Fold ELIGIBILITY is size-capped (foldMaxFileBytes, 32 MB default —
     // Delta's small-file notion): a file at/above the cap NEVER folds on
     // write. Without the cap, a steady state of small budgeted batches
@@ -2226,6 +2448,14 @@ final class KeyedTable private (
     var foldedBytes = 0L
     val carriedOut = carried.collect { case (b, es) if es.nonEmpty =>
       val eligible = es.count(_.bytes < foldCap)
+      // surface the soft-bound state at write time (once per handle per
+      // bucket): nothing else schedules or observes the maintenance this
+      // state owes — see describeHealth() for the table-wide report
+      if (es.size - eligible > maxFiles && softBoundWarned.add(b))
+        KeyedTable.healthLog.warn(
+          s"graft table $path bucket $b holds ${es.size - eligible} graduated " +
+            s"files (> autoCompact.maxFiles=$maxFiles): the write-time file-count " +
+            "bound is soft here; schedule compact()/optimizeIncremental()/rebucket()")
       if (es.size + 1 <= maxFiles || eligible == 0) b -> es.sortBy(_.minHash)
       else {
         val (small, big) = es.partition(_.bytes < foldCap)
@@ -2246,6 +2476,9 @@ final class KeyedTable private (
 }
 
 object KeyedTable {
+  private[store] val healthLog =
+    org.slf4j.LoggerFactory.getLogger(classOf[KeyedTable])
+
   /** Test seam: fired (with the table path) before EVERY commit publish
     * across ALL handles — unlike the instance `preCommitHook`, this
     * reaches table handles created internally by drain pipelines, so a
@@ -2253,6 +2486,30 @@ object KeyedTable {
     * boundary. Throwing simulates a process kill AFTER data files are
     * staged, BEFORE the commit claim. Always reset in a finally. */
   @volatile private[graft] var globalPreCommitHook: String => Unit = _ => ()
+
+  /** Test seam: fired (with the table path) after a layout rewrite
+    * publishes its rebucket marker and BEFORE its content write starts —
+    * the exact window in which a concurrent writer can claim the
+    * marker's version and a foreign recovery must NOT reclaim the
+    * still-live attempt. Always reset in a finally. */
+  @volatile private[graft] var globalPreRebucketWriteHook: String => Unit = _ => ()
+
+  /** Per-row-group (khash min, khash max, parquet bloom) of one file. */
+  private[store] type BlockBlooms =
+    Seq[(Long, Long, Option[org.apache.parquet.column.values.bloomfilter.BloomFilter])]
+
+  /** LRU cache of footer-resident key-hash sketches, shared across
+    * handles. Data files are immutable (attempt dirs are unique), so
+    * entries never invalidate; the cap bounds driver memory when a
+    * probe sweeps a wide candidate set (adaptive blooms are ~KB for
+    * small files, ≤1 MB for the largest). */
+  private val BloomCacheEntries = 512
+  private[store] val bloomCache =
+    new java.util.LinkedHashMap[String, BlockBlooms](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, BlockBlooms]): Boolean =
+        size() > BloomCacheEntries
+    }
 
   private[store] val BucketCol = "__bucket"
   private[store] val SideCol = "__side"

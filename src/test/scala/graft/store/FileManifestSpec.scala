@@ -346,4 +346,96 @@ class FileManifestSpec extends AnyFunSuite {
     assert(kt.snapshot().count() == 19998)
     assert(kt.snapshot().where(col("id").isin(700L, 9000L)).count() == 0)
   }
+
+  test("key-hash sketches ride the manifest and carry forward by reference") {
+    // writeFused enables a parquet bloom on the stored hash column; the
+    // footer pass records its presence per file, the manifest codecs
+    // (commit JSON and parquet sidecar) round-trip it, and a carried
+    // entry keeps the flag — so the driver-side probe stays available
+    // for files written arbitrarily many commits ago
+    val t = tmp()
+    val df = (1L to 20000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(1000) { kt.upsert(df, uniqueKeys = true) }
+    val before = manifestOf(t, 1L)(0)
+    assert(before.forall(_.bloom),
+      "every seed file must carry a key-hash sketch in its footer")
+    withSmallFiles(1000) { withMatchProbe(0L) {
+      kt.upsert(Seq((500L, 0.5)).toDF("id", "v"), uniqueKeys = true)
+    } }
+    val after = manifestOf(t, 2L)(0)
+    val carried = after.filter(e => before.exists(_.path == e.path))
+    assert(carried.size == 19 && carried.forall(_.bloom),
+      "carried manifest entries must keep their sketch flag")
+    assert(after.forall(_.bloom), "the rewritten file must be re-sketched")
+  }
+
+  test("sketch-less files fall back to the exact read probe (mixed candidates)") {
+    // files written with blooms disabled must still be membership-pruned
+    // by the column-scan fallback, including when one merge's candidate
+    // set mixes sketched and plain files
+    val t = tmp()
+    val df = (1L to 10000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    spark.conf.set("spark.graft.manifest.bloom", "false")
+    try withSmallFiles(1000) { kt.upsert(df, uniqueKeys = true) }
+    finally spark.conf.unset("spark.graft.manifest.bloom")
+    val seed = manifestOf(t, 1L)(0)
+    assert(seed.forall(!_.bloom), "bloom-off writes must not claim sketches")
+    // second commit WITH sketches: inserts only (small enough that the
+    // probe's staged-size guard stays open), far hash range irrelevant
+    withSmallFiles(1000) { withMatchProbe(0L) {
+      kt.upsert((10001L to 10100L).map(i => (i, -i * 1.0)).toDF("id", "v"),
+        uniqueKeys = true)
+    } }
+    val m2 = manifestOf(t, 2L)(0)
+    assert(seed.map(_.path).toSet.subsetOf(m2.map(_.path).toSet),
+      "exact fallback must carry sketch-less files an insert batch misses")
+    assert(m2.exists(_.bloom) && m2.exists(!_.bloom), "mixed candidate set")
+    // third commit: a point update into a PLAIN file + one into a
+    // SKETCHED file — both tiers must pick exactly their file
+    val beforeAll = m2
+    withSmallFiles(1000) { withMatchProbe(0L) {
+      kt.upsert(Seq((700L, 7.7), (10050L, 11.11)).toDF("id", "v"),
+        uniqueKeys = true)
+    } }
+    val m3 = manifestOf(t, 3L)(0)
+    val replaced = beforeAll.map(_.path).toSet.diff(m3.map(_.path).toSet)
+    assert(replaced.size <= 2 && replaced.nonEmpty,
+      s"only the files holding the two updated keys may rewrite, got ${replaced.size}")
+    val snap = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(snap.size == 10100 && snap(700L) == 7.7 && snap(10050L) == 11.11 &&
+      snap(699L) == 699.0 && snap(10049L) == -10049.0)
+  }
+
+  test("describeHealth reports graduated counts and flags soft-bound buckets") {
+    val t = tmp()
+    val df = (1L to 4000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(500) { kt.upsert(df, uniqueKeys = true) } // 8 small files
+    // fold cap below every file size ⇒ all graduated; maxFiles below
+    // the count ⇒ the write-time bound is soft and the bucket must flag
+    spark.conf.set("spark.graft.autoCompact.foldMaxFileBytes", "1024")
+    spark.conf.set("spark.graft.autoCompact.maxFiles", "4")
+    try {
+      val h = kt.describeHealth().collect()
+      assert(h.length == 1)
+      val r = h.head
+      assert(r.getAs[Int]("bucket") == 0 && r.getAs[Int]("files") == 8)
+      assert(r.getAs[Int]("graduated_files") == 8 &&
+        r.getAs[Int]("small_files") == 0)
+      assert(r.getAs[Boolean]("over_bound"),
+        "a bucket with > maxFiles graduated files must flag over_bound")
+    } finally {
+      spark.conf.unset("spark.graft.autoCompact.foldMaxFileBytes")
+      spark.conf.unset("spark.graft.autoCompact.maxFiles")
+    }
+    // with default knobs the same files are small and within bound
+    val r2 = kt.describeHealth().collect().head
+    assert(r2.getAs[Int]("small_files") == 8 && !r2.getAs[Boolean]("over_bound"))
+    assert(r2.getAs[Long]("small_bytes") == r2.getAs[Long]("bytes"))
+    // compact() resolves the small-file tail; health reflects it
+    kt.compact()
+    assert(kt.describeHealth().collect().head.getAs[Int]("files") == 1)
+  }
 }

@@ -155,8 +155,15 @@ class RebucketSpec extends AnyFunSuite {
     val log = new CommitLog(t, spark.sessionState.newHadoopConf())
 
     // (a) marker written, no commit (crash mid data-write) → roll back
+    // once the attempt is provably dead (grace elapsed); a FRESH marker
+    // must be left for the possibly-live attempt
     log.writeRebucketMarker(99L, 4, "v=99-deadbeef")
-    val kt2 = KeyedTable.forPath(spark, t)
+    KeyedTable.forPath(spark, t) // default grace: marker is fresh → kept
+    assert(log.readRebucketMarker().nonEmpty,
+      "a fresh uncommitted marker may belong to a live rewrite — keep it")
+    spark.conf.set("spark.graft.pendingGraceMs", "-1")
+    val kt2 = try KeyedTable.forPath(spark, t)
+      finally spark.conf.unset("spark.graft.pendingGraceMs")
     assert(log.readRebucketMarker().isEmpty)
     assert(kt2.meta.numBuckets == 16)
     assert(kt2.snapshot().count() == 100)
@@ -175,5 +182,78 @@ class RebucketSpec extends AnyFunSuite {
     assert(log.readRebucketMarker().isEmpty)
     assert(kt3.snapshot().count() == 100)
     assert(oldMeta.numBuckets == 16) // silence unused warning
+  }
+
+  test("a LIVE losing rewrite's scratch survives foreign recovery, then replays clean") {
+    // forces the exact r13 race: rewrite publishes its marker, a
+    // concurrent writer claims the marker's version, ANOTHER handle's
+    // merge runs recovery(onlyDead=true) — the still-live loser's marker
+    // and scratch must survive (pre-fix, recovery deleted them out from
+    // under the in-flight write and the rewrite crashed on chmod)
+    val t = tmp()
+    val df = (1L to 400L).map(i => (i, i.toString)).toDF("id", "s")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 4)
+    kt.upsert(df, uniqueKeys = true)
+    val log = new CommitLog(t, spark.sessionState.newHadoopConf())
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    @volatile var hookRan = false
+    KeyedTable.globalPreRebucketWriteHook = { _ =>
+      if (!hookRan) { // first attempt only; the replay must run clean
+        hookRan = true
+        val (mv, _, mdir) = log.readRebucketMarker().get
+        // stand in for the in-flight write: a fresh scratch subtree
+        val sentinel = new org.apache.hadoop.fs.Path(s"$t/_tmp_$mdir/sentinel")
+        fs.mkdirs(sentinel)
+        // (1) a concurrent writer claims the marker's version
+        val w = KeyedTable.forPath(spark, t)
+        w.upsert(Seq((401L, "x")).toDF("id", "s"), uniqueKeys = true)
+        assert(w.latestVersion == mv, "writer must claim the marker's version")
+        // (2) a foreign merge's claim path runs recovery(onlyDead=true)
+        KeyedTable.forPath(spark, t)
+          .upsert(Seq((402L, "y")).toDF("id", "s"), uniqueKeys = true)
+        // pre-fix both of these failed: marker cleared, scratch deleted
+        assert(log.readRebucketMarker().exists(_._3 == mdir),
+          "foreign recovery reclaimed a live loser's marker")
+        assert(fs.exists(sentinel),
+          "foreign recovery reclaimed a live loser's scratch mid-write")
+      }
+    }
+    try {
+      kt.rebucket(8) // loses its first claim, must replay cleanly
+      assert(hookRan)
+      assert(kt.meta.numBuckets == 8)
+      assert(kt.snapshot().count() == 402)
+      assert(log.readRebucketMarker().isEmpty)
+    } finally KeyedTable.globalPreRebucketWriteHook = _ => ()
+  }
+
+  test("a provably DEAD losing rewrite is reclaimed on the merge claim path") {
+    val t = tmp()
+    val df = (1L to 100L).map(i => (i, i.toString)).toDF("id", "s")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 4)
+    kt.upsert(df, uniqueKeys = true)
+    val v = kt.latestVersion
+    val log = new CommitLog(t, spark.sessionState.newHadoopConf())
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a crashed loser: marker names a committed version under a
+    // DIFFERENT dir, orphan data + scratch dirs left behind
+    val orphan = s"v=$v-feedface"
+    log.writeRebucketMarker(v, 8, orphan)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/data/$orphan"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/_tmp_$orphan"))
+    // fresh evidence → the merge path must keep everything
+    kt.upsert(Seq((101L, "x")).toDF("id", "s"), uniqueKeys = true)
+    assert(log.readRebucketMarker().nonEmpty, "fresh attempt must be kept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/$orphan")))
+    // grace elapsed → the same path reclaims marker + both dirs
+    spark.conf.set("spark.graft.pendingGraceMs", "-1")
+    try kt.upsert(Seq((102L, "y")).toDF("id", "s"), uniqueKeys = true)
+    finally spark.conf.unset("spark.graft.pendingGraceMs")
+    assert(log.readRebucketMarker().isEmpty, "dead attempt must be reclaimed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/$orphan")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/_tmp_$orphan")))
+    assert(kt.snapshot().count() == 102)
   }
 }
