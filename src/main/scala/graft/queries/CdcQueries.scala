@@ -104,10 +104,15 @@ object CdcQueries {
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
     // file sizing must scale WITH the input: production tables hold a
     // bounded FILE COUNT per bucket (byte-sized files + auto-compact +
-    // rebucketing), so the scale-honest gate shape is ~24 files/bucket
-    // at every SF — a fixed 500-row size at sf1 would instead model a
-    // knob misconfiguration (3,000 tiny files, every wave's fold
-    // rewriting the table) and measure that artifact, not the probe
+    // rebucketing), so the scale-honest gate shape targets ~24
+    // files/bucket at every SF — a fixed 500-row size at sf1 would
+    // instead model a knob misconfiguration (3,000 tiny files, every
+    // wave's fold rewriting the table) and measure that artifact, not
+    // the probe. NB with the default autoCompact.maxFiles=16 and gate
+    // files far below the fold cap, late waves (≈9+) DO engage the
+    // fold back to ~16 files/bucket — deliberate: the gate then also
+    // exercises fold rewrites under the probe, and the oracle pins
+    // that folded content stays exact
     val n = o.count()
     s.conf.set("spark.graft.targetFileRows", math.max(500L, n / 96).toString)
     s.conf.set("spark.graft.merge.matchPruneMinBytes", "0")

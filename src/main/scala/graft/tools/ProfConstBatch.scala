@@ -1,14 +1,14 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The 100 TB plan-cost prediction, tested directly (SURVEY §6s-4 /
-  * r12 verdict #3): per-commit drain cost is claimed FLAT in total
-  * data volume as long as byte-budgeted drains hold per-sub-batch
-  * bytes constant — growth in the r12 sf1 profile's plan phase was
-  * the staged-batch collect, which is batch-bytes-proportional, not
-  * history- or table-size-proportional.
+  * r12 verdict #3, extended r14 verdict #7): per-commit drain cost is
+  * claimed FLAT in total data volume as long as byte-budgeted drains
+  * hold per-sub-batch bytes constant — growth in the r12 sf1 profile's
+  * plan phase was the staged-batch collect, which is batch-bytes-
+  * proportional, not history- or table-size-proportional.
   *
   * The bench gates can't test that claim: they seed each source with
   * ONE fat upsert, and a byte budget can never split below commit
@@ -20,13 +20,27 @@ import org.apache.spark.sql.functions._
   * and budget: the prediction is plan/write seconds PER COMMIT stay
   * ~flat while the commit count scales with the data.
   *
+  * Four workload arms (r14: the insert-only arm was the membership
+  * probe's best case; these cover the hit-path carry ratio too):
+  *  - insert (default): every chunk is new keys — the probe must carry
+  *    every existing file; write cost per commit ∝ batch bytes.
+  *  - update: each commit point-updates ~chunkRows uniformly-spread
+  *    EXISTING keys of a fully-seeded table laid out at a fixed
+  *    rows-per-file — per-commit write cost is bounded by
+  *    (keys hit × file size), independent of TABLE size.
+  *  - mixed: half new keys, half point updates per commit.
+  *  - skew: every commit's updates land in ONE bucket's key space —
+  *    bucket-level pruning must keep the other 7/8 untouched.
+  *
   * Usage: ProfConstBatch <sfDir> [chunkRows=50000] [budgetBytes=3000000]
+  *        [mode=insert|update|mixed|skew]
   */
 object ProfConstBatch {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val chunkRows = if (args.length > 1) args(1).toLong else 50000L
     val budget = if (args.length > 2) args(2).toLong else 3000000L
+    val mode = if (args.length > 3) args(3) else "insert"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -36,11 +50,11 @@ object ProfConstBatch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, sfDir, chunkRows, budget) finally spark.stop()
+    try run(spark, sfDir, chunkRows, budget, mode) finally spark.stop()
   }
 
   def run(spark: SparkSession, sfDir: String, chunkRows: Long,
-      budget: Long): Unit = {
+      budget: Long, mode: String = "insert"): Unit = {
     import graft.store.{KeyedTable, PhaseStats}
     import graft.streaming.Stream
     val root = java.nio.file.Files
@@ -51,7 +65,6 @@ object ProfConstBatch {
       .select(col("o_orderkey"), col("o_custkey").alias("c_custkey"),
         col("o_totalprice"))
     val nOrders = oDf.count()
-    val nChunks = math.max(1L, (nOrders + chunkRows - 1) / chunkRows).toInt
     val cT = KeyedTable.create(spark, s"$root/customer", cDf.schema,
       Seq("c_custkey"), numBuckets = 8)
     val oT = KeyedTable.create(spark, s"$root/orders", oDf.schema,
@@ -59,18 +72,55 @@ object ProfConstBatch {
     val pipe = Stream.fromKeyedTable(cT)
       .join(Stream.fromKeyedTable(oT), "inner").onKeys("c_custkey")
       .writeToPath(s"$root/out")
-    // seed: the dim side as one commit, the fact side as nChunks
-    // commits of ~chunkRows rows each — constant per-commit bytes
-    // across scale factors by construction
     cT.upsert(cDf, uniqueKeys = true)
-    val chunked = oDf.withColumn("__chunk",
-      pmod(col("o_orderkey"), lit(nChunks.toLong)).cast("int")).cache()
-    chunked.count()
-    (0 until nChunks).foreach { i =>
-      oT.upsert(chunked.where(col("__chunk") === i).drop("__chunk"),
-        uniqueKeys = true)
+    val hash = xxhash64(col("o_orderkey"))
+    var srcCommits = 0
+    if (mode == "insert") {
+      // the fact side lands as nChunks commits of ~chunkRows NEW keys
+      // each — constant per-commit bytes across scale factors
+      val nChunks = math.max(1L, (nOrders + chunkRows - 1) / chunkRows).toInt
+      val chunked = oDf.withColumn("__chunk",
+        pmod(col("o_orderkey"), lit(nChunks.toLong)).cast("int")).cache()
+      chunked.count()
+      (0 until nChunks).foreach { i =>
+        oT.upsert(chunked.where(col("__chunk") === i).drop("__chunk"),
+          uniqueKeys = true)
+      }
+      chunked.unpersist()
+      srcCommits = nChunks
+    } else {
+      // production-shaped layout: fixed rows per FILE, so file size is
+      // constant across SF and file count carries the scale
+      spark.conf.set("spark.graft.targetFileRows", "20000")
+      try oT.upsert(oDf, uniqueKeys = true)
+      finally spark.conf.unset("spark.graft.targetFileRows")
+      val waves = 12
+      // ~chunkRows uniformly-spread keys per wave, disjoint across
+      // waves via hash residues (sampling 1-in-res of the key space)
+      val res = math.max(waves.toLong, nOrders / chunkRows)
+      def updates(i: Int): DataFrame = mode match {
+        case "update" =>
+          oDf.where(pmod(hash, lit(res)) === i)
+            .withColumn("o_totalprice", -col("o_totalprice"))
+        case "mixed" =>
+          // half updates, half NEW keys (shifted far past the key space)
+          oDf.where(pmod(hash, lit(res * 2)) === i)
+            .withColumn("o_totalprice", -col("o_totalprice"))
+            .unionByName(oDf.where(pmod(hash, lit(res * 2)) === i + res)
+              .withColumn("o_orderkey",
+                col("o_orderkey") + lit(nOrders * 10 + i.toLong)))
+        case "skew" =>
+          // all updates inside bucket 0's key space (bucketExpr is the
+          // same xxhash64 modulo numBuckets=8); disjoint waves via the
+          // next residue level
+          oDf.where(pmod(hash, lit(8L)) === 0 &&
+              pmod(hash, lit(8L * waves)) === i * 8L)
+            .withColumn("o_totalprice", -col("o_totalprice"))
+        case other => sys.error(s"unknown mode $other")
+      }
+      (0 until waves).foreach(i => oT.upsert(updates(i), uniqueKeys = true))
+      srcCommits = waves
     }
-    chunked.unpersist()
     // measured region: ONE byte-budgeted drain over the whole backlog
     PhaseStats.reset()
     spark.conf.set("spark.graft.drain.maxBytes", budget.toString)
@@ -86,8 +136,9 @@ object ProfConstBatch {
       .map { case (k, (n, s)) => "\"" + k + "\":[" + n + "," + fmt(s) + "]" }
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"probe":"const_batch","sf":"$sfName","orders":$nOrders,""" +
-      s""""chunkRows":$chunkRows,"srcCommits":$nChunks,"budget":$budget,""" +
-      s""""outCommits":$commits,"wall":${fmt(wall)},"phases":$ph}""")
+    println(s"""{"probe":"const_batch","mode":"$mode","sf":"$sfName",""" +
+      s""""orders":$nOrders,"chunkRows":$chunkRows,"srcCommits":$srcCommits,""" +
+      s""""budget":$budget,"outCommits":$commits,"wall":${fmt(wall)},""" +
+      s""""phases":$ph}""")
   }
 }

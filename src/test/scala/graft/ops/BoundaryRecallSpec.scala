@@ -112,4 +112,57 @@ class BoundaryRecallSpec extends AnyFunSuite {
     assert(belowNewCut.isEmpty,
       s"planted true pairs below the σ-scaled cut $newCut: $belowNewCut")
   }
+
+  // --- the other three estSlack call sites (r13 verdict #4): each adds
+  // its own recall layers on top of the shared slack — the planted
+  // exact-J corpus must traverse ALL of them. The ≤1-missed assertions
+  // double as the revert pin: a fixed 0.05 slack drops each J=0.50
+  // pair ~19% of the time (20 planted), failing every test below.
+
+  private val plantedSet = planted.map(p => (p._1, p._2)).toSet
+
+  test("boundary pairs survive simhashNearDup (hamming layer held open)") {
+    // the hamming prefilter is a recall layer BY CONTRACT (J=0.5 pairs
+    // sit near 16/64 differing simhash bits, beyond the default 12) —
+    // maxHamming=32 holds it open so banding + estimate slack decide,
+    // which is exactly the layer under test
+    val found = Dedup.simhashNearDup(docs, maxHamming = 32, threshold = t)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(found.keySet.subsetOf(plantedSet),
+      s"false positives: ${found.keySet -- plantedSet}")
+    val missed = plantedSet -- found.keySet
+    assert(missed.size <= 1, s"simhash boundary recall broken: missed $missed")
+  }
+
+  test("boundary pairs split ACROSS frames survive crossDedup") {
+    val aSide = docs.where(col("doc_id") % 2 === 0)
+    val bSide = docs.where(col("doc_id") % 2 === 1)
+    val found = Dedup.crossDedup(aSide, bSide, threshold = t)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(plantedSet), s"false positives: ${found -- plantedSet}")
+    val missed = plantedSet -- found
+    assert(missed.size <= 1, s"cross-frame boundary recall broken: missed $missed")
+  }
+
+  test("boundary pairs against STORED signatures survive SignatureStore.check") {
+    // the store path adds signature persistence: the existing side's
+    // signatures come off a KeyedTable snapshot (create + a later
+    // admit batch), never recomputed — a boundary pair must survive
+    // the round-trip through storage as well as the slack
+    val root = java.nio.file.Files.createTempDirectory("brsig").toString
+    val bSide = docs.where(col("doc_id") % 2 === 1)
+    val (seedB, admitB) = (bSide.where(col("doc_id") % 4 === 1),
+      bSide.where(col("doc_id") % 4 === 3))
+    val store = SignatureStore.create(spark, s"$root/sig", seedB)
+    SignatureStore.admit(store, admitB, batchId = 1L)
+    val found = SignatureStore.check(store, docs.where(col("doc_id") % 2 === 0),
+        threshold = t)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(plantedSet), s"false positives: ${found -- plantedSet}")
+    val missed = plantedSet -- found
+    assert(missed.size <= 1, s"stored-signature boundary recall broken: missed $missed")
+  }
 }

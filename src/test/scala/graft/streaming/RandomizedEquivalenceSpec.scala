@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
-import graft.store.KeyedTable
+import graft.store.{CommitLog, KeyedTable}
 
 import java.nio.file.Files
 
@@ -588,7 +588,13 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
         case 3 => h.rebucket(if (h.meta.numBuckets == 4) 8 else 4); ()
       }
       var contended = 0 // OCC claim losses observed across every race
-      (1 to 6).foreach { wave =>
+      // 6 base waves; if the scheduler happened to serialize every pair
+      // (possible on a slow/loaded box), keep racing extra waves — up
+      // to 12 total — until at least one claim is actually contended,
+      // so the final pin can't fail spuriously on a correct engine
+      var wave = 0
+      while (wave < 6 || (contended == 0 && wave < 12)) {
+        wave += 1
         val lRows = (1 to 20).map(_ => rnd.nextInt(30).toLong).distinct.map { i =>
           (i, rnd.nextInt(12).toLong, rnd.nextInt(10000).toLong, wave.toLong)
         }
@@ -745,6 +751,136 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
         spark.conf.unset("spark.graft.drain.claimGraceMs")
         KeyedTable.globalPreCommitHook = _ => ()
         DrainState.preStateCommitHook = _ => ()
+      }
+    }
+  }
+
+  // RANDOMIZED MAINTENANCE CRASH INJECTION (r13 verdict #5): the
+  // families above race maintenance or kill drainers, but never kill a
+  // compact/optimize/optimizeIncremental/rebucket MID-FLIGHT while a
+  // writer races — exactly the seam of the r13 reclamation race. Each
+  // wave kills the maintenance op at its commit publish (or, for
+  // rebucket, in the marker-written-no-content window) with a writer
+  // in flight, then proves the table keeps serving writers, a clean
+  // re-run of the SAME op succeeds (recovery/replay contract), and the
+  // chained output still equals the batch fixpoint. Orphaned markers
+  // must be reclaimed once provably dead.
+  Seq(29, 59).foreach { seed =>
+    test(s"random op waves with CRASH-INJECTED maintenance kills (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = tmp()
+      val lSchema = Seq((1L, 1L, 1L, 0L)).toDF("id", "lkey", "cents", "seq").schema
+      val rSchema = Seq((1L, "x", 0L)).toDF("rkey", "name", "rseq").schema
+      val lT = KeyedTable.create(spark, s"$root/l", lSchema, Seq("id"),
+        seqCols = Seq("seq"), numBuckets = 4)
+      val rT = KeyedTable.create(spark, s"$root/r", rSchema, Seq("rkey"),
+        seqCols = Seq("rseq"), numBuckets = 4)
+      def mkPipe() = Stream.fromKeyedTable(KeyedTable.forPath(spark, s"$root/l"))
+        .handleDeletes()
+        .join(Stream.fromKeyedTable(KeyedTable.forPath(spark, s"$root/r"))
+          .handleDeletes(), "left")
+        .on((l, r) => l("lkey") === r("rkey"))
+        .groupByStaged(s"$root/stage", "name")
+        .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+        .writeToPath(s"$root/chained")
+      rT.upsert((0L until 8L).map(k => (k, s"n${k % 3}", 0L))
+        .toDF("rkey", "name", "rseq"), uniqueKeys = true)
+      // pre-seed the fact table: an EMPTY table makes every layout op
+      // an early-return no-op (no commit, no marker → no kill to fire)
+      lT.upsert(Seq((1000L, 1L, 1L, 0L), (1001L, 2L, 2L, 0L))
+        .toDF("id", "lkey", "cents", "seq"), uniqueKeys = true)
+      def maintOp(h: KeyedTable, pick: Int): Unit = pick match {
+        case 0 => h.compact(); ()
+        case 1 => h.optimize(Seq("lkey")); ()
+        case 2 => h.optimizeIncremental(Seq("lkey"), bucketsPerStep = 2); ()
+        case 3 => h.rebucket(if (h.meta.numBuckets == 4) 8 else 4); ()
+      }
+      // one-shot kill of exactly the armed MAINTENANCE thread (the
+      // racing writer commits on the same path and must not die)
+      val armCommit = new java.util.concurrent.atomic.AtomicReference[Thread](null)
+      val armMarker = new java.util.concurrent.atomic.AtomicReference[Thread](null)
+      val kills = new java.util.concurrent.atomic.AtomicInteger(0)
+      KeyedTable.globalPreCommitHook = p =>
+        if (p == s"$root/l" &&
+            armCommit.compareAndSet(Thread.currentThread(), null)) {
+          kills.incrementAndGet(); throw new CrashSignal
+        }
+      KeyedTable.globalPreRebucketWriteHook = p =>
+        if (p == s"$root/l" &&
+            armMarker.compareAndSet(Thread.currentThread(), null)) {
+          kills.incrementAndGet(); throw new CrashSignal
+        }
+      try {
+        // 6 base waves; a wave's op can legitimately no-op without a
+        // commit (compact on 1-file buckets), so extend — bounded at
+        // 12 — until the kill floor is met, like the contention pin
+        var wave = 0
+        while (wave < 6 || (kills.get < 4 && wave < 12)) {
+          wave += 1
+          val lRows = (1 to 20).map(_ => rnd.nextInt(30).toLong).distinct.map { i =>
+            (i, rnd.nextInt(12).toLong, rnd.nextInt(10000).toLong, wave.toLong)
+          }
+          val writer = KeyedTable.forPath(spark, s"$root/l")
+          val maint = KeyedTable.forPath(spark, s"$root/l")
+          val pick = rnd.nextInt(4)
+          // rebucket waves alternate which seam dies: its commit, or
+          // the marker-written-no-content crash window
+          val atMarker = pick == 3 && rnd.nextBoolean()
+          val stagger = rnd.nextInt(40).toLong
+          val wErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+          val mErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+          val wT = new Thread { override def run(): Unit =
+            try writer.upsert(lRows.toDF("id", "lkey", "cents", "seq"),
+              uniqueKeys = true)
+            catch { case e: Throwable => wErrs.add(e) } }
+          val mT = new Thread { override def run(): Unit =
+            try maintOp(maint, pick)
+            catch {
+              case _: CrashSignal => () // the injected kill
+              case e: Throwable => mErrs.add(e)
+            } }
+          if (atMarker) armMarker.set(mT) else armCommit.set(mT)
+          wT.start(); Thread.sleep(stagger); mT.start()
+          wT.join(); mT.join()
+          armCommit.set(null); armMarker.set(null) // op may not have committed
+          assert(wErrs.isEmpty,
+            s"wave $wave: writer died alongside the killed maintenance: ${wErrs.peek()}")
+          assert(mErrs.isEmpty,
+            s"wave $wave: maintenance threw a non-injected error: ${mErrs.peek()}")
+          // the recovery contract: a clean re-run of the SAME op on a
+          // fresh handle must succeed over the crash leftovers
+          maintOp(KeyedTable.forPath(spark, s"$root/l"), pick)
+          rT.upsert((1 to 4).map(_ => rnd.nextInt(8).toLong).distinct
+            .map(k => (k, s"n${rnd.nextInt(4)}", wave.toLong))
+            .toDF("rkey", "name", "rseq"), uniqueKeys = true)
+          if (wave % 3 == 0)
+            lT.delete((1 to 5).map(_ => rnd.nextInt(30).toLong).distinct.toDF("id"))
+          if (wave % 2 == 0) mkPipe().runIncremental()
+        }
+        mkPipe().runIncremental()
+        val want = lT.snapshot().join(rT.snapshot(),
+            col("lkey") === col("rkey"), "left")
+          .groupBy("name")
+          .agg(sum(col("cents")).as("scents"), count(lit(1)).as("n"))
+        val got = KeyedTable.forPath(spark, s"$root/chained").snapshot()
+          .select(want.columns.map(col).toSeq: _*)
+        assertSameRows(got, want, s"seed $seed crash-injected maintenance")
+        // the family must actually kill: every wave arms a seam the op
+        // reliably reaches (compact may no-op on a 1-file-per-bucket
+        // early wave — floor at 4 leaves that headroom)
+        assert(kills.get >= 4, s"only ${kills.get} injected kills fired")
+        // any marker a killed rebucket left behind must reclaim once
+        // provably dead — and the reclamation must not disturb state
+        spark.conf.set("spark.graft.pendingGraceMs", "-1")
+        try lT.upsert(Seq((999L, 0L, 0L, 99L)).toDF("id", "lkey", "cents", "seq"),
+          uniqueKeys = true)
+        finally spark.conf.unset("spark.graft.pendingGraceMs")
+        val log = new CommitLog(s"$root/l", spark.sessionState.newHadoopConf())
+        assert(log.readRebucketMarker().isEmpty,
+          "a dead rebucket marker survived grace-based reclamation")
+      } finally {
+        KeyedTable.globalPreCommitHook = _ => ()
+        KeyedTable.globalPreRebucketWriteHook = _ => ()
       }
     }
   }
