@@ -1838,6 +1838,12 @@ final class KeyedTable private (
       // NB: parquet reads this key ONLY in per-column `key#col` form
       // (ColumnConfigParser), never bare.
       .option(s"parquet.bloom.filter.candidates.number#$KHashCol", "12")
+      // fpp drives how many files a SKETCH probe falsely keeps: the
+      // expected count is (staged hashes × fpp), so the probe tier is
+      // capped at sketchProbeMaxRows staged rows and fpp is set so
+      // cap × fpp ≈ 2 — tight enough that a point-update wave's write
+      // cost stays a couple of files regardless of table size
+      .option(s"parquet.bloom.filter.fpp#$KHashCol", "0.001")
       .partitionBy(SideCol, "b")
       .parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
@@ -2378,18 +2384,32 @@ final class KeyedTable private (
     // or when the staged batch is a large fraction of the candidate
     // bytes (full-table upserts match almost every file anyway, and
     // 64 B/row is the planner's standing staged-size estimate).
-    // Two execution tiers: files whose manifest entry carries a parquet
-    // bloom on the stored hash column probe DRIVER-SIDE against the
-    // footer-resident sketch (no read job — see bloomProbeKeep);
-    // pre-sketch files fall back to the exact column-scan probe.
+    // Two execution tiers, picked by STAGED SIZE: a bloom answers "does
+    // this file hold any of these n hashes?" with n independent fpp
+    // trials, so its expected falsely-kept files are n × fpp — useless
+    // for a 50k-row drain sub-batch (n·fpp ≈ every file; measured: the
+    // naive all-sketch probe regressed sf3 insert drains right back to
+    // table-proportional writes), decisive for point/small batches
+    // (n ≤ sketchProbeMaxRows keeps n·fpp ≈ 2 with the 0.001 write-side
+    // fpp). Small staged batches therefore probe DRIVER-SIDE against
+    // the footer-resident sketches (no read job, LRU-cached — the case
+    // whose exact probe had to re-scan every range-candidate's hash
+    // column per sub-batch); larger batches and pre-sketch files keep
+    // the exact column-scan probe, whose read is bounded by 8 B/row of
+    // candidates and amortized by the batch's own size.
     val matchMin = spark.conf.getOption("spark.graft.merge.matchPruneMinBytes")
       .map(_.toLong).getOrElse(32L << 20)
+    val sketchMax = spark.conf.getOption("spark.graft.merge.sketchProbeMaxRows")
+      .map(_.toLong).getOrElse(2000L)
     val hitBytes = hit.map(_._1._2.bytes).sum
     val (hitF, missedF) =
       if (hit.nonEmpty && stagedCount <= exactMax &&
           hitBytes >= matchMin && stagedCount * 64L < hitBytes / 2) {
         timed("planProbe") {
-          val (sketched, plain) = hit.partition { case ((_, e), _) => e.bloom }
+          val (sketched, plain) =
+            if (stagedCount <= sketchMax)
+              hit.partition { case ((_, e), _) => e.bloom }
+            else (Nil, hit)
           val keepSketched: Set[Int] =
             if (sketched.isEmpty) Set.empty
             else bloomProbeKeep(sketched,

@@ -31,9 +31,17 @@ import org.apache.spark.sql.functions._
   *  - mixed: half new keys, half point updates per commit.
   *  - skew: every commit's updates land in ONE bucket's key space —
   *    bucket-level pruning must keep the other 7/8 untouched.
+  *  - point: direct small upsert waves (chunkRows each, half new keys /
+  *    half updates) against the fully-seeded table with the membership
+  *    probe forced on — the SKETCH tier's home turf (staged rows ≤
+  *    sketchProbeMaxRows ⇒ driver-side footer-bloom probe, no read
+  *    job): planProbe per wave must stay flat and tiny across SFs,
+  *    where the exact probe re-scanned every candidate's hash column.
+  *    Run with chunkRows ≤ 2000 (e.g. 500); the measured region is the
+  *    waves themselves, no drain.
   *
   * Usage: ProfConstBatch <sfDir> [chunkRows=50000] [budgetBytes=3000000]
-  *        [mode=insert|update|mixed|skew]
+  *        [mode=insert|update|mixed|skew|point]
   */
 object ProfConstBatch {
   def main(args: Array[String]): Unit = {
@@ -90,8 +98,15 @@ object ProfConstBatch {
       srcCommits = nChunks
     } else {
       // production-shaped layout: fixed rows per FILE, so file size is
-      // constant across SF and file count carries the scale
+      // constant across SF and file count carries the scale. A real
+      // table at this shape also scales its BUCKET count (autoRebucket)
+      // so files-per-bucket stays bounded; with the probe's fixed 8
+      // buckets the sf3 seed exceeds autoCompact.maxFiles=16 and every
+      // wave's fold would rewrite the table — raise the bound so the
+      // arms measure the PROBE's carry ratio, not the fold (whose own
+      // behavior is gate- and spec-pinned elsewhere)
       spark.conf.set("spark.graft.targetFileRows", "20000")
+      spark.conf.set("spark.graft.autoCompact.maxFiles", "256")
       try oT.upsert(oDf, uniqueKeys = true)
       finally spark.conf.unset("spark.graft.targetFileRows")
       val waves = 12
@@ -118,6 +133,31 @@ object ProfConstBatch {
             .withColumn("o_totalprice", -col("o_totalprice"))
         case other => sys.error(s"unknown mode $other")
       }
+      if (mode == "point") {
+        // measured region: the small upsert waves themselves (half new
+        // keys, half updates), probe forced on — no drain. A wave's
+        // write cost must be a few files and its planProbe sketch-cheap
+        // at EVERY table size.
+        val per = math.max(waves.toLong, nOrders / math.max(1L, chunkRows / 2))
+        def wavelet(i: Int): DataFrame =
+          oDf.where(pmod(hash, lit(per)) === i)
+            .withColumn("o_totalprice", -col("o_totalprice"))
+            .unionByName(oDf.where(pmod(hash, lit(per)) === i + waves)
+              .withColumn("o_orderkey",
+                col("o_orderkey") + lit(nOrders * 10 + i.toLong)))
+        val batches = (0 until waves).map(i => wavelet(i).cache())
+        batches.foreach(_.count()) // build outside the measured region
+        PhaseStats.reset()
+        spark.conf.set("spark.graft.merge.matchPruneMinBytes", "0")
+        val t0 = System.nanoTime()
+        try batches.foreach(b => oT.upsert(b, uniqueKeys = true))
+        finally spark.conf.unset("spark.graft.merge.matchPruneMinBytes")
+        val wall = (System.nanoTime() - t0) / 1e9
+        batches.foreach(_.unpersist())
+        emit(spark, sfDir, mode, nOrders, chunkRows, budget,
+          srcCommits = waves, outCommits = waves, wall = wall)
+        return
+      }
       (0 until waves).foreach(i => oT.upsert(updates(i), uniqueKeys = true))
       srcCommits = waves
     }
@@ -129,7 +169,14 @@ object ProfConstBatch {
     finally spark.conf.unset("spark.graft.drain.maxBytes")
     val wall = (System.nanoTime() - t0) / 1e9
     val out = KeyedTable.forPath(spark, s"$root/out")
-    val commits = out.latestVersion
+    emit(spark, sfDir, mode, nOrders, chunkRows, budget,
+      srcCommits = srcCommits, outCommits = out.latestVersion, wall = wall)
+  }
+
+  private def emit(spark: SparkSession, sfDir: String, mode: String,
+      nOrders: Long, chunkRows: Long, budget: Long, srcCommits: Int,
+      outCommits: Long, wall: Double): Unit = {
+    import graft.store.PhaseStats
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val ph = PhaseStats.snapshot().toSeq.sortBy(_._1)
@@ -138,7 +185,7 @@ object ProfConstBatch {
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"probe":"const_batch","mode":"$mode","sf":"$sfName",""" +
       s""""orders":$nOrders,"chunkRows":$chunkRows,"srcCommits":$srcCommits,""" +
-      s""""budget":$budget,"outCommits":$commits,"wall":${fmt(wall)},""" +
+      s""""budget":$budget,"outCommits":$outCommits,"wall":${fmt(wall)},""" +
       s""""phases":$ph}""")
   }
 }
