@@ -609,8 +609,10 @@ object CdcQueries {
 
   /** A28/A30/A41/C5 composed: the full layout-maintenance lifecycle
     * under data churn — upsert waves interleaved with incremental
-    * optimize, compact, rebucket, a predicate delete, and vacuum — with
-    * the surviving snapshot hash-checked against a recomputed oracle.
+    * optimize, compact, a STEPPED rebucket, a predicate delete, and the
+    * one-call `maintain()` driver (health-read passes + retention) —
+    * with the surviving snapshot hash-checked against a recomputed
+    * oracle.
     * Layout ops must be pure reorganizations: every one of them runs
     * BETWEEN or AROUND content commits and none may change what the
     * final snapshot reads. */
@@ -630,12 +632,18 @@ object CdcQueries {
     kt.upsert(o.where(col("o_orderkey") % 11 === 0)
       .withColumn("o_orderstatus", lit("M")), uniqueKeys = true)
     kt.compact(minFileBytes = 64L << 20)
-    kt.rebucket(32)
+    // STEPPED rebucket (r15): staged byte-budgeted ranges + one cutover
+    // commit — the growth path a 100 TB table actually takes; the small
+    // budget forces a real multi-step run at every driver SF
+    kt.rebucketIncremental(32, maxStepBytes = 2L << 20)
     kt.deleteWhere(col("o_orderkey") % 13 === 0)
-    kt.vacuum(retainVersions = 1)
-    // log truncation mid-lifecycle: the final snapshot must read buckets
-    // whose owning commits were truncated (checkpoint-manifest path)
-    kt.truncateLog(retainVersions = 2)
+    // one-call maintenance driver over the churned table: reads health,
+    // runs owed passes (compact here; growth/clustering not owed), then
+    // retention — replaces the explicit vacuum+truncate calls
+    kt.maintain(graft.store.MaintenancePolicy(
+      compactMinFileBytes = 64L << 20,
+      vacuumRetainVersions = Some(1),
+      truncateRetainVersions = Some(2)))
     kt.snapshot()
   }
 

@@ -669,11 +669,74 @@ final class CommitLog(rootPath: String, conf: Configuration) {
   def clearRebucketMarker(): Unit =
     if (fs.exists(rebucketPath)) fs.delete(rebucketPath, false)
 
+  /** Attempt-scoped marker clear: deletes the single-slot marker only
+    * while it still names `dir`. The slot is shared — a newer rewrite
+    * overwrites a retained loser's marker, and an unconditional clear
+    * on the loser's abandon path would delete the NEW attempt's marker
+    * (if that attempt then crashed between commit and meta swap,
+    * recovery could not finish the swap). Read-check-delete narrows
+    * the race to the FS primitive; the remaining window is the same
+    * one every marker mutation already carries. */
+  def clearRebucketMarkerIf(dir: String): Unit =
+    if (readRebucketMarker().exists(_._3 == dir)) clearRebucketMarker()
+
   /** Marker file mtime — liveness evidence for the attempt it names
     * (recovery must not reclaim an attempt whose marker is younger than
     * the grace window: the writer may not have produced any files yet). */
   def rebucketMarkerMtime(): Option[Long] =
     try Some(fs.getFileStatus(rebucketPath).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
+
+  // --- stepped-rebucket progress record (SURVEY §6v-1) --------------------
+  // KeyedTable.rebucketIncremental stages the new-modulus layout across
+  // byte-budgeted, UNCOMMITTED steps; this single-slot record is what
+  // makes the sequence resumable after a crash: per completed step it
+  // stores the old-bucket range, the staging dir under `data/`, and the
+  // (bucket -> version) map the step read — the cutover compares that
+  // map against the current one to find ranges a concurrent writer
+  // dirtied. The record never influences readers; it exists only for
+  // the rewrite itself (resume) and vacuum (orphan-staging reclamation).
+  private def rebucketStepsPath = new Path(logDir, "_rebucket_steps.json")
+
+  def writeRebucketProgress(target: Int, source: Int, token: String,
+      steps: Seq[(Int, Int, String, Seq[(Int, Long)])]): Unit = {
+    val body = steps.map { case (lo, hi, dir, base) =>
+      s"""{"lo":$lo,"hi":$hi,"dir":"$dir","base":[""" +
+        base.map { case (b, v) => s"[$b,$v]" }.mkString(",") + "]}"
+    }.mkString(",")
+    writeAtomic(rebucketStepsPath,
+      s"""{"target":$target,"source":$source,"token":"$token","steps":[$body]}""",
+      overwrite = true)
+  }
+
+  /** (target modulus, source modulus, writer token, completed steps as
+    * (lo, hi, staging dir, (bucket, version) base map)). */
+  def readRebucketProgress()
+      : Option[(Int, Int, String, Seq[(Int, Int, String, Seq[(Int, Long)])])] =
+    if (!fs.exists(rebucketStepsPath)) None
+    else {
+      val json = readFully(rebucketStepsPath)
+      for {
+        t <- """"target":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+        s <- """"source":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+        k <- """"token":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+      } yield {
+        val steps =
+          """\{"lo":(\d+),"hi":(\d+),"dir":"([^"]*)","base":\[([\[\]0-9,\s]*)\]\}""".r
+            .findAllMatchIn(json).map { m =>
+              val base = """\[(\d+),(\d+)\]""".r.findAllMatchIn(m.group(4))
+                .map(p => p.group(1).toInt -> p.group(2).toLong).toSeq
+              (m.group(1).toInt, m.group(2).toInt, m.group(3), base)
+            }.toSeq
+        (t, s, k, steps)
+      }
+    }
+
+  def clearRebucketProgress(): Unit =
+    if (fs.exists(rebucketStepsPath)) fs.delete(rebucketStepsPath, false)
+
+  def rebucketProgressMtime(): Option[Long] =
+    try Some(fs.getFileStatus(rebucketStepsPath).getModificationTime)
     catch { case _: java.io.FileNotFoundException => None }
 
   private def parseIntArray(json: String, field: String): Seq[Int] = {

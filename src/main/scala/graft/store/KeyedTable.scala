@@ -48,6 +48,58 @@ final case class TableMeta(
   def schema: StructType = TableMeta.parseDdl(schemaDdl)
 }
 
+/** Policy knobs for [[KeyedTable.maintain]], the one-call maintenance
+  * driver. Defaults suit a large table on a scheduled cadence; the
+  * retention passes are opt-in because their contracts (readers must
+  * not lag past the retained window) are deployment policy, not
+  * engine-decidable.
+  *
+  * @param targetBucketBytes      grow the bucket modulus (stepped
+  *                               [[KeyedTable.autoRebucket]]) once the
+  *                               average live bucket exceeds this
+  * @param maxBuckets             growth cap
+  * @param clusterCols            re-cluster over-bound buckets by these
+  *                               columns ([[KeyedTable.optimizeIncremental]]);
+  *                               empty disables the clustering pass
+  * @param bucketsPerStep         range size of the clustering pass
+  * @param compactMinFileBytes    pack buckets holding 2+ files under
+  *                               this size ([[KeyedTable.compact]])
+  * @param vacuumRetainVersions   when set, [[KeyedTable.vacuum]] runs
+  *                               with this retention (before truncation)
+  * @param truncateRetainVersions when set, [[KeyedTable.truncateLog]]
+  *                               runs with this retention
+  */
+final case class MaintenancePolicy(
+    targetBucketBytes: Long = 2L << 30,
+    maxBuckets: Int = 1 << 14,
+    clusterCols: Seq[String] = Nil,
+    bucketsPerStep: Int = 64,
+    compactMinFileBytes: Long = 32L << 20,
+    vacuumRetainVersions: Option[Int] = None,
+    truncateRetainVersions: Option[Int] = None)
+
+/** What one [[KeyedTable.maintain]] call actually did.
+  *
+  * @param rebucketedTo new bucket modulus when growth ran
+  * @param clustered    clustering step commits performed (0 = not owed)
+  * @param compacted    whether a compaction commit happened
+  */
+final case class MaintenanceReport(
+    rebucketedTo: Option[Int],
+    clustered: Int,
+    compacted: Boolean,
+    vacuumed: Boolean,
+    truncated: Boolean)
+
+/** Test observability for the merge membership probe: which tier the
+  * last [[KeyedTable.splitByHashRange]] probe pass ran and what the
+  * adaptive estimate computed. */
+private[graft] object ProbeDebug {
+  @volatile var lastTier: String = ""       // "sketch" | "exact" | "mixed" | "skipped"
+  @volatile var lastEstFalseKept: Double = -1.0
+  def record(tier: String, est: Double): Unit = { lastTier = tier; lastEstFalseKept = est }
+}
+
 /** Test observability for [[KeyedTable.snapshotForKeys]]'s capped
   * probe collect: records whether the last point read stayed on the
   * hash-pruned path or fell back to the distributed semi-join. */
@@ -678,9 +730,13 @@ final class KeyedTable private (
         val bv = bvAll.filter { case (b, _) => affected.contains(b) }
         // full-key deletes read only the files a deleted key's hash can
         // live in; files out of range carry forward by reference
+        val stagedByBucket: Map[Int, Long] = plan
+          .map(_.map(r => r.getInt(0) -> r.getLong(1)).toMap)
+          .getOrElse(Map.empty)
         val (readablePaths, carriedFiles, readBytes) =
           if (bv.isEmpty) (Nil, Map.empty[Int, Seq[FileEntry]], Some(0L))
-          else if (fullKey) splitByHashRange(staged, bv.toSeq, stagedRange, stagedCount)
+          else if (fullKey) splitByHashRange(staged, bv.toSeq, stagedRange,
+            stagedCount, stagedByBucket = stagedByBucket)
           else (bv.toSeq.flatMap { case (b, v) => bucketFilePaths(b, v) },
             Map.empty[Int, Seq[FileEntry]], None)
         if (affected.isEmpty || readablePaths.isEmpty) out = base
@@ -877,6 +933,47 @@ final class KeyedTable private (
       "graduated_files", "bytes", "small_bytes", "over_bound")
   }
 
+  /** One-call maintenance driver (the operational counterpart of the
+    * reference's "deploy it and it runs" story — the reference rides on
+    * Delta's managed OPTIMIZE; graft's layout passes exist but until
+    * now nothing READ [[describeHealth]]'s owed-maintenance state and
+    * acted on it). Runs the owed layout passes in dependency order:
+    *
+    *  1. growth [[autoRebucket]] FIRST — a stepped full rewrite
+    *     subsumes every other layout fix, so anything before it would
+    *     be wasted work;
+    *  2. incremental re-clustering ([[optimizeIncremental]]) when any
+    *     bucket is over the graduated-file bound (`over_bound` — the
+    *     state where the write-time file-count bound has gone soft)
+    *     and the policy names cluster columns;
+    *  3. small-file [[compact]] for the remaining fold-eligible tail;
+    *  4. storage then log retention ([[vacuum]] before [[truncateLog]],
+    *     the order their contracts require) when the policy opts in.
+    *
+    * Each pass re-reads health, so one made redundant by an earlier
+    * pass no-ops; all run under the normal OCC machinery (concurrent
+    * writers replay, a stepped rebucket redoes dirtied ranges). Layout-
+    * only throughout — no cdf rows, downstream incremental stages
+    * reprocess nothing — so a scheduled `maintain()` can run beside
+    * live pipelines. Idempotent: a re-run on a healthy table commits
+    * nothing. */
+  def maintain(policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    val rebucketedTo = autoRebucket(policy.targetBucketBytes, policy.maxBuckets)
+      .map(_ => meta.numBuckets)
+    val clustered =
+      if (policy.clusterCols.nonEmpty &&
+          describeHealth().collect().exists(_.getAs[Boolean]("over_bound")))
+        optimizeIncremental(policy.clusterCols, policy.bucketsPerStep).size
+      else 0
+    val v0 = latestVersion
+    val compacted = compact(policy.compactMinFileBytes) > v0
+    policy.vacuumRetainVersions.foreach(vacuum)
+    policy.truncateRetainVersions.foreach(truncateLog)
+    MaintenanceReport(rebucketedTo, clustered, compacted,
+      vacuumed = policy.vacuumRetainVersions.isDefined,
+      truncated = policy.truncateRetainVersions.isDefined)
+  }
+
   /** Bin-packing compaction (Delta's file-size OPTIMIZE analog, distinct
     * from [[optimize]]'s clustering rewrite): buckets holding 2+ files
     * below `minFileBytes` get those small files read and rewritten
@@ -981,8 +1078,261 @@ final class KeyedTable private (
     }.sum
     var n = meta.numBuckets
     while (n < maxBuckets && liveBytes / n > targetBucketBytes) n *= 2
-    if (n > meta.numBuckets) Some(rebucket(n)) else None
+    // growth is always to a power-of-two multiple — take the stepped,
+    // resumable rewrite instead of the monolithic single-claim one
+    if (n > meta.numBuckets) Some(rebucketIncremental(n)) else None
   }
+
+  /** Stepped, resumable [[rebucket]] for GROWTH — the 100 TB form of
+    * the layout escape hatch. The monolithic rewrite is one whole-table
+    * Spark job under one OCC claim: at scale it holds the longest write
+    * of the table's life and replays FROM SCRATCH every time a
+    * concurrent merge claims its version first — livelock-prone exactly
+    * when [[autoRebucket]] says growth is needed (a busy, outgrown
+    * table). This form stages the new-modulus layout in byte-budgeted
+    * bucket-range STEPS and then publishes everything in one cheap
+    * cutover commit:
+    *
+    *  - Each step reads one contiguous range of OLD buckets and writes
+    *    them re-hashed `pmod(xxhash64(keys), newBuckets)` into a
+    *    private staging dir (`data/rbstep-<token>-<lo>-…`). Steps are
+    *    NOT commits — concurrent writers never contend with them, and
+    *    the one-modulus-per-version invariant every reader and the
+    *    epoch guard depend on (readers probe a version's layout with
+    *    that version's recorded epoch — A20b time travel) is preserved:
+    *    no version ever exposes a mixed-modulus bucket map. Growth to a
+    *    multiple of the current modulus means old bucket `b`'s keys
+    *    land only in new ids `≡ b (mod M)`, so distinct ranges produce
+    *    DISJOINT new-bucket id sets and the final manifest assembles
+    *    per-bucket file lists without cross-step merging.
+    *  - A single-slot progress record (`_log/_rebucket_steps.json`)
+    *    stores each completed step's range, staging dir, and the
+    *    (bucket → version) map it read. A crash mid-sequence resumes
+    *    from it (completed, still-clean steps are adopted by re-reading
+    *    their staging dirs' footers); orphaned staging dirs from a run
+    *    that never resumes are reclaimed by [[vacuum]] under the same
+    *    manifest-reachability + mtime-grace rules as every other
+    *    attempt artifact.
+    *  - The CUTOVER is one commit (marker → claim → meta swap → clear,
+    *    the exact crash protocol of the monolithic path) whose manifest
+    *    references the staged files; its own Spark work is zero. Before
+    *    claiming it diffs each range's recorded base map against the
+    *    current bucket map and re-runs only the ranges concurrent
+    *    writers dirtied — so a lost claim (or a merge landing between
+    *    steps) costs ONE range's replay, not the table. Under sustained
+    *    write traffic this converges like any delta-catch-up: each
+    *    round's redo set is the buckets written since the last round.
+    *
+    * Layout-only like [[rebucket]]: no cdf rows, downstream incremental
+    * stages reprocess nothing. Shrinking or non-multiple targets keep
+    * the monolithic [[rebucket]] (rare, and their id sets overlap
+    * across ranges). Reference scope: the reference has no storage
+    * layer at all (StreamJoin.py keeps Delta's fixed layout); this is
+    * the growth path Delta solves with liquid clustering. */
+  def rebucketIncremental(newBuckets: Int, maxStepBytes: Long = 4L << 30): Long =
+    synchronized { withMergeConf {
+    require(newBuckets > 0, "newBuckets must be positive")
+    recoverPendingRebucket()
+    val oldN = meta.numBuckets
+    if (newBuckets == oldN) {
+      // a completed run that crashed before deleting its progress file
+      // leaves a record whose target equals the (already swapped)
+      // modulus — its staging dirs are LIVE data now, drop only the file
+      clearRebucketProgressIfTarget(newBuckets)
+      return latestVersion
+    }
+    require(newBuckets % oldN == 0 && newBuckets > oldN,
+      s"rebucketIncremental grows to a multiple of the current bucket " +
+        s"count ($oldN); got $newBuckets — use rebucket() for shrink or " +
+        "non-multiple targets")
+    val fs = hfs
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    val emptyAtStart = bucketVersionsAt(latestVersion).isEmpty
+    if (emptyAtStart) { // empty table: meta-only, mirror rewriteLayout
+      val next = metaVar.copy(numBuckets = newBuckets)
+      log.writeMeta(metaToJson(next))
+      metaVar = next
+      return latestVersion
+    }
+
+    // ---- adopt or supersede an existing progress record ----------------
+    // completed ranges: lo -> (lo, hi, staging dir, base bucket map);
+    // staging-dir manifests are kept in memory and re-read on adoption
+    var token = java.util.UUID.randomUUID.toString.take(8)
+    val done = scala.collection.mutable.Map
+      .empty[Int, (Int, Int, String, Map[Int, Long])]
+    val manifests = scala.collection.mutable
+      .Map.empty[String, Map[Int, Seq[FileEntry]]]
+    log.readRebucketProgress().foreach { case (tgt, src, tok, steps) =>
+      // liveness: the slot may belong to a writer still running in
+      // another process — same whole-subtree mtime grace rule as the
+      // rebucket marker (a crashed run resumes only after the grace)
+      val evidence = (log.rebucketProgressMtime().getOrElse(Long.MinValue) +:
+        steps.map(s => newestMtimeOf(P(s"$path/data/${s._3}")))).max
+      val dead = evidence == Long.MinValue ||
+        System.currentTimeMillis() - evidence > pendingGraceMs
+      require(dead,
+        s"an incremental rebucket toward $tgt buckets appears LIVE on " +
+          s"$path (progress evidence ${System.currentTimeMillis() - evidence}" +
+          s"ms old); wait for it or for the grace window")
+      if (tgt == newBuckets && src == oldN) {
+        token = tok // adopt: staging dirs keep their names
+        steps.foreach { case (lo, hi, dir, base) =>
+          if (base.isEmpty) done(lo) = (lo, hi, "", Map.empty)
+          else {
+            val m = if (dir.isEmpty) Map.empty[Int, Seq[FileEntry]]
+                    else writtenFileStats(dir)
+            if (m.nonEmpty) { // a crashed step's dir never landed: redo it
+              done(lo) = (lo, hi, dir, base.toMap)
+              manifests(dir) = m
+            }
+          }
+        }
+      } else {
+        // abandoned run toward a different shape: supersede the FILE;
+        // its unreferenced staging dirs are vacuum's to reclaim (they
+        // may still be referenced by retained manifests if that run
+        // actually cut over before a later rewrite — only vacuum's
+        // reachability walk can tell)
+        log.clearRebucketProgress()
+      }
+    }
+
+    // ---- byte-budgeted contiguous ranges over the old bucket ids -------
+    val bv0 = bucketVersionsAt(latestVersion)
+    def bytesOf(b: Int): Long = bv0.get(b).map(v =>
+      log.readCommit(v).files
+        .map(_.getOrElse(b, Nil).map(_.bytes).sum).getOrElse(0L)).getOrElse(0L)
+    val ranges = {
+      val acc = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var lo = 0
+      while (lo < oldN) {
+        var hi = lo + 1
+        var bytes = bytesOf(lo)
+        while (hi < oldN && bytes + bytesOf(hi) <= math.max(1L, maxStepBytes)) {
+          bytes += bytesOf(hi); hi += 1
+        }
+        acc += ((lo, hi)); lo = hi
+      }
+      acc.toSeq
+    }
+
+    def persistProgress(): Unit =
+      log.writeRebucketProgress(newBuckets, oldN, token,
+        done.toSeq.sortBy(_._1).map { case (_, (l, h, d, base)) =>
+          (l, h, d, base.toSeq.sortBy(_._1))
+        })
+
+    var stepsRun = 0
+    def runStep(lo: Int, hi: Int, bvNow: Map[Int, Long]): Unit = {
+      done.remove(lo).foreach { case (_, _, d, _) => // stale attempt: ours
+        if (d.nonEmpty) {
+          manifests -= d
+          fs.delete(P(s"$path/data/$d"), true)
+          fs.delete(P(s"$path/_tmp_$d"), true)
+        }
+      }
+      val slice = bvNow.filter { case (b, _) => b >= lo && b < hi }
+      if (slice.isEmpty) { done(lo) = (lo, hi, "", Map.empty) }
+      else {
+        KeyedTable.globalRebucketStepHook(path, lo)
+        val dir = s"rbstep-$token-$lo-${java.util.UUID.randomUUID.toString.take(8)}"
+        val content = readPaths(slice.toSeq.flatMap { case (b, v) =>
+            bucketFilePaths(b, v) })
+          .withColumn(BucketCol,
+            pmod(keyHashExpr(col), lit(newBuckets)).cast("int"))
+        val emptyCdf = emptyDf.withColumn("_change_type", lit(null).cast(StringType))
+        spark.sparkContext.setJobDescription("graft:rebucket:step")
+        try writeFused(dir, latestVersion + 1, content, emptyCdf)
+        finally spark.sparkContext.setJobDescription(null)
+        stepsRun += 1
+        done(lo) = (lo, hi, dir, slice)
+        manifests(dir) = writtenFileStats(dir)
+      }
+      persistProgress()
+    }
+
+    // ---- steps, then delta-converging cutover --------------------------
+    var attempt = 0
+    var rounds = 0
+    while (true) {
+      rounds += 1
+      require(rounds <= occMaxRetries * 8,
+        s"stepped rebucket on $path failed to converge after $rounds " +
+          "catch-up rounds under sustained writer traffic; pause writers " +
+          "or raise spark.graft.occ.maxRetries")
+      val base = latestVersion
+      val ep = epochAt(base)
+      if (ep >= 0 && ep != oldN) {
+        // a foreign rewrite changed the modulus mid-flight: our staged
+        // layout is against a dead epoch — drop it and settle
+        done.values.foreach { case (_, _, d, _) =>
+          if (d.nonEmpty) {
+            fs.delete(P(s"$path/data/$d"), true)
+            fs.delete(P(s"$path/_tmp_$d"), true)
+          }
+        }
+        log.clearRebucketProgress()
+        refreshMeta()
+        require(meta.numBuckets == newBuckets,
+          s"concurrent layout rewrite to ${meta.numBuckets} buckets " +
+            s"aborted rebucketIncremental($newBuckets) on $path")
+        return base
+      }
+      val bvNow = bucketVersionsAt(base)
+      val dirty = ranges.filter { case (l, h) =>
+        val slice = bvNow.filter { case (b, _) => b >= l && b < h }
+        !done.get(l).exists { case (_, dh, _, rec) => dh == h && rec == slice }
+      }
+      if (dirty.nonEmpty) dirty.foreach { case (l, h) => runStep(l, h, bvNow) }
+      else {
+        // cutover: one zero-Spark-work commit referencing staged files,
+        // under the standard marker crash protocol
+        val newVersion = base + 1
+        val commitDir = attemptDir(newVersion)
+        log.writeRebucketMarker(newVersion, newBuckets, commitDir)
+        val assembled: Map[Int, Seq[FileEntry]] = done.values.toSeq
+          .filter(_._3.nonEmpty)
+          .flatMap { case (_, _, d, _) => manifests(d).toSeq }
+          .groupBy(_._1)
+          .map { case (b, xs) => b -> xs.flatMap(_._2).sortBy(_.minHash) }
+        val written = assembled.keys.toSeq
+        val emptied = bvNow.keys.toSeq.filterNot(assembled.contains)
+        firePreCommit()
+        if (log.commit(newVersion, written, emptied, dir = commitDir,
+            files = Some(assembled), epoch = newBuckets,
+            cdfUp = 0L, cdfDel = 0L, cdfPre = 0L)) {
+          if (newBuckets != metaVar.numBuckets) {
+            val next = metaVar.copy(numBuckets = newBuckets)
+            log.writeMeta(metaToJson(next))
+            metaVar = next
+          }
+          log.clearRebucketProgress()
+          log.clearRebucketMarkerIf(commitDir)
+          bvCache = (newVersion, written.map(_ -> newVersion).toMap)
+          maybeCheckpoint(newVersion)
+          KeyedTable.lastRebucketStepsRun = stepsRun
+          return newVersion
+        }
+        // lost the claim: the conflicting commits name the buckets they
+        // wrote — next round's dirty diff redoes exactly those ranges
+        occRetries += 1
+        attempt += 1
+        log.clearRebucketMarkerIf(commitDir)
+        require(attempt <= occMaxRetries,
+          s"stepped rebucket lost $attempt cutover claims on $path; " +
+            "raise spark.graft.occ.maxRetries or reduce writer contention")
+      }
+    }
+    -1L // unreachable
+  } }
+
+  /** Drops a stale progress record whose rewrite evidently COMPLETED
+    * (its target equals the current/most-recently-swapped modulus): the
+    * record's staging dirs are live data by then, so only the file
+    * goes. Called from recovery's roll-forward and the no-op path. */
+  private def clearRebucketProgressIfTarget(n: Int): Unit =
+    if (log.readRebucketProgress().exists(_._1 == n)) log.clearRebucketProgress()
 
   /** Rewrites every bucket with rows CLUSTERED by `sortCols` (Delta's
     * `OPTIMIZE ... ZORDER BY` role, lexicographic clustering): parquet
@@ -1127,17 +1477,23 @@ final class KeyedTable private (
       spark.sparkContext.setJobDescription("graft:rebucket:write")
       // belt-and-braces against a foreign recovery reclaiming this
       // attempt's scratch mid-write (recovery requires provable deadness,
-      // but a misconfigured grace or clock skew could still race us): if
-      // the write failed AND both the scratch and landed dirs are gone,
-      // the attempt was reclaimed — fall through to the retry with a
-      // fresh attempt dir instead of crashing the maintenance op
+      // but a misconfigured grace or clock skew could still race us).
+      // POSITIVE evidence of reclamation is required before the silent
+      // retry: both dirs gone AND the marker this attempt wrote
+      // gone/overwritten (foreign recovery clears it; a competitor
+      // overwrites it). A failure BEFORE the committer created the dirs
+      // (planning/analysis error, FS permission error) leaves the
+      // marker ours and must surface as itself, not masquerade as a
+      // lost claim until the retry-exhaustion error masks the cause.
       val wrote =
         try { writeFused(dir, newVersion, content, emptyCdf, sortKeys); true }
         catch {
           case scala.util.control.NonFatal(e) =>
             val fs = hfs
             def gone(s: String) = !fs.exists(new org.apache.hadoop.fs.Path(s))
-            if (gone(s"$path/_tmp_$dir") && gone(s"$path/data/$dir")) false
+            val markerOurs = log.readRebucketMarker().exists(_._3 == dir)
+            if (!markerOurs && gone(s"$path/_tmp_$dir") && gone(s"$path/data/$dir"))
+              false
             else throw e
         } finally spark.sparkContext.setJobDescription(null)
       if (wrote) {
@@ -1148,7 +1504,7 @@ final class KeyedTable private (
             dir = dir, files = Some(manifest), epoch = newBuckets,
             cdfUp = 0L, cdfDel = 0L, cdfPre = 0L)) {
           swapMeta()
-          log.clearRebucketMarker()
+          log.clearRebucketMarkerIf(dir)
           bvCache = (newVersion, written.map(_ -> newVersion).toMap)
           maybeCheckpoint(newVersion)
           return newVersion
@@ -1156,11 +1512,14 @@ final class KeyedTable private (
       }
       // a concurrent merge claimed the version first (or a foreign
       // recovery reclaimed the scratch): the rewrite is a whole-snapshot
-      // op, so re-run it against the new latest
+      // op, so re-run it against the new latest. Marker clears are
+      // attempt-scoped — a NEWER rewrite may have overwritten the slot,
+      // and clearing ITS marker would strand its commit-to-meta-swap
+      // crash window.
       occRetries += 1
       attempt += 1
       discardAttempt(dir)
-      log.clearRebucketMarker()
+      log.clearRebucketMarkerIf(dir)
       require(attempt <= occMaxRetries,
         s"layout rewrite lost $attempt optimistic commit claims on $path")
     }
@@ -1196,7 +1555,8 @@ final class KeyedTable private (
             log.writeMeta(metaToJson(next))
             metaVar = next
           }
-          log.clearRebucketMarker()
+          clearRebucketProgressIfTarget(n)
+          log.clearRebucketMarkerIf(dir)
         } else {
           def P(s: String) = new org.apache.hadoop.fs.Path(s)
           val evidence = Seq(
@@ -1204,10 +1564,16 @@ final class KeyedTable private (
             newestMtimeOf(P(s"$path/_tmp_$dir")),
             newestMtimeOf(P(s"$path/data/$dir")),
             newestMtimeOf(pendingCdfPath(dir))).max
-          if (System.currentTimeMillis() - evidence > pendingGraceMs) {
+          // evidence == MinValue means EVERYTHING vanished between the
+          // marker read and the mtime stats (another recovery settled
+          // it): nothing left to reclaim here — and the subtraction
+          // below would overflow on it, so it is excluded explicitly
+          // rather than relying on the overflow's accidental direction
+          if (evidence != Long.MinValue &&
+              System.currentTimeMillis() - evidence > pendingGraceMs) {
             discardAttempt(dir)
             hfs.delete(P(s"$path/_tmp_$dir"), true)
-            log.clearRebucketMarker()
+            log.clearRebucketMarkerIf(dir)
           }
           // else: possibly alive — leave the marker and dirs untouched;
           // the loser replays and cleans itself, and a genuinely crashed
@@ -1251,12 +1617,27 @@ final class KeyedTable private (
       }
     }.toSet
     val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
+    // staging dirs of an IN-FLIGHT stepped rebucket are listed in the
+    // progress record and must survive regardless of age; dirs from a
+    // run that cut over are protected by manifest reachability instead
+    val stagedLive: Set[String] = log.readRebucketProgress()
+      .map(_._4.map(_._3).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { st =>
         val n = st.getPath.getName
         dirVersion(n).foreach { v =>
           if (v < cutoff && !reachableDirs.contains(n)) fs.delete(st.getPath, true)
         }
+        // orphan stepped-rebucket staging (`rbstep-*`, no `v=` prefix so
+        // the versioned branch above never touches it): reclaim only
+        // when unreferenced by every retained manifest, not claimed by
+        // the live progress record, and provably dead by the
+        // whole-subtree mtime grace — the same three-way rule every
+        // other attempt artifact answers to
+        if (n.startsWith("rbstep-") && !reachableDirs.contains(n) &&
+            !stagedLive.contains(n) &&
+            System.currentTimeMillis() - newestMtimeOf(st.getPath) > pendingGraceMs)
+          fs.delete(st.getPath, true)
       }
     }
     // cdf dirs are retained by the version of the commit that OWNS the
@@ -1461,6 +1842,12 @@ final class KeyedTable private (
             b -> (rs.map(_._2._1).min, rs.map(_._2._2).max) }
         val stagedCount = planRows.map(_.getLong(1)).sum +
           delPlan.map(_.getLong(1)).sum
+        // per-bucket staged counts feed the adaptive sketch-tier
+        // estimate (expected falsely-kept files) in splitByHashRange
+        val stagedByBucket: Map[Int, Long] =
+          (planRows.map(r => r.getInt(0) -> r.getLong(1)) ++
+            delPlan.map(r => r.getInt(0) -> r.getLong(1)))
+            .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
         // static partition pruning (the reference's `prune(col)`,
         // joins.py:619-632): restrict the target-side scan to the
         // pruned columns' values present in this batch — at scale this
@@ -1562,7 +1949,7 @@ final class KeyedTable private (
             val (readablePaths, carriedFiles, readBytes) =
               timed("planSplit")(
                 splitByHashRange(planKeys, bv.toSeq, stagedRange, stagedCount,
-                  prunedValsByBucket))
+                  prunedValsByBucket, stagedByBucket))
             val currentRaw0 = readPaths(readablePaths)
             // deletions apply to the CURRENT state before the staged
             // batch merges; removed rows become delete change rows
@@ -2229,9 +2616,7 @@ final class KeyedTable private (
           }
         }
       } finally rd.close()
-      KeyedTable.bloomCache.synchronized {
-        KeyedTable.bloomCache.put(key, out); ()
-      }
+      KeyedTable.bloomCachePut(key, out)
       out
     }
   }
@@ -2305,7 +2690,8 @@ final class KeyedTable private (
     * which drives the write-side sort decision. */
   private def splitByHashRange(staged: DataFrame, bv: Seq[(Int, Long)],
       stagedRange: Map[Int, (Long, Long)], stagedCount: Long,
-      prunedVals: Map[Int, Seq[(String, Seq[Any])]] = Map.empty)
+      prunedVals: Map[Int, Seq[(String, Seq[Any])]] = Map.empty,
+      stagedByBucket: Map[Int, Long] = Map.empty)
       : (Seq[String], Map[Int, Seq[FileEntry]], Option[Long]) = {
     val legacy = scala.collection.mutable.ArrayBuffer[String]()
     val cand = scala.collection.mutable.ArrayBuffer[(Int, FileEntry)]()
@@ -2401,15 +2787,59 @@ final class KeyedTable private (
       .map(_.toLong).getOrElse(32L << 20)
     val sketchMax = spark.conf.getOption("spark.graft.merge.sketchProbeMaxRows")
       .map(_.toLong).getOrElse(2000L)
+    // ADAPTIVE sketch tier (r14 verdict #6): the fixed staged-row cut
+    // above is a proxy for the real decision variable — the EXPECTED
+    // FALSELY-KEPT file count, ≈ Σ_files (staged hashes inside the
+    // file's span) × fpp (a bloom answers n hashes with n independent
+    // fpp trials; a false positive only KEEPS a file, i.e. rewrites it
+    // needlessly). That estimate is computable for free at plan time
+    // from state already in hand: per-bucket staged [min,max]+count
+    // (the planning aggregate) and each candidate's manifest hash
+    // range, assuming staged hashes spread ~uniformly over their
+    // bucket span (xxhash64 — they do). So a mid-size batch whose
+    // hashes cluster in a narrow span (a sequential-key backfill, a
+    // few-bucket skew) still gets the read-free probe when it would
+    // falsely keep ≤ targetFalseKept files, while a wide 50k-row drain
+    // batch — the case the naive all-sketch design regressed on (r14)
+    // — computes an estimate ≈ every file and keeps the exact probe.
+    // The hard row cap bounds the probe's own driver-side hash collect.
+    val sketchHardMax = spark.conf
+      .getOption("spark.graft.merge.sketchProbeHardMaxRows")
+      .map(_.toLong).getOrElse(262144L)
+    val targetFalseKept = spark.conf
+      .getOption("spark.graft.merge.sketchTargetFalseKept")
+      .map(_.toDouble).getOrElse(4.0)
+    val sketchFpp = 1e-3 // keep in sync with writeFused's write-side fpp
+    def estFalseKept(cand: Seq[((Int, FileEntry), Int)]): Double =
+      cand.iterator.map { case ((b, e), _) =>
+        if (!e.bloom) 0.0
+        else {
+          val (mn, mx) = stagedRange.getOrElse(b, (Long.MinValue, Long.MaxValue))
+          val nB = stagedByBucket.getOrElse(b, stagedCount).toDouble
+          // double arithmetic: spans can exceed Long range (full-width
+          // xxhash64); an estimate only needs ~relative precision
+          val span = mx.toDouble - mn.toDouble
+          val overlap = math.min(e.maxHash.toDouble, mx.toDouble) -
+            math.max(e.minHash.toDouble, mn.toDouble)
+          val frac = if (span <= 0) 1.0
+            else math.min(1.0, math.max(0.0, overlap / span))
+          math.min(1.0, nB * frac * sketchFpp)
+        }
+      }.sum
     val hitBytes = hit.map(_._1._2.bytes).sum
     val (hitF, missedF) =
       if (hit.nonEmpty && stagedCount <= exactMax &&
           hitBytes >= matchMin && stagedCount * 64L < hitBytes / 2) {
         timed("planProbe") {
+          val est = if (stagedCount <= sketchMax) -1.0 else estFalseKept(hit)
           val (sketched, plain) =
-            if (stagedCount <= sketchMax)
+            if (stagedCount <= sketchMax ||
+                (stagedCount <= sketchHardMax && est <= targetFalseKept))
               hit.partition { case ((_, e), _) => e.bloom }
             else (Nil, hit)
+          ProbeDebug.record(
+            if (sketched.nonEmpty && plain.nonEmpty) "mixed"
+            else if (sketched.nonEmpty) "sketch" else "exact", est)
           val keepSketched: Set[Int] =
             if (sketched.isEmpty) Set.empty
             else bloomProbeKeep(sketched,
@@ -2514,22 +2944,62 @@ object KeyedTable {
     * still-live attempt. Always reset in a finally. */
   @volatile private[graft] var globalPreRebucketWriteHook: String => Unit = _ => ()
 
+  /** Test seam: fired (with the table path and the range's first old
+    * bucket id) before each stepped-rebucket range write — lets a spec
+    * crash the sequence at a chosen step or inject a racing writer
+    * between steps. Always reset in a finally. */
+  @volatile private[graft] var globalRebucketStepHook: (String, Int) => Unit =
+    (_, _) => ()
+
+  /** Step writes the most recent [[KeyedTable.rebucketIncremental]]
+    * performed (redos included) — observability for specs asserting "a
+    * racing writer costs one range's replay, not the table". */
+  @volatile private[graft] var lastRebucketStepsRun: Int = -1
+
   /** Per-row-group (khash min, khash max, parquet bloom) of one file. */
   private[store] type BlockBlooms =
     Seq[(Long, Long, Option[org.apache.parquet.column.values.bloomfilter.BloomFilter])]
 
   /** LRU cache of footer-resident key-hash sketches, shared across
     * handles. Data files are immutable (attempt dirs are unique), so
-    * entries never invalidate; the cap bounds driver memory when a
-    * probe sweeps a wide candidate set (adaptive blooms are ~KB for
-    * small files, ≤1 MB for the largest). */
-  private val BloomCacheEntries = 512
+    * entries never invalidate. The eviction budget is BYTE-weighted,
+    * not entry-counted: a multi-row-group file carries up to ~1 MB of
+    * bloom bitset per block, so a fixed entry cap could pin multiple
+    * GB of driver heap when point-update probes sweep wide candidate
+    * sets — the weight tracks each entry's summed bitset bytes and
+    * eviction walks the LRU order until the total is back under
+    * budget (default 128 MB, `-Dgraft.bloomCacheBytes=` to override;
+    * a system property because this object has no SparkSession). */
+  private val BloomCacheBytes: Long =
+    java.lang.Long.getLong("graft.bloomCacheBytes", 128L << 20)
+  private[store] def bloomWeight(v: BlockBlooms): Long =
+    v.map { case (_, _, bf) =>
+      24L + bf.map(_.getBitsetSize.toLong).getOrElse(0L)
+    }.sum
+  // guarded by `bloomCache.synchronized` at every call site
+  private[store] var bloomCacheWeight = 0L
   private[store] val bloomCache =
     new java.util.LinkedHashMap[String, BlockBlooms](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, BlockBlooms]): Boolean =
-        size() > BloomCacheEntries
+          e: java.util.Map.Entry[String, BlockBlooms]): Boolean = false
     }
+  /** Inserts under the byte budget; oversized singletons are not cached
+    * at all (they would evict the whole working set for one probe). */
+  private[store] def bloomCachePut(key: String, v: BlockBlooms): Unit = {
+    val w = bloomWeight(v)
+    if (w > BloomCacheBytes / 8) return
+    bloomCache.synchronized {
+      if (bloomCache.containsKey(key)) return
+      bloomCache.put(key, v)
+      bloomCacheWeight += w
+      val it = bloomCache.entrySet().iterator()
+      while (bloomCacheWeight > BloomCacheBytes && bloomCache.size() > 1) {
+        val eldest = it.next()
+        bloomCacheWeight -= bloomWeight(eldest.getValue)
+        it.remove()
+      }
+    }
+  }
 
   private[store] val BucketCol = "__bucket"
   private[store] val SideCol = "__side"

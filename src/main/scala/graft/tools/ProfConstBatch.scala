@@ -39,9 +39,22 @@ import org.apache.spark.sql.functions._
   *    where the exact probe re-scanned every candidate's hash column.
   *    Run with chunkRows ≤ 2000 (e.g. 500); the measured region is the
   *    waves themselves, no drain.
+  *  - clustered (r15, r14 verdict #5/#6): each wave updates ~chunkRows
+  *    keys CONFINED to one contiguous key-hash window (disjoint windows
+  *    per wave) — the co-located shape the scattered update/mixed/skew
+  *    arms deliberately lack. Separates "inherent scatter cost" (a key
+  *    in every file forces rewriting every file) from probe health:
+  *    here only the few files covering the window may rewrite, so
+  *    write s/commit must stay flat and small across SFs. Also the
+  *    ADAPTIVE sketch tier's home turf at chunkRows ABOVE the fixed
+  *    2000-row cut: expected falsely-kept files ≈ Σ min(1, n_f·fpp)
+  *    over the window's few candidates stays under target, so the
+  *    probe stays a driver-side footer read; pass conf
+  *    spark.graft.merge.sketchTargetFalseKept=0 as an A/B control to
+  *    force the exact tier on the identical workload.
   *
   * Usage: ProfConstBatch <sfDir> [chunkRows=50000] [budgetBytes=3000000]
-  *        [mode=insert|update|mixed|skew|point]
+  *        [mode=insert|update|mixed|skew|point|clustered] [conf=k=v;k=v]
   */
 object ProfConstBatch {
   def main(args: Array[String]): Unit = {
@@ -49,20 +62,38 @@ object ProfConstBatch {
     val chunkRows = if (args.length > 1) args(1).toLong else 50000L
     val budget = if (args.length > 2) args(2).toLong else 3000000L
     val mode = if (args.length > 3) args(3) else "insert"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.graft.merge.shufflePartitions", "8")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // arm-specific conf pairs, e.g. conf=spark.graft.merge.sketchTargetFalseKept=0
+    if (args.length > 4) args(4).stripPrefix("conf=").split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, sfDir, chunkRows, budget, mode) finally spark.stop()
   }
 
   def run(spark: SparkSession, sfDir: String, chunkRows: Long,
       budget: Long, mode: String = "insert"): Unit = {
+    // autoCompact.maxFiles is raised for the whole non-insert arm (it
+    // must stay up through the waves), so restore it at the very end —
+    // callers reusing the SparkSession must not inherit the knob
+    val prevMaxFiles = spark.conf.getOption("spark.graft.autoCompact.maxFiles")
+    try runArm(spark, sfDir, chunkRows, budget, mode)
+    finally prevMaxFiles match {
+      case Some(v) => spark.conf.set("spark.graft.autoCompact.maxFiles", v)
+      case None    => spark.conf.unset("spark.graft.autoCompact.maxFiles")
+    }
+  }
+
+  private def runArm(spark: SparkSession, sfDir: String, chunkRows: Long,
+      budget: Long, mode: String): Unit = {
     import graft.store.{KeyedTable, PhaseStats}
     import graft.streaming.Stream
     val root = java.nio.file.Files
@@ -131,6 +162,20 @@ object ProfConstBatch {
           oDf.where(pmod(hash, lit(8L)) === 0 &&
               pmod(hash, lit(8L * waves)) === i * 8L)
             .withColumn("o_totalprice", -col("o_totalprice"))
+        case "clustered" =>
+          // ~chunkRows keys from one CONTIGUOUS key-hash window, a
+          // disjoint window per wave. Files are written key-hash-sorted,
+          // so each bucket contributes only the 1-2 files whose span
+          // covers the window — per-commit rewrite cost is bounded by
+          // (buckets × files-in-window), independent of table size.
+          val nWin = math.max(waves.toLong, nOrders / math.max(1L, chunkRows))
+          val step = math.pow(2.0, 64) / nWin.toDouble
+          val lo = Long.MinValue + (step * i).toLong
+          val hi =
+            if (i + 1 >= nWin) Long.MaxValue
+            else Long.MinValue + (step * (i + 1)).toLong - 1
+          oDf.where(hash >= lo && hash <= hi)
+            .withColumn("o_totalprice", -col("o_totalprice"))
         case other => sys.error(s"unknown mode $other")
       }
       if (mode == "point") {
@@ -146,6 +191,23 @@ object ProfConstBatch {
               .withColumn("o_orderkey",
                 col("o_orderkey") + lit(nOrders * 10 + i.toLong)))
         val batches = (0 until waves).map(i => wavelet(i).cache())
+        batches.foreach(_.count()) // build outside the measured region
+        PhaseStats.reset()
+        spark.conf.set("spark.graft.merge.matchPruneMinBytes", "0")
+        val t0 = System.nanoTime()
+        try batches.foreach(b => oT.upsert(b, uniqueKeys = true))
+        finally spark.conf.unset("spark.graft.merge.matchPruneMinBytes")
+        val wall = (System.nanoTime() - t0) / 1e9
+        batches.foreach(_.unpersist())
+        emit(spark, sfDir, mode, nOrders, chunkRows, budget,
+          srcCommits = waves, outCommits = waves, wall = wall)
+        return
+      }
+      if (mode == "clustered") {
+        // probe forced on (mirrors point mode): the window's candidate
+        // bytes sit below the default probe floor at small SFs, and the
+        // arm exists to measure the probe's tiering, not the floor
+        val batches = (0 until waves).map(i => updates(i).cache())
         batches.foreach(_.count()) // build outside the measured region
         PhaseStats.reset()
         spark.conf.set("spark.graft.merge.matchPruneMinBytes", "0")

@@ -39,6 +39,30 @@ class EpochDrainSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.getDouble(1) == 7.7)
   }
 
+  test("merge racing a STEPPED rebucket's cutover detects the epoch change and replays") {
+    // same protection as the monolithic case: the cutover commit stamps
+    // epoch=newBuckets, so a merge whose plan predates it must replay
+    // under the new modulus — and the stepped rewrite's own dirty diff
+    // must absorb the merge that beat it to the claim
+    val t = tmp()
+    val df = (1L to 400L).map(i => (i, 0.0)).toDF("id", "v")
+    val h1 = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 4)
+    h1.upsert(df, uniqueKeys = true)
+    val h2 = KeyedTable.forPath(spark, t)
+    var fired = false
+    h2.preCommitHook = () => if (!fired) { fired = true; h1.rebucketIncremental(16) }
+    h2.upsert(Seq((7L, 7.7)).toDF("id", "v"), uniqueKeys = true)
+    h2.preCommitHook = () => ()
+    assert(h2.meta.numBuckets == 16, "loser did not pick up the new modulus")
+    val fresh = KeyedTable.forPath(spark, t)
+    assert(fresh.meta.numBuckets == 16)
+    val m = fresh.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 400 && m(7L) == 7.7,
+      s"merge landed under the wrong modulus: size=${m.size} v7=${m.get(7L)}")
+    val got = fresh.snapshotForKeys(Seq(7L).toDF("id")).collect()
+    assert(got.length == 1 && got.head.getDouble(1) == 7.7)
+  }
+
   test("changesSince touches only the pending commits' directories") {
     val t = tmp()
     val df = (1L to 50L).map(i => (i, 0.0)).toDF("id", "v")

@@ -328,6 +328,62 @@ class FileManifestSpec extends AnyFunSuite {
     assert(cdf.where(col("_change_type") === "update_postimage").count() == 1)
   }
 
+  test("adaptive sketch tier: narrow-span mid-size batches sketch; wide ones stay exact") {
+    // r14 verdict #6: the fixed 2000-row sketch cut is a proxy; the
+    // real decision variable is EXPECTED FALSELY-KEPT FILES
+    // ≈ Σ_files min(1, staged-hashes-in-span × fpp), computable at plan
+    // time from the planning aggregate + manifest ranges. A mid-size
+    // batch whose hashes cluster in a narrow span (sequential-key
+    // backfill) must still get the read-free footer-sketch probe; the
+    // same-size batch spread over the whole key space must keep the
+    // exact column-scan probe (the naive all-sketch design's measured
+    // failure mode — n·fpp keeps every file).
+    val t = tmp()
+    def pad = md5(concat(col("id").cast("string"), lit("p"))) // incompressible filler
+    val df = spark.range(1, 320001).select(col("id"),
+      pad.alias("pad"), (col("id") * 1.0).alias("v"))
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+    withSmallFiles(40000) { kt.upsert(df, uniqueKeys = true) }
+    val seed = manifestOf(t, 1L)(0).sortBy(_.minHash)
+    assert(seed.size == 8, s"seed shape drifted: ${seed.size} files")
+    assert(seed.forall(_.bloom), "seed files must carry key-hash sketches")
+    // NEW keys whose hashes land inside two adjacent seed files' spans —
+    // far above the fixed 2000-row cut, candidates only those 2 files
+    val (lo, hi) = (seed(3).minHash, seed(4).maxHash)
+    val narrow = spark.range(1000000, 1400000)
+      .where(xxhash64(col("id")).between(lo, hi)).limit(8000)
+      .select(col("id"), pad.alias("pad"), lit(-1.0).alias("v"))
+    assert(narrow.count() > 2000, "need a mid-size narrow batch")
+    ProbeDebug.record("none", -1.0)
+    withSmallFiles(40000) { withMatchProbe(0L) {
+      kt.upsert(narrow, uniqueKeys = true)
+    } }
+    assert(ProbeDebug.lastTier == "sketch",
+      s"narrow mid-size batch must take the sketch tier, took ${ProbeDebug.lastTier} " +
+        s"(est ${ProbeDebug.lastEstFalseKept})")
+    assert(ProbeDebug.lastEstFalseKept >= 0 && ProbeDebug.lastEstFalseKept <= 4.0,
+      s"estimate out of range: ${ProbeDebug.lastEstFalseKept}")
+    // pure inserts: every seed file must carry by reference
+    val after = manifestOf(t, 2L)(0)
+    assert(seed.map(_.path).toSet.subsetOf(after.map(_.path).toSet),
+      "narrow insert batch rewrote a file the sketch probe should have carried")
+    // control: same-size batch spread across the whole key space →
+    // estimate ≈ one per candidate file crosses the target → exact
+    val wide = spark.range(2000000, 2008000)
+      .select(col("id"), pad.alias("pad"), lit(-2.0).alias("v"))
+    ProbeDebug.record("none", -1.0)
+    withSmallFiles(40000) { withMatchProbe(0L) {
+      kt.upsert(wide, uniqueKeys = true)
+    } }
+    assert(ProbeDebug.lastTier == "exact",
+      s"wide mid-size batch must keep the exact probe, took ${ProbeDebug.lastTier} " +
+        s"(est ${ProbeDebug.lastEstFalseKept})")
+    assert(ProbeDebug.lastEstFalseKept > 4.0,
+      s"wide-batch estimate should cross the target: ${ProbeDebug.lastEstFalseKept}")
+    // contents intact through both tiers
+    assert(kt.snapshot().count() == 320000 + narrow.count() + 8000)
+  }
+
   test("membership probe: fused delete keys keep their files rewritable") {
     // The probe input unions the staged AND fused-delete hashes: a file
     // holding only a to-delete row must never carry forward, or the

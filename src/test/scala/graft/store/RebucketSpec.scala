@@ -228,6 +228,173 @@ class RebucketSpec extends AnyFunSuite {
     } finally KeyedTable.globalPreRebucketWriteHook = _ => ()
   }
 
+  // ---- stepped rebucket (rebucketIncremental, r15) -----------------------
+
+  test("stepped rebucket: contents preserved, modulus swapped, layout-only, progress cleaned") {
+    val t = tmp()
+    val df = (1L to 500L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "name", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 4)
+    kt.upsert(df, uniqueKeys = true)
+    val before = kt.snapshot().orderBy("id").collect()
+    val cdfBefore = kt.changesSince(0L).count()
+    val log = new CommitLog(t, spark.sessionState.newHadoopConf())
+
+    // maxStepBytes=1 forces one live bucket per range → a real multi-step run
+    val v = kt.rebucketIncremental(16, maxStepBytes = 1)
+    assert(kt.meta.numBuckets == 16)
+    assert(KeyedTable.lastRebucketStepsRun == 4, "4 live buckets → 4 steps")
+    assert(kt.snapshot().orderBy("id").collect().toSeq == before.toSeq)
+    assert(kt.changesSince(0L).count() == cdfBefore, "stepped rebucket is layout-only")
+    assert(log.readRebucketProgress().isEmpty, "progress record must be dropped")
+    assert(log.readRebucketMarker().isEmpty)
+    // the cutover manifest references the staging dirs — reads work and
+    // a follow-up point merge prunes with the NEW modulus
+    val v2 = kt.upsert(Seq((7L, "x", 700.0)).toDF("id", "name", "v"), uniqueKeys = true)
+    assert(v2 == v + 1)
+    val got = kt.snapshotForKeys(Seq(7L).toDF("id")).collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 700.0)
+    // non-multiple and shrink targets are rejected (monolithic path's job)
+    intercept[IllegalArgumentException](kt.rebucketIncremental(24))
+    intercept[IllegalArgumentException](kt.rebucketIncremental(8))
+  }
+
+  test("stepped rebucket: crash mid-sequence resumes from the progress record") {
+    val t = tmp()
+    val df = (1L to 500L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 4)
+    kt.upsert(df, uniqueKeys = true)
+    val log = new CommitLog(t, spark.sessionState.newHadoopConf())
+    // crash (exception) at the THIRD range's step
+    var steps = 0
+    KeyedTable.globalRebucketStepHook = { (_, _) =>
+      steps += 1
+      if (steps == 3) sys.error("injected crash at step 3")
+    }
+    try intercept[RuntimeException](kt.rebucketIncremental(8, maxStepBytes = 1))
+    finally KeyedTable.globalRebucketStepHook = (_, _) => ()
+    assert(log.readRebucketProgress().exists(_._4.size == 2),
+      "two completed steps must be recorded")
+    assert(kt.meta.numBuckets == 4, "no cutover happened")
+    assert(kt.snapshot().count() == 500, "staged dirs are invisible to readers")
+    // resume: only the two remaining ranges run (grace waived for the test)
+    spark.conf.set("spark.graft.pendingGraceMs", "-1")
+    try kt.rebucketIncremental(8, maxStepBytes = 1)
+    finally spark.conf.unset("spark.graft.pendingGraceMs")
+    assert(KeyedTable.lastRebucketStepsRun == 2,
+      s"resume must adopt the 2 recorded steps, ran ${KeyedTable.lastRebucketStepsRun}")
+    assert(kt.meta.numBuckets == 8)
+    assert(kt.snapshot().count() == 500)
+    assert(kt.snapshot().agg(sum("v")).head.getDouble(0) == (1L to 500L).map(_.toDouble).sum)
+    assert(log.readRebucketProgress().isEmpty)
+  }
+
+  test("stepped rebucket: a racing writer dirties one range and costs ONE redo") {
+    val t = tmp()
+    val df = (1L to 500L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 4)
+    kt.upsert(df, uniqueKeys = true)
+    // a key in old bucket 0 (modulus 4) — its update dirties range lo=0
+    val key0 = (1L to 500L).find(i =>
+      Seq(i).toDF("id").select(pmod(xxhash64(col("id")), lit(4)).cast("int"))
+        .head.getInt(0) == 0).get
+    // inject the racing upsert while the LAST range's step runs — range 0
+    // completed long before, so the cutover must detect it dirty
+    var injected = false
+    KeyedTable.globalRebucketStepHook = { (_, lo) =>
+      if (lo == 3 && !injected) {
+        injected = true
+        KeyedTable.forPath(spark, t)
+          .upsert(Seq((key0, -1.0)).toDF("id", "v"), uniqueKeys = true)
+      }
+    }
+    try kt.rebucketIncremental(8, maxStepBytes = 1)
+    finally KeyedTable.globalRebucketStepHook = (_, _) => ()
+    assert(injected)
+    assert(KeyedTable.lastRebucketStepsRun == 5,
+      s"4 ranges + exactly ONE redo, ran ${KeyedTable.lastRebucketStepsRun}")
+    assert(kt.meta.numBuckets == 8)
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 500 && m(key0) == -1.0,
+      "the racing write must survive the cutover")
+  }
+
+  test("stepped rebucket: a lost cutover claim replays only the dirtied range") {
+    val t = tmp()
+    val df = (1L to 500L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 4)
+    kt.upsert(df, uniqueKeys = true)
+    // the instance hook fires right before the cutover claim (steps do
+    // not commit): a concurrent writer steals the version there
+    var fired = false
+    kt.preCommitHook = () => if (!fired) {
+      fired = true
+      KeyedTable.forPath(spark, t)
+        .upsert(Seq((1L, -1.0)).toDF("id", "v"), uniqueKeys = true)
+    }
+    try kt.rebucketIncremental(8, maxStepBytes = 1)
+    finally kt.preCommitHook = () => ()
+    assert(fired)
+    assert(KeyedTable.lastRebucketStepsRun == 5,
+      s"4 ranges + one redo after the lost claim, ran ${KeyedTable.lastRebucketStepsRun}")
+    assert(kt.meta.numBuckets == 8)
+    val m = kt.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size == 500 && m(1L) == -1.0)
+    val log = new CommitLog(t, spark.sessionState.newHadoopConf())
+    assert(log.readRebucketProgress().isEmpty && log.readRebucketMarker().isEmpty)
+  }
+
+  test("stepped rebucket: crash between cutover commit and meta swap rolls forward") {
+    val t = tmp()
+    val df = (1L to 200L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 4)
+    kt.upsert(df, uniqueKeys = true)
+    val log = new CommitLog(t, spark.sessionState.newHadoopConf())
+    val v = kt.rebucketIncremental(8, maxStepBytes = 1)
+    // restore the pre-swap state: old meta + marker + progress record
+    log.writeMeta(log.readMeta().replace("\"numBuckets\":8", "\"numBuckets\":4"))
+    log.writeRebucketMarker(v, 8, log.dirOf(v))
+    log.writeRebucketProgress(8, 4, "deadbeef", Seq((0, 4, "", Nil)))
+    val kt2 = KeyedTable.forPath(spark, t)
+    assert(kt2.meta.numBuckets == 8, "recovery must finish the meta swap")
+    assert(log.readRebucketMarker().isEmpty)
+    assert(log.readRebucketProgress().isEmpty,
+      "a completed run's stale progress record must be dropped on roll-forward")
+    assert(kt2.snapshot().count() == 200)
+  }
+
+  test("vacuum reclaims dead orphan staging dirs, protects live-progress and referenced ones") {
+    val t = tmp()
+    val df = (1L to 300L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 2)
+    kt.upsert(df, uniqueKeys = true)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val log = new CommitLog(t, spark.sessionState.newHadoopConf())
+    // referenced staging dirs: a completed stepped rebucket's files live
+    // under rbstep-* and are reachable through the cutover manifest
+    kt.rebucketIncremental(4, maxStepBytes = 1)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/data"))
+      .map(_.getPath.getName).filter(_.startsWith("rbstep-"))
+    assert(live.nonEmpty)
+    // an orphan staging dir (crashed run, no progress record) and one
+    // claimed by a live progress record
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/data/rbstep-orphan-0-x"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/data/rbstep-claimed-0-y"))
+    log.writeRebucketProgress(8, 4, "claimed",
+      Seq((0, 1, "rbstep-claimed-0-y", Seq((0, 1L)))))
+    spark.conf.set("spark.graft.pendingGraceMs", "-1")
+    try kt.vacuum(retainVersions = 1)
+    finally spark.conf.unset("spark.graft.pendingGraceMs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/rbstep-orphan-0-x")),
+      "dead orphan staging must be reclaimed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/rbstep-claimed-0-y")),
+      "a live progress record's staging dir must survive vacuum")
+    live.foreach(d => assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/$d")),
+      s"manifest-referenced staging dir $d must survive vacuum"))
+    assert(kt.snapshot().count() == 300)
+    log.clearRebucketProgress()
+  }
+
   test("a provably DEAD losing rewrite is reclaimed on the merge claim path") {
     val t = tmp()
     val df = (1L to 100L).map(i => (i, i.toString)).toDF("id", "s")

@@ -548,7 +548,8 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
   // windows (backlog drained, no concurrent writer), and EpochDrainSpec
   // crafts exactly one merge-vs-rebucket race. Here every wave runs a
   // random maintenance op (compact / optimize / optimizeIncremental /
-  // rebucket 4<->8) on its OWN handle in a THREAD racing the wave's
+  // rebucket 4<->8 / stepped rebucketIncremental growth) on its OWN
+  // handle in a THREAD racing the wave's
   // writer upsert, and on drain waves a second maintenance op races the
   // drainer — certifying the OCC claim/epoch machinery under arbitrary
   // interleavings: a rewrite that loses its claim replays against the
@@ -586,6 +587,11 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
         case 1 => h.optimize(Seq("lkey")); ()
         case 2 => h.optimizeIncremental(Seq("lkey"), bucketsPerStep = 2); ()
         case 3 => h.rebucket(if (h.meta.numBuckets == 4) 8 else 4); ()
+        // stepped growth under writer fire (cutover dirty-diff + claim
+        // machinery); shrink back monolithically to keep the toggle cycle
+        case 4 => if (h.meta.numBuckets == 4)
+            h.rebucketIncremental(8, maxStepBytes = 1)
+          else h.rebucket(4); ()
       }
       var contended = 0 // OCC claim losses observed across every race
       // 6 base waves; if the scheduler happened to serialize every pair
@@ -603,7 +609,7 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
         val writer = KeyedTable.forPath(spark, s"$root/l")
         val maint = KeyedTable.forPath(spark, s"$root/l")
         // all randomness drawn on the test thread BEFORE the race
-        val pick = rnd.nextInt(4)
+        val pick = rnd.nextInt(5)
         val maintFirst = rnd.nextBoolean()
         val stagger = rnd.nextInt(40).toLong
         val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -755,16 +761,19 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
-  // RANDOMIZED MAINTENANCE CRASH INJECTION (r13 verdict #5): the
-  // families above race maintenance or kill drainers, but never kill a
-  // compact/optimize/optimizeIncremental/rebucket MID-FLIGHT while a
-  // writer races — exactly the seam of the r13 reclamation race. Each
-  // wave kills the maintenance op at its commit publish (or, for
-  // rebucket, in the marker-written-no-content window) with a writer
-  // in flight, then proves the table keeps serving writers, a clean
-  // re-run of the SAME op succeeds (recovery/replay contract), and the
-  // chained output still equals the batch fixpoint. Orphaned markers
-  // must be reclaimed once provably dead.
+  // RANDOMIZED MAINTENANCE CRASH INJECTION (r13 verdict #5, stepped
+  // rebucket added r15): the families above race maintenance or kill
+  // drainers, but never kill a compact/optimize/optimizeIncremental/
+  // rebucket/rebucketIncremental MID-FLIGHT while a writer races —
+  // exactly the seam of the r13 reclamation race. Each wave kills the
+  // maintenance op at its commit publish (or, for rebucket, in the
+  // marker-written-no-content window; for the stepped form, between
+  // staged range writes) with a writer in flight, then proves the
+  // table keeps serving writers, a clean re-run of the SAME op
+  // succeeds (recovery/replay contract — the stepped form must RESUME
+  // from its progress record), and the chained output still equals the
+  // batch fixpoint. Orphaned markers must be reclaimed once provably
+  // dead.
   Seq(29, 59).foreach { seed =>
     test(s"random op waves with CRASH-INJECTED maintenance kills (seed $seed)") {
       val rnd = new scala.util.Random(seed)
@@ -794,11 +803,17 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
         case 1 => h.optimize(Seq("lkey")); ()
         case 2 => h.optimizeIncremental(Seq("lkey"), bucketsPerStep = 2); ()
         case 3 => h.rebucket(if (h.meta.numBuckets == 4) 8 else 4); ()
+        // stepped growth; shrink back monolithically (toggle cycle). The
+        // step kill below exercises the progress-record resume path.
+        case 4 => if (h.meta.numBuckets == 4)
+            h.rebucketIncremental(8, maxStepBytes = 1)
+          else h.rebucket(4); ()
       }
       // one-shot kill of exactly the armed MAINTENANCE thread (the
       // racing writer commits on the same path and must not die)
       val armCommit = new java.util.concurrent.atomic.AtomicReference[Thread](null)
       val armMarker = new java.util.concurrent.atomic.AtomicReference[Thread](null)
+      val armStep = new java.util.concurrent.atomic.AtomicReference[Thread](null)
       val kills = new java.util.concurrent.atomic.AtomicInteger(0)
       KeyedTable.globalPreCommitHook = p =>
         if (p == s"$root/l" &&
@@ -808,6 +823,15 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
       KeyedTable.globalPreRebucketWriteHook = p =>
         if (p == s"$root/l" &&
             armMarker.compareAndSet(Thread.currentThread(), null)) {
+          kills.incrementAndGet(); throw new CrashSignal
+        }
+      // stepped-rebucket mid-sequence kill: fire on a LATER range so at
+      // least one completed step is on record — the re-run must RESUME
+      // from it, not restart (the lo>0 guard is best-effort: bucket 0
+      // may not be live, in which case the resume starts from zero)
+      KeyedTable.globalRebucketStepHook = (p, lo) =>
+        if (p == s"$root/l" && lo > 0 &&
+            armStep.compareAndSet(Thread.currentThread(), null)) {
           kills.incrementAndGet(); throw new CrashSignal
         }
       try {
@@ -822,10 +846,13 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
           }
           val writer = KeyedTable.forPath(spark, s"$root/l")
           val maint = KeyedTable.forPath(spark, s"$root/l")
-          val pick = rnd.nextInt(4)
-          // rebucket waves alternate which seam dies: its commit, or
-          // the marker-written-no-content crash window
-          val atMarker = pick == 3 && rnd.nextBoolean()
+          val pick = rnd.nextInt(5)
+          // rebucket waves alternate which seam dies: the commit, or the
+          // op-specific mid-flight window (monolithic: marker written,
+          // no content; stepped: between staged range writes)
+          val altSeam = rnd.nextBoolean()
+          val atMarker = pick == 3 && altSeam
+          val atStep = pick == 4 && altSeam
           val stagger = rnd.nextInt(40).toLong
           val wErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
           val mErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -839,17 +866,25 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
               case _: CrashSignal => () // the injected kill
               case e: Throwable => mErrs.add(e)
             } }
-          if (atMarker) armMarker.set(mT) else armCommit.set(mT)
+          if (atMarker) armMarker.set(mT)
+          else if (atStep) armStep.set(mT)
+          else armCommit.set(mT)
           wT.start(); Thread.sleep(stagger); mT.start()
           wT.join(); mT.join()
-          armCommit.set(null); armMarker.set(null) // op may not have committed
+          // op may not have committed / stepped
+          armCommit.set(null); armMarker.set(null); armStep.set(null)
           assert(wErrs.isEmpty,
             s"wave $wave: writer died alongside the killed maintenance: ${wErrs.peek()}")
           assert(mErrs.isEmpty,
             s"wave $wave: maintenance threw a non-injected error: ${mErrs.peek()}")
           // the recovery contract: a clean re-run of the SAME op on a
-          // fresh handle must succeed over the crash leftovers
-          maintOp(KeyedTable.forPath(spark, s"$root/l"), pick)
+          // fresh handle must succeed over the crash leftovers. Grace is
+          // waived: the killed writer is provably dead here, and a
+          // killed STEPPED rebucket's progress record must be adoptable
+          // by the re-run (production waits out the liveness window)
+          spark.conf.set("spark.graft.pendingGraceMs", "-1")
+          try maintOp(KeyedTable.forPath(spark, s"$root/l"), pick)
+          finally spark.conf.unset("spark.graft.pendingGraceMs")
           rT.upsert((1 to 4).map(_ => rnd.nextInt(8).toLong).distinct
             .map(k => (k, s"n${rnd.nextInt(4)}", wave.toLong))
             .toDF("rkey", "name", "rseq"), uniqueKeys = true)
@@ -878,9 +913,12 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
         val log = new CommitLog(s"$root/l", spark.sessionState.newHadoopConf())
         assert(log.readRebucketMarker().isEmpty,
           "a dead rebucket marker survived grace-based reclamation")
+        assert(log.readRebucketProgress().isEmpty,
+          "a completed stepped rebucket left its progress record behind")
       } finally {
         KeyedTable.globalPreCommitHook = _ => ()
         KeyedTable.globalPreRebucketWriteHook = _ => ()
+        KeyedTable.globalRebucketStepHook = (_, _) => ()
       }
     }
   }
