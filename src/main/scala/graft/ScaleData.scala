@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleData <srcDir> <dstDir> [factor]")
+    require(args.length >= 2,
+      "usage: ScaleData <srcDir> <dstDir> [factor] [tables-csv]")
     val (src, dst) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional table subset, e.g. "orders,customer" — a ProfConstBatch
+    // scale point needs two tables, not a full 10x corpus on disk
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val spark = SparkSession.builder()
       .appName("graft-scaledata")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -28,30 +33,42 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try scale(spark, src, dst, factor) finally spark.stop()
+    try scale(spark, src, dst, factor, only) finally spark.stop()
   }
 
-  def scale(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  def scale(spark: SparkSession, src: String, dst: String, factor: Int,
+      only: Option[Set[String]] = None): Unit = {
+    def want(n: String): Boolean = only.forall(_.contains(n))
     def read(n: String): DataFrame = Tables(spark, src, n)
     def off(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).collect().head.getLong(0) + 1L
 
-    val (cust, supp, part, ords, line, evts, docs, embs) =
-      (read("customer"), read("supplier"), read("part"), read("orders"),
-        read("lineitem"), read("events"), read("documents"), read("embeddings"))
-    val (offC, offS, offP, offO) =
-      (off(cust, "c_custkey"), off(supp, "s_suppkey"),
-        off(part, "p_partkey"), off(ords, "o_orderkey"))
-    val (offE, offU) = (off(evts, "event_id"), off(evts, "user_id"))
-    val (offD, offV) = (off(docs, "doc_id"), off(embs, "vec_id"))
+    // one lazy val PER table — a grouped lazy tuple would force reads
+    // of all eight sources the moment any one is needed, breaking the
+    // subset flag on dirs that only hold the subset
+    lazy val cust = read("customer")
+    lazy val supp = read("supplier")
+    lazy val part = read("part")
+    lazy val ords = read("orders")
+    lazy val line = read("lineitem")
+    lazy val evts = read("events")
+    lazy val docs = read("documents")
+    lazy val embs = read("embeddings")
+    lazy val offC = off(cust, "c_custkey")
+    lazy val offS = off(supp, "s_suppkey")
+    lazy val offP = off(part, "p_partkey")
+    lazy val offO = off(ords, "o_orderkey")
+    lazy val (offE, offU) = (off(evts, "event_id"), off(evts, "user_id"))
+    lazy val offD = off(docs, "doc_id")
+    lazy val offV = off(embs, "vec_id")
 
     def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => shift(df, i)).reduce(_ unionByName _)
 
     def bump(c: String, o: Long, i: Int): Column = col(c) + lit(o * i)
 
-    def write(df: DataFrame, n: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
+    def write(df: => DataFrame, n: String): Unit =
+      if (want(n)) df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
 
     write(read("region"), "region")
     write(read("nation"), "nation")

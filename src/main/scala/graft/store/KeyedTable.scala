@@ -960,13 +960,22 @@ final class KeyedTable private (
   def maintain(policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
     val rebucketedTo = autoRebucket(policy.targetBucketBytes, policy.maxBuckets)
       .map(_ => meta.numBuckets)
+    // cluster ONLY the over-bound buckets — the health report names
+    // them, and a 16k-bucket table with one hot bucket must not pay a
+    // full-table rewrite on every scheduled run
     val clustered =
-      if (policy.clusterCols.nonEmpty &&
-          describeHealth().collect().exists(_.getAs[Boolean]("over_bound")))
-        optimizeIncremental(policy.clusterCols, policy.bucketsPerStep).size
-      else 0
-    val v0 = latestVersion
-    val compacted = compact(policy.compactMinFileBytes) > v0
+      if (policy.clusterCols.isEmpty) 0
+      else {
+        require(policy.clusterCols.forall(dataCols.contains),
+          s"clusterCols must be existing columns, got ${policy.clusterCols.mkString(",")}")
+        val overBound = describeHealth().collect()
+          .filter(_.getAs[Boolean]("over_bound"))
+          .map(_.getAs[Int]("bucket"))
+        overBound.grouped(policy.bucketsPerStep).toSeq
+          .flatMap(g => optimizeStep(g.toSet, policy.clusterCols.map(col)))
+          .size
+      }
+    val compacted = compactOpt(policy.compactMinFileBytes).isDefined
     policy.vacuumRetainVersions.foreach(vacuum)
     policy.truncateRetainVersions.foreach(truncateLog)
     MaintenanceReport(rebucketedTo, clustered, compacted,
@@ -983,7 +992,15 @@ final class KeyedTable private (
     * the small-file tail, not the table. Layout-only: no cdf rows, so
     * downstream incremental stages reprocess nothing. Runs under the
     * normal OCC claim loop; concurrent merges just replay it. */
-  def compact(minFileBytes: Long = 32L << 20): Long = synchronized { withMergeConf {
+  def compact(minFileBytes: Long = 32L << 20): Long =
+    compactOpt(minFileBytes).getOrElse(latestVersion)
+
+  /** [[compact]] distinguishing "committed a pack" (Some(version)) from
+    * "nothing owed" (None) — the race-free signal [[maintain]]'s report
+    * needs (comparing latestVersion before/after misreports when a
+    * concurrent writer commits in the window). */
+  private[store] def compactOpt(minFileBytes: Long): Option[Long] =
+    synchronized { withMergeConf {
     recoverPendingRebucket(onlyDead = true)
     val planEpoch = meta.numBuckets
     var attempt = 0
@@ -992,7 +1009,7 @@ final class KeyedTable private (
       val base = latestVersion
       if (epochAt(base) >= 0 && epochAt(base) != planEpoch) {
         refreshMeta()
-        return compact(minFileBytes)
+        return compactOpt(minFileBytes)
       }
       val readable = scala.collection.mutable.ArrayBuffer[String]()
       var carried = Map.empty[Int, Seq[FileEntry]]
@@ -1009,7 +1026,7 @@ final class KeyedTable private (
           }
         }
       }
-      if (touched.isEmpty) return base
+      if (touched.isEmpty) return None
       val newVersion = base + 1
       val dir = attemptDir(newVersion)
       val current = readPaths(readable.toSeq).withColumn(BucketCol, bucketExpr(col))
@@ -1042,7 +1059,7 @@ final class KeyedTable private (
             "raise spark.graft.occ.maxRetries or reduce writer contention")
       }
     }
-    out
+    Some(out)
   } }
 
   /** Re-hashes the table to a different bucket count — the escape hatch
@@ -1166,9 +1183,14 @@ final class KeyedTable private (
     log.readRebucketProgress().foreach { case (tgt, src, tok, steps) =>
       // liveness: the slot may belong to a writer still running in
       // another process — same whole-subtree mtime grace rule as the
-      // rebucket marker (a crashed run resumes only after the grace)
+      // rebucket marker (a crashed run resumes only after the grace).
+      // Only NON-EMPTY staging dirs count as evidence: an empty-slice
+      // step records dir "" and statting "$path/data/" would make every
+      // concurrent table write look like rebucket-writer liveness,
+      // blocking resume on exactly the busy tables this form is for.
       val evidence = (log.rebucketProgressMtime().getOrElse(Long.MinValue) +:
-        steps.map(s => newestMtimeOf(P(s"$path/data/${s._3}")))).max
+        steps.collect { case s if s._3.nonEmpty =>
+          newestMtimeOf(P(s"$path/data/${s._3}")) }).max
       val dead = evidence == Long.MinValue ||
         System.currentTimeMillis() - evidence > pendingGraceMs
       require(dead,
@@ -1199,22 +1221,57 @@ final class KeyedTable private (
     }
 
     // ---- byte-budgeted contiguous ranges over the old bucket ids -------
+    // Adopted steps' recorded ranges are KEPT (they were a valid
+    // byte-budgeted split when written; re-splitting under the current
+    // byte distribution would orphan completed work — and worse, a
+    // stale `done` entry whose range no longer exists in the fresh
+    // split would never be re-examined by the dirty diff yet still be
+    // assembled into the cutover manifest, duplicating rows). Gaps
+    // between adopted ranges are filled with fresh byte-budgeted
+    // splits; a recorded set that doesn't form a disjoint partition
+    // prefix (corrupt/foreign record) is dropped entirely.
     val bv0 = bucketVersionsAt(latestVersion)
     def bytesOf(b: Int): Long = bv0.get(b).map(v =>
       log.readCommit(v).files
         .map(_.getOrElse(b, Nil).map(_.bytes).sum).getOrElse(0L)).getOrElse(0L)
-    val ranges = {
+    def splitRange(from: Int, until: Int): Seq[(Int, Int)] = {
       val acc = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-      var lo = 0
-      while (lo < oldN) {
+      var lo = from
+      while (lo < until) {
         var hi = lo + 1
         var bytes = bytesOf(lo)
-        while (hi < oldN && bytes + bytesOf(hi) <= math.max(1L, maxStepBytes)) {
+        while (hi < until && bytes + bytesOf(hi) <= math.max(1L, maxStepBytes)) {
           bytes += bytesOf(hi); hi += 1
         }
         acc += ((lo, hi)); lo = hi
       }
       acc.toSeq
+    }
+    val ranges: Seq[(Int, Int)] = {
+      val adopted = done.values.toSeq.map { case (l, h, _, _) => (l, h) }.sorted
+      val disjoint = adopted.forall { case (l, h) =>
+          l >= 0 && l < h && h <= oldN } &&
+        adopted.sliding(2).forall {
+          case Seq((_, h1), (l2, _)) => h1 <= l2
+          case _ => true
+        }
+      if (!disjoint) {
+        done.values.foreach { case (_, _, d, _) =>
+          if (d.nonEmpty) {
+            manifests -= d
+            fs.delete(P(s"$path/data/$d"), true)
+            fs.delete(P(s"$path/_tmp_$d"), true)
+          }
+        }
+        done.clear()
+        splitRange(0, oldN)
+      } else {
+        val gaps = ((0, 0) +: adopted :+ ((oldN, oldN)))
+          .sliding(2).collect {
+            case Seq((_, h1), (l2, _)) if h1 < l2 => splitRange(h1, l2)
+          }.flatten.toSeq
+        (adopted ++ gaps).sorted
+      }
     }
 
     def persistProgress(): Unit =
@@ -2206,8 +2263,22 @@ final class KeyedTable private (
       else shuffled.sortWithinPartitions(col(SideCol), col("b"), col(KHashCol))
     ordered
       .write.mode("overwrite")
+      // 2M-row default split (~50-200 MB files at typical row widths —
+      // Delta's file-size band), NOT Spark's effectively-unbounded one:
+      // an unbounded rewrite consolidates a bucket into ONE file whose
+      // key-hash span is the bucket's WHOLE range and whose NDV blows
+      // past any bloom budget — every future staged hash then probes a
+      // saturated sketch, falsely keeps the file, and the next rewrite
+      // merges it even bigger (measured at the sf10 point arm: wave
+      // writes snowballed 22→197 MB before this bound; flat after).
+      // Hash-sorted splitting keeps per-file spans narrow AND per-file
+      // NDV within the sketch budget below.
       .option("maxRecordsPerFile", spark.conf
-        .getOption("spark.graft.targetFileRows").map(_.toLong).getOrElse(1L << 23))
+        .getOption("spark.graft.targetFileRows").map(_.toLong).getOrElse(1L << 21))
+      // bloom budget sized for the file-row default at the 0.001 fpp
+      // target (~3.5 MB optimal for 2M distinct longs; parquet's 1 MB
+      // default saturates at ~600k and fpp degrades quietly)
+      .option("parquet.bloom.filter.max.bytes", (1 << 22).toString)
       // parquet-native bloom filter over the stored key hash: built by
       // the writer at near-zero cost, read back by the merge planner's
       // membership probe as a few-KB footer tail read PER FILE — no
@@ -2219,12 +2290,13 @@ final class KeyedTable private (
         spark.conf.getOption("spark.graft.manifest.bloom").getOrElse("true"))
       .option("parquet.bloom.filter.adaptive.enabled", "true")
       // adaptive candidates are max.bytes/2^i: the default 5 makes the
-      // SMALLEST candidate 64 KB, dwarfing small files; 12 reaches 512 B
-      // so a tiny file pays a tiny sketch while big files still get the
-      // full 1 MB budget (memory during write is ~2×max regardless).
+      // SMALLEST candidate 512 KB at the 4 MB budget, dwarfing small
+      // files; 14 reaches 512 B so a tiny file pays a tiny sketch while
+      // big files still get the full budget (memory during write is
+      // ~2×max regardless).
       // NB: parquet reads this key ONLY in per-column `key#col` form
       // (ColumnConfigParser), never bare.
-      .option(s"parquet.bloom.filter.candidates.number#$KHashCol", "12")
+      .option(s"parquet.bloom.filter.candidates.number#$KHashCol", "14")
       // fpp drives how many files a SKETCH probe falsely keeps: the
       // expected count is (staged hashes × fpp), so the probe tier is
       // capped at sketchProbeMaxRows staged rows and fpp is set so
@@ -2810,9 +2882,27 @@ final class KeyedTable private (
       .getOption("spark.graft.merge.sketchTargetFalseKept")
       .map(_.toDouble).getOrElse(4.0)
     val sketchFpp = 1e-3 // keep in sync with writeFused's write-side fpp
+    // Per-file probe routing: a sketch SAVES reading the file's hash
+    // column (8 B/row) but a false positive COSTS rewriting the whole
+    // file — economics that invert with file size. A byte-heavy file
+    // from a hash-sorted split has a narrow span (few staged trials,
+    // fp ≈ fpp) and an expensive read: sketch it. A small file is ~free
+    // to read exactly, and the transient small files rewrites produce
+    // (a wave's merged output before auto-compact folds it) span the
+    // whole hash range — EVERY staged hash is a trial, so per-file
+    // false-keep ≈ 1-(1-fpp)^n reaches ~10% at n=100 and each false
+    // keep re-merges the file into the next commit's output (the
+    // measured sf10 point-arm byte spikes): exact-read it. The exact
+    // sub-probe's read is bounded by the small-file tail, which
+    // auto-compact already bounds.
+    val sketchMinBytes = spark.conf
+      .getOption("spark.graft.merge.sketchMinFileBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+    def sketchable(e: FileEntry): Boolean =
+      e.bloom && e.bytes >= sketchMinBytes
     def estFalseKept(cand: Seq[((Int, FileEntry), Int)]): Double =
       cand.iterator.map { case ((b, e), _) =>
-        if (!e.bloom) 0.0
+        if (!sketchable(e)) 0.0
         else {
           val (mn, mx) = stagedRange.getOrElse(b, (Long.MinValue, Long.MaxValue))
           val nB = stagedByBucket.getOrElse(b, stagedCount).toDouble
@@ -2835,7 +2925,7 @@ final class KeyedTable private (
           val (sketched, plain) =
             if (stagedCount <= sketchMax ||
                 (stagedCount <= sketchHardMax && est <= targetFalseKept))
-              hit.partition { case ((_, e), _) => e.bloom }
+              hit.partition { case ((_, e), _) => sketchable(e) }
             else (Nil, hit)
           ProbeDebug.record(
             if (sketched.nonEmpty && plain.nonEmpty) "mixed"

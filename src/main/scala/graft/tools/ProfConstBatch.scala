@@ -136,7 +136,12 @@ object ProfConstBatch {
       // wave's fold would rewrite the table — raise the bound so the
       // arms measure the PROBE's carry ratio, not the fold (whose own
       // behavior is gate- and spec-pinned elsewhere)
-      spark.conf.set("spark.graft.targetFileRows", "20000")
+      // seed file size is the probe's main lever: 20k rows (~0.5 MB)
+      // models a small-file tail; raise via spark.graft.probe.seedFileRows
+      // (e.g. 200000 ≈ 5 MB) to model post-compaction production files —
+      // above merge.sketchMinFileBytes the footer-sketch path engages
+      spark.conf.set("spark.graft.targetFileRows", spark.conf
+        .getOption("spark.graft.probe.seedFileRows").getOrElse("20000"))
       spark.conf.set("spark.graft.autoCompact.maxFiles", "256")
       try oT.upsert(oDf, uniqueKeys = true)
       finally spark.conf.unset("spark.graft.targetFileRows")

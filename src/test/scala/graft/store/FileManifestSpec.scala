@@ -354,6 +354,9 @@ class FileManifestSpec extends AnyFunSuite {
       .where(xxhash64(col("id")).between(lo, hi)).limit(8000)
       .select(col("id"), pad.alias("pad"), lit(-1.0).alias("v"))
     assert(narrow.count() > 2000, "need a mid-size narrow batch")
+    // the per-file byte routing is pinned separately below — zero the
+    // threshold here so THIS test pins the adaptive estimate alone
+    spark.conf.set("spark.graft.merge.sketchMinFileBytes", "0")
     ProbeDebug.record("none", -1.0)
     withSmallFiles(40000) { withMatchProbe(0L) {
       kt.upsert(narrow, uniqueKeys = true)
@@ -380,8 +383,22 @@ class FileManifestSpec extends AnyFunSuite {
         s"(est ${ProbeDebug.lastEstFalseKept})")
     assert(ProbeDebug.lastEstFalseKept > 4.0,
       s"wide-batch estimate should cross the target: ${ProbeDebug.lastEstFalseKept}")
-    // contents intact through both tiers
-    assert(kt.snapshot().count() == 320000 + narrow.count() + 8000)
+    spark.conf.unset("spark.graft.merge.sketchMinFileBytes")
+    // per-file byte ROUTING pin: with the default threshold restored,
+    // these ~2 MB files are exact-probed even for a tiny staged batch —
+    // a small file is ~free to read, while a sketch false-keep rewrites
+    // it (and transient full-span rewrite outputs made that a measured
+    // compounding cost at the sf10 point arm)
+    ProbeDebug.record("none", -1.0)
+    withSmallFiles(40000) { withMatchProbe(0L) {
+      kt.upsert(spark.range(3000000, 3000050)
+        .select(col("id"), pad.alias("pad"), lit(-3.0).alias("v")),
+        uniqueKeys = true)
+    } }
+    assert(ProbeDebug.lastTier == "exact",
+      s"sub-threshold files must route to the exact probe, took ${ProbeDebug.lastTier}")
+    // contents intact through every tier
+    assert(kt.snapshot().count() == 320000 + narrow.count() + 8000 + 50)
   }
 
   test("membership probe: fused delete keys keep their files rewritable") {

@@ -276,14 +276,20 @@ class RebucketSpec extends AnyFunSuite {
       "two completed steps must be recorded")
     assert(kt.meta.numBuckets == 4, "no cutover happened")
     assert(kt.snapshot().count() == 500, "staged dirs are invisible to readers")
-    // resume: only the two remaining ranges run (grace waived for the test)
+    // resume with a DIFFERENT byte budget (the default): the adopted
+    // steps' recorded ranges must be KEPT and only the uncovered gap
+    // re-split — a fresh whole-table split would leave a stale `done`
+    // range that the dirty diff never re-examines but the cutover
+    // still assembles, duplicating rows (grace waived for the test)
     spark.conf.set("spark.graft.pendingGraceMs", "-1")
-    try kt.rebucketIncremental(8, maxStepBytes = 1)
+    try kt.rebucketIncremental(8)
     finally spark.conf.unset("spark.graft.pendingGraceMs")
-    assert(KeyedTable.lastRebucketStepsRun == 2,
-      s"resume must adopt the 2 recorded steps, ran ${KeyedTable.lastRebucketStepsRun}")
+    assert(KeyedTable.lastRebucketStepsRun == 1,
+      s"resume must adopt the 2 recorded steps and run the 2-bucket gap " +
+        s"as ONE default-budget step, ran ${KeyedTable.lastRebucketStepsRun}")
     assert(kt.meta.numBuckets == 8)
-    assert(kt.snapshot().count() == 500)
+    assert(kt.snapshot().count() == 500, "row duplication across adopted+gap ranges")
+    assert(kt.snapshot().select("id").distinct().count() == 500)
     assert(kt.snapshot().agg(sum("v")).head.getDouble(0) == (1L to 500L).map(_.toDouble).sum)
     assert(log.readRebucketProgress().isEmpty)
   }
