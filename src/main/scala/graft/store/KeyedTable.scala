@@ -2882,39 +2882,45 @@ final class KeyedTable private (
       .getOption("spark.graft.merge.sketchTargetFalseKept")
       .map(_.toDouble).getOrElse(4.0)
     val sketchFpp = 1e-3 // keep in sync with writeFused's write-side fpp
-    // Per-file probe routing: a sketch SAVES reading the file's hash
-    // column (8 B/row) but a false positive COSTS rewriting the whole
-    // file — economics that invert with file size. A byte-heavy file
-    // from a hash-sorted split has a narrow span (few staged trials,
-    // fp ≈ fpp) and an expensive read: sketch it. A small file is ~free
-    // to read exactly, and the transient small files rewrites produce
-    // (a wave's merged output before auto-compact folds it) span the
-    // whole hash range — EVERY staged hash is a trial, so per-file
-    // false-keep ≈ 1-(1-fpp)^n reaches ~10% at n=100 and each false
-    // keep re-merges the file into the next commit's output (the
-    // measured sf10 point-arm byte spikes): exact-read it. The exact
-    // sub-probe's read is bounded by the small-file tail, which
-    // auto-compact already bounds.
-    val sketchMinBytes = spark.conf
-      .getOption("spark.graft.merge.sketchMinFileBytes")
-      .map(_.toLong).getOrElse(4L << 20)
-    def sketchable(e: FileEntry): Boolean =
-      e.bloom && e.bytes >= sketchMinBytes
+    // Estimated staged hashes falling inside one file's span, from
+    // state already in hand at plan time: per-bucket staged
+    // [min,max]+count (the planning aggregate) × the file's manifest
+    // span, assuming staged hashes spread ~uniformly over their bucket
+    // span (xxhash64 — they do). Double arithmetic: spans can exceed
+    // Long range (full-width xxhash64); an estimate only needs
+    // relative precision.
+    def inSpanEst(b: Int, e: FileEntry): Double = {
+      val (mn, mx) = stagedRange.getOrElse(b, (Long.MinValue, Long.MaxValue))
+      val nB = stagedByBucket.getOrElse(b, stagedCount).toDouble
+      val span = mx.toDouble - mn.toDouble
+      val overlap = math.min(e.maxHash.toDouble, mx.toDouble) -
+        math.max(e.minHash.toDouble, mn.toDouble)
+      val frac = if (span <= 0) 1.0
+        else math.min(1.0, math.max(0.0, overlap / span))
+      nB * frac
+    }
+    // Per-file RISK routing: a sketch answers each in-span staged hash
+    // as an independent fpp trial, so one file's false-keep probability
+    // is ≈ 1-(1-fpp)^n ≈ min(1, n·fpp) — negligible for a narrow-span
+    // file from a hash-sorted split (n small), but ~10% at n=100 for a
+    // file whose span covers the WHOLE staged range (the transient
+    // consolidated rewrite outputs before auto-compact folds them —
+    // bucket residue doesn't bound hash VALUES, so a one-file bucket
+    // spans everything). A false keep doesn't just read the file, it
+    // REWRITES it into the next commit's output, compounding (the
+    // measured sf10 point-arm snowball). Files whose estimated
+    // false-keep probability crosses the cap are routed to the exact
+    // read probe instead — whose cost is that file's hash column, paid
+    // precisely where the sketch is least trustworthy.
+    val pKeepMax = spark.conf
+      .getOption("spark.graft.merge.sketchMaxFalseKeepP")
+      .map(_.toDouble).getOrElse(0.05)
+    def sketchable(b: Int, e: FileEntry): Boolean =
+      e.bloom && math.min(1.0, inSpanEst(b, e) * sketchFpp) <= pKeepMax
     def estFalseKept(cand: Seq[((Int, FileEntry), Int)]): Double =
       cand.iterator.map { case ((b, e), _) =>
-        if (!sketchable(e)) 0.0
-        else {
-          val (mn, mx) = stagedRange.getOrElse(b, (Long.MinValue, Long.MaxValue))
-          val nB = stagedByBucket.getOrElse(b, stagedCount).toDouble
-          // double arithmetic: spans can exceed Long range (full-width
-          // xxhash64); an estimate only needs ~relative precision
-          val span = mx.toDouble - mn.toDouble
-          val overlap = math.min(e.maxHash.toDouble, mx.toDouble) -
-            math.max(e.minHash.toDouble, mn.toDouble)
-          val frac = if (span <= 0) 1.0
-            else math.min(1.0, math.max(0.0, overlap / span))
-          math.min(1.0, nB * frac * sketchFpp)
-        }
+        if (!sketchable(b, e)) 0.0
+        else math.min(1.0, inSpanEst(b, e) * sketchFpp)
       }.sum
     val hitBytes = hit.map(_._1._2.bytes).sum
     val (hitF, missedF) =
@@ -2925,7 +2931,7 @@ final class KeyedTable private (
           val (sketched, plain) =
             if (stagedCount <= sketchMax ||
                 (stagedCount <= sketchHardMax && est <= targetFalseKept))
-              hit.partition { case ((_, e), _) => sketchable(e) }
+              hit.partition { case ((b, e), _) => sketchable(b, e) }
             else (Nil, hit)
           ProbeDebug.record(
             if (sketched.nonEmpty && plain.nonEmpty) "mixed"

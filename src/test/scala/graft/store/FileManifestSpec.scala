@@ -328,77 +328,125 @@ class FileManifestSpec extends AnyFunSuite {
     assert(cdf.where(col("_change_type") === "update_postimage").count() == 1)
   }
 
-  test("adaptive sketch tier: narrow-span mid-size batches sketch; wide ones stay exact") {
-    // r14 verdict #6: the fixed 2000-row sketch cut is a proxy; the
-    // real decision variable is EXPECTED FALSELY-KEPT FILES
-    // ≈ Σ_files min(1, staged-hashes-in-span × fpp), computable at plan
-    // time from the planning aggregate + manifest ranges. A mid-size
-    // batch whose hashes cluster in a narrow span (sequential-key
-    // backfill) must still get the read-free footer-sketch probe; the
-    // same-size batch spread over the whole key space must keep the
-    // exact column-scan probe (the naive all-sketch design's measured
-    // failure mode — n·fpp keeps every file).
+  test("adaptive sketch tier: thin-spread mid-size batches sketch; wide and concentrated stay exact") {
+    // r14 verdict #6 + the r15 risk-routing refinement. The fixed
+    // 2000-row sketch cut is a proxy; the real decision variables are
+    // (a) the TOTAL expected falsely-kept files
+    // Σ_files min(1, staged-hashes-in-span × fpp) — computable at plan
+    // time from the planning aggregate + manifest spans — and (b) each
+    // FILE's own false-keep probability (risk routing). Three regimes:
+    //  - THIN-SPREAD mid-size (3000 rows over 320 narrow files, ~9
+    //    trials/file): per-file risk ~0.9%, total estimate ~3 → the
+    //    read-free footer-sketch probe, above the old fixed cut;
+    //  - WIDE same-layout (8000 rows → ~25 trials/file): total
+    //    estimate ~8 crosses the target → exact (the naive all-sketch
+    //    design's measured failure mode — n·fpp keeps every file);
+    //  - CONCENTRATED (3000 rows inside 30 files' spans, ~100
+    //    trials/file): per-file false-keep ≈ 10% → risk-routes to the
+    //    exact probe, whose read is bounded by exactly the files the
+    //    batch focuses on.
     val t = tmp()
     def pad = md5(concat(col("id").cast("string"), lit("p"))) // incompressible filler
     val df = spark.range(1, 320001).select(col("id"),
       pad.alias("pad"), (col("id") * 1.0).alias("v"))
     val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
-    withSmallFiles(40000) { kt.upsert(df, uniqueKeys = true) }
+    // 320 files in one bucket: the auto-compact fold (maxFiles) must be
+    // lifted clear or its rewrites conflate with the probe's keeps
+    def withProbe[T](f: => T): T = {
+      spark.conf.set("spark.graft.merge.matchPruneMinBytes", "0")
+      spark.conf.set("spark.graft.autoCompact.maxFiles", "1024")
+      try f finally {
+        spark.conf.unset("spark.graft.merge.matchPruneMinBytes")
+        spark.conf.unset("spark.graft.autoCompact.maxFiles")
+      }
+    }
+    withSmallFiles(1000) { kt.upsert(df, uniqueKeys = true) }
     val seed = manifestOf(t, 1L)(0).sortBy(_.minHash)
-    assert(seed.size == 8, s"seed shape drifted: ${seed.size} files")
+    assert(seed.size == 320, s"seed shape drifted: ${seed.size} files")
     assert(seed.forall(_.bloom), "seed files must carry key-hash sketches")
-    // NEW keys whose hashes land inside two adjacent seed files' spans —
-    // far above the fixed 2000-row cut, candidates only those 2 files
-    val (lo, hi) = (seed(3).minHash, seed(4).maxHash)
-    val narrow = spark.range(1000000, 1400000)
-      .where(xxhash64(col("id")).between(lo, hi)).limit(8000)
+
+    // THIN-SPREAD: 3000 new uniform keys — sketch; false keeps bounded
+    // by the estimate (~3 of 320 files)
+    val thin = spark.range(1000000, 1003000)
       .select(col("id"), pad.alias("pad"), lit(-1.0).alias("v"))
-    assert(narrow.count() > 2000, "need a mid-size narrow batch")
-    // the per-file byte routing is pinned separately below — zero the
-    // threshold here so THIS test pins the adaptive estimate alone
-    spark.conf.set("spark.graft.merge.sketchMinFileBytes", "0")
     ProbeDebug.record("none", -1.0)
-    withSmallFiles(40000) { withMatchProbe(0L) {
-      kt.upsert(narrow, uniqueKeys = true)
+    withSmallFiles(1000) { withProbe {
+      kt.upsert(thin, uniqueKeys = true)
     } }
     assert(ProbeDebug.lastTier == "sketch",
-      s"narrow mid-size batch must take the sketch tier, took ${ProbeDebug.lastTier} " +
-        s"(est ${ProbeDebug.lastEstFalseKept})")
-    assert(ProbeDebug.lastEstFalseKept >= 0 && ProbeDebug.lastEstFalseKept <= 4.0,
+      s"thin-spread mid-size batch must take the sketch tier, took " +
+        s"${ProbeDebug.lastTier} (est ${ProbeDebug.lastEstFalseKept})")
+    assert(ProbeDebug.lastEstFalseKept > 0 && ProbeDebug.lastEstFalseKept <= 4.0,
       s"estimate out of range: ${ProbeDebug.lastEstFalseKept}")
-    // pure inserts: every seed file must carry by reference
+    // pure inserts: sketch false keeps are the ONLY rewrites, and the
+    // plan-time estimate (~3) bounds them — a blowout here means the
+    // written sketches miss their fpp (the sf10 saturation failure)
     val after = manifestOf(t, 2L)(0)
-    assert(seed.map(_.path).toSet.subsetOf(after.map(_.path).toSet),
-      "narrow insert batch rewrote a file the sketch probe should have carried")
-    // control: same-size batch spread across the whole key space →
-    // estimate ≈ one per candidate file crosses the target → exact
+    val falselyKept = seed.map(_.path).toSet.diff(after.map(_.path).toSet).size
+    assert(falselyKept <= 12,
+      s"thin insert batch rewrote $falselyKept files; expected ~3 sketch " +
+        "false keeps — written sketches may be saturated")
+
+    // WIDE: 8000 new uniform keys — the total estimate crosses the
+    // target and the probe stays exact
     val wide = spark.range(2000000, 2008000)
       .select(col("id"), pad.alias("pad"), lit(-2.0).alias("v"))
     ProbeDebug.record("none", -1.0)
-    withSmallFiles(40000) { withMatchProbe(0L) {
+    withSmallFiles(1000) { withProbe {
       kt.upsert(wide, uniqueKeys = true)
     } }
     assert(ProbeDebug.lastTier == "exact",
-      s"wide mid-size batch must keep the exact probe, took ${ProbeDebug.lastTier} " +
-        s"(est ${ProbeDebug.lastEstFalseKept})")
+      s"wide mid-size batch must keep the exact probe, took " +
+        s"${ProbeDebug.lastTier} (est ${ProbeDebug.lastEstFalseKept})")
     assert(ProbeDebug.lastEstFalseKept > 4.0,
       s"wide-batch estimate should cross the target: ${ProbeDebug.lastEstFalseKept}")
-    spark.conf.unset("spark.graft.merge.sketchMinFileBytes")
-    // per-file byte ROUTING pin: with the default threshold restored,
-    // these ~2 MB files are exact-probed even for a tiny staged batch —
-    // a small file is ~free to read, while a sketch false-keep rewrites
-    // it (and transient full-span rewrite outputs made that a measured
-    // compounding cost at the sf10 point arm)
+
+    // CONCENTRATED: 3000 new keys inside 30 adjacent seed files'
+    // spans (~100 trials per candidate, false-keep ≈ 10% each) — risk
+    // routing sends them to the exact probe
+    val (lo, hi) = (seed(100).minHash, seed(129).maxHash)
+    val conc = spark.range(3000000, 4000000)
+      .where(xxhash64(col("id")).between(lo, hi)).limit(3000)
+      .select(col("id"), pad.alias("pad"), lit(-3.0).alias("v"))
+    val nConc = conc.count()
+    assert(nConc > 2000, s"need a mid-size concentrated batch, got $nConc")
     ProbeDebug.record("none", -1.0)
-    withSmallFiles(40000) { withMatchProbe(0L) {
-      kt.upsert(spark.range(3000000, 3000050)
-        .select(col("id"), pad.alias("pad"), lit(-3.0).alias("v")),
-        uniqueKeys = true)
+    withSmallFiles(1000) { withProbe {
+      kt.upsert(conc, uniqueKeys = true)
     } }
     assert(ProbeDebug.lastTier == "exact",
-      s"sub-threshold files must route to the exact probe, took ${ProbeDebug.lastTier}")
+      s"concentrated batch must risk-route to the exact probe, took " +
+        s"${ProbeDebug.lastTier} (est ${ProbeDebug.lastEstFalseKept})")
     // contents intact through every tier
-    assert(kt.snapshot().count() == 320000 + narrow.count() + 8000 + 50)
+    assert(kt.snapshot().count() == 320000 + 3000 + 8000 + nConc)
+  }
+
+  test("risk routing: a full-span consolidated file exact-probes; narrow splits sketch") {
+    // the sf10 snowball's mechanism, pinned: a bucket consolidated into
+    // ONE file spans the bucket's whole hash range (bucket residue does
+    // not bound hash VALUES), so EVERY staged hash is a bloom trial —
+    // at 100 staged rows the per-file false-keep is ~10% and each false
+    // keep re-merges the file bigger. Such files must route to the
+    // exact read probe; the same batch against a hash-sorted multi-file
+    // split (narrow spans, ~no trials per file) must keep the sketch.
+    def pad = md5(concat(col("id").cast("string"), lit("p")))
+    val df = spark.range(1, 100001).select(col("id"),
+      pad.alias("pad"), (col("id") * 1.0).alias("v"))
+    def seedAndProbe(t: String, fileRows: Long): String = {
+      val kt = KeyedTable.create(spark, t, df.schema, keys = Seq("id"), numBuckets = 1)
+      withSmallFiles(fileRows) { kt.upsert(df, uniqueKeys = true) }
+      ProbeDebug.record("none", -1.0)
+      withSmallFiles(fileRows) { withMatchProbe(0L) {
+        kt.upsert(spark.range(5000000, 5000100)
+          .select(col("id"), pad.alias("pad"), lit(-1.0).alias("v")),
+          uniqueKeys = true)
+      } }
+      ProbeDebug.lastTier
+    }
+    assert(seedAndProbe(tmp(), 200000) == "exact", // 1 file, full span
+      "a full-span consolidated file must route to the exact probe")
+    assert(seedAndProbe(tmp(), 10000) == "sketch", // 10 narrow files
+      "narrow-span split files must keep the footer-sketch probe")
   }
 
   test("membership probe: fused delete keys keep their files rewritable") {
