@@ -733,8 +733,9 @@ final class KeyedTable private (
         val stagedByBucket: Map[Int, Long] = plan
           .map(_.map(r => r.getInt(0) -> r.getLong(1)).toMap)
           .getOrElse(Map.empty)
-        val (readablePaths, carriedFiles, readBytes) =
-          if (bv.isEmpty) (Nil, Map.empty[Int, Seq[FileEntry]], Some(0L))
+        val (readablePaths, carriedFiles, readBytesByBucket) =
+          if (bv.isEmpty)
+            (Nil, Map.empty[Int, Seq[FileEntry]], Some(Map.empty[Int, Long]))
           else if (fullKey) splitByHashRange(staged, bv.toSeq, stagedRange,
             stagedCount, stagedByBucket = stagedByBucket)
           else (bv.toSeq.flatMap { case (b, v) => bucketFilePaths(b, v) },
@@ -754,9 +755,11 @@ final class KeyedTable private (
             .select(dataCols.map(c => col(s"u.$c").alias(c)): _*)
             .withColumn("_change_type", lit("delete"))
           spark.sparkContext.setJobDescription("graft:merge:write")
+          // deletes only REMOVE rows: per-bucket output rows are bounded
+          // by the read side alone, so no staged contribution
           val (cdfUp, cdfDel, cdfPre) = timed("deleteWrite")(writeFused(dir,
             newVersion, remaining, removed,
-            hashSort = hashSortNeeded(readBytes, stagedCount)))
+            hashSort = hashSortNeeded(readBytesByBucket, Map.empty)))
           spark.sparkContext.setJobDescription(null)
           // buckets the delete emptied entirely get tombstoned; the rest
           // point at carried + rewritten files
@@ -836,7 +839,7 @@ final class KeyedTable private (
       val readable = scala.collection.mutable.ArrayBuffer[String]()
       var carried = Map.empty[Int, Seq[FileEntry]]
       val touched = scala.collection.mutable.ArrayBuffer[Int]()
-      var readBytes: Option[Long] = Some(0L)
+      var readBytes: Option[Map[Int, Long]] = Some(Map.empty)
       bvAll.toSeq.foreach { case (b, v) =>
         log.readCommit(v).files match {
           case None =>
@@ -849,7 +852,8 @@ final class KeyedTable private (
             if (hit.nonEmpty) {
               touched += b
               readable ++= hit.map(e => s"$path/${e.path}")
-              readBytes = readBytes.map(_ + hit.map(_.bytes).sum)
+              readBytes = readBytes.map(m0 =>
+                m0 + (b -> (m0.getOrElse(b, 0L) + hit.map(_.bytes).sum)))
               if (miss.nonEmpty) carried += b -> miss
             }
           // buckets with no candidate files stay untouched entirely —
@@ -869,7 +873,7 @@ final class KeyedTable private (
       spark.sparkContext.setJobDescription("graft:deleteWhere:write")
       val (cdfUp, cdfDel, cdfPre) = timed("deleteWrite")(writeFused(dir,
         newVersion, remaining, removed,
-        hashSort = hashSortNeeded(readBytes, 0L)))
+        hashSort = hashSortNeeded(readBytes, Map.empty)))
       spark.sparkContext.setJobDescription(null)
       val newFiles = writtenFileStats(dir)
       val manifest = touched.toSeq.map { b =>
@@ -1856,10 +1860,9 @@ final class KeyedTable private (
     // incremental stages produce key-unique batches by construction
     // (join deltas are outer-merged per key, agg deltas are groupBy
     // output) — the within-batch dedup window would be a no-op shuffle
-    val staged0 = (if (uniqueKeys) dataOnly else dedupByKey(dataOnly))
+    val staged0 = truncateLineage((if (uniqueKeys) dataOnly else dedupByKey(dataOnly))
       .withColumn(KHashCol, keyHashExpr(col))
-      .withColumn(BucketCol, pmod(col(KHashCol), lit(meta.numBuckets)).cast("int"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn(BucketCol, pmod(col(KHashCol), lit(meta.numBuckets)).cast("int")))
     // fused deletions, bucketed like the staged batch; their buckets and
     // hash ranges join the plan so file pruning can never carry a file
     // holding a to-delete row
@@ -1867,10 +1870,9 @@ final class KeyedTable private (
     delKeyCols.foreach(kc => require(meta.bucketKeys.forall(kc.contains),
       s"fused delete keys must carry all bucket key columns ${meta.bucketKeys.mkString(",")}"))
     val del0 = deleteKeys.map { dk =>
-      dk.select(delKeyCols.get.map(col): _*).distinct()
+      truncateLineage(dk.select(delKeyCols.get.map(col): _*).distinct()
         .withColumn(KHashCol, keyHashExpr(col))
-        .withColumn(BucketCol, pmod(col(KHashCol), lit(meta.numBuckets)).cast("int"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn(BucketCol, pmod(col(KHashCol), lit(meta.numBuckets)).cast("int")))
     }
     try {
       // ONE action materializes the staged batch AND collects everything
@@ -1954,8 +1956,6 @@ final class KeyedTable private (
           // drop the attempt and replay against the new layout
           if (epochAt(base) >= 0 && epochAt(base) != planEpoch) {
             if (prevDir != null) discardAttempt(prevDir)
-            staged0.unpersist()
-            del0.foreach(_.unpersist())
             refreshMeta()
             return merge(batch, spec, uniqueKeys, batchId, deleteKeys)
           }
@@ -2003,10 +2003,11 @@ final class KeyedTable private (
             // refinement job — the piece that would grow with HISTORY
             // size if the fold ever regressed, where "plan" grows with
             // the staged batch's bytes (data-proportional by design)
-            val (readablePaths, carriedFiles, readBytes) =
+            val (readablePaths, carriedFiles, readBytesByBucket) =
               timed("planSplit")(
                 splitByHashRange(planKeys, bv.toSeq, stagedRange, stagedCount,
                   prunedValsByBucket, stagedByBucket))
+            val readBytes = readBytesByBucket.map(_.values.sum)
             val currentRaw0 = readPaths(readablePaths)
             // deletions apply to the CURRENT state before the staged
             // batch merges; removed rows become delete change rows
@@ -2061,7 +2062,7 @@ final class KeyedTable private (
               var cdfUp = -1L; var cdfDel = -1L; var cdfPre = -1L
               try {
                 val counts = timed("write")(writeFused(dir, newVersion, newContent,
-                  cdf, hashSort = hashSortNeeded(readBytes, stagedCount)))
+                  cdf, hashSort = hashSortNeeded(readBytesByBucket, stagedByBucket)))
                 cdfUp = counts._1; cdfDel = counts._2; cdfPre = counts._3
               } finally if (clamp.isDefined)
                 spark.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -2106,7 +2107,7 @@ final class KeyedTable private (
         }
         out
       }
-    } finally { staged0.unpersist(); del0.foreach(_.unpersist()) }
+    } finally { releaseStaged(staged0); del0.foreach(releaseStaged) }
   } }
 
   /** Merge plans are bounded-size by construction (one microbatch vs a
@@ -2118,18 +2119,32 @@ final class KeyedTable private (
     * roughly halves per-commit latency.
     */
   /** Whether a rewrite's output may split into several files per bucket
-    * (→ hash-sort so their ranges come out disjoint). Bytes below the
-    * threshold write one file per bucket at the default targetFileRows,
-    * where sorting buys nothing; unknown input (legacy dirs) sorts. */
-  private def hashSortNeeded(readBytes: Option[Long], stagedCount: Long): Boolean = {
+    * (→ hash-sort so their ranges come out disjoint). `maxRecordsPerFile`
+    * splits per (side, bucket) write partition, so the exact decision
+    * variable is PER-BUCKET output rows vs the file-row cap — not total
+    * rewrite bytes: a one-pass seed load of millions of rows spread over
+    * many buckets still writes one footer-exact file per bucket, where
+    * the sort buys nothing. Read rows are estimated from manifest bytes
+    * at a deliberately narrow width (wide rows over-estimate → sort — the
+    * safe direction); staged rows are exact planner counts. Unknown
+    * input (legacy dirs) sorts. */
+  private[store] def hashSortNeeded(readBytesByBucket: Option[Map[Int, Long]],
+      stagedByBucket: Map[Int, Long]): Boolean = {
     // an explicit targetFileRows means the caller WANTS small multi-file
     // buckets (specs, compaction experiments) — their ranges must be
     // disjoint, so always sort
     if (spark.conf.getOption("spark.graft.targetFileRows").isDefined) true
-    else {
-      val minBytes = spark.conf.getOption("spark.graft.merge.sortMinBytes")
-        .map(_.toLong).getOrElse(32L << 20)
-      readBytes.forall(b => b + (stagedCount << 6) >= minBytes)
+    else readBytesByBucket match {
+      case None => true // legacy dirs: per-bucket sizes unknowable
+      case Some(byB) =>
+        val fileRows = 1L << 21 // writeFused's default maxRecordsPerFile
+        val minRowBytes = spark.conf
+          .getOption("spark.graft.merge.sortMinRowBytes")
+          .map(_.toLong).getOrElse(16L)
+        (byB.keySet ++ stagedByBucket.keySet).exists { b =>
+          byB.getOrElse(b, 0L) / minRowBytes +
+            stagedByBucket.getOrElse(b, 0L) >= fileRows
+        }
     }
   }
 
@@ -2253,13 +2268,18 @@ final class KeyedTable private (
     // hashSort=false for rewrites small enough to stay one file per
     // bucket, saving the per-merge sort stage in the incremental hot
     // loop; large rewrites (and any legacy/unknowable input) sort.
+    val doHashSort = hashSort &&
+      !spark.conf.getOption("spark.graft.merge.sortFiles").contains("false")
+    // zero-duration marker phases: bench records then carry the count of
+    // sorted vs unsorted writes, so sort-gate regressions are visible in
+    // any record without a debug rerun
+    PhaseStats.add(if (!sortKeys.isEmpty) "writeSortKeys"
+      else if (doHashSort) "writeSortHash" else "writeNoSort", 0L)
     val ordered =
       if (!sortKeys.isEmpty)
         shuffled.sortWithinPartitions(
           Seq(col(SideCol), col("b")) ++ sortKeys: _*)
-      else if (!hashSort ||
-          spark.conf.getOption("spark.graft.merge.sortFiles").contains("false"))
-        shuffled
+      else if (!doHashSort) shuffled
       else shuffled.sortWithinPartitions(col(SideCol), col("b"), col(KHashCol))
     ordered
       .write.mode("overwrite")
@@ -2353,6 +2373,35 @@ final class KeyedTable private (
       }
     val byClass = counted.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     (byClass.getOrElse(0, 0L), byClass.getOrElse(1, 0L), byClass.getOrElse(2, 0L))
+  }
+
+  /** Plan-size control for the merge hot loop (r15 optimization): the
+    * staged microbatch arrives carrying its WHOLE upstream derivation
+    * (CDF reads, broadcast joins, windows — a 5-stage pipeline's tree)
+    * as its logical plan. Persisting caches the DATA but not the PLAN:
+    * every downstream action of one commit (plan collect, the fused
+    * write with its content + three cdf branches) re-analyzes,
+    * re-optimizes, and cache-canonicalizes that full tree — pure
+    * driver-side Catalyst cost, paid per commit, growing with pipeline
+    * depth, never with data. A lazy `localCheckpoint` truncates the
+    * plan to a `LogicalRDD` leaf at zero extra jobs (the plan-collect
+    * job materializes it exactly where the persist used to). Trade-off,
+    * per the Spark docs: checkpoint blocks are non-replayable, so an
+    * executor loss mid-merge fails the merge instead of recomputing —
+    * the OCC/batchId machinery makes a rerun idempotent, and
+    * `spark.graft.merge.truncateLineage=false` restores the old persist
+    * path for deployments that prefer replayability. */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    if (spark.conf.getOption("spark.graft.merge.truncateLineage").contains("false"))
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    else df.localCheckpoint(eager = false)
+
+  /** Frees a [[truncateLineage]] frame: `unpersist` covers the persist
+    * mode, the shim sweep covers checkpoint RDD blocks (which
+    * `Dataset.unpersist` cannot reach). */
+  private def releaseStaged(df: DataFrame): Unit = {
+    df.unpersist()
+    org.apache.spark.sql.graft.StreamShim.unpersistTruncated(df)
   }
 
   /** Latest-wins dedup of a batch by full key (joins.py:556-561). */
@@ -2764,7 +2813,7 @@ final class KeyedTable private (
       stagedRange: Map[Int, (Long, Long)], stagedCount: Long,
       prunedVals: Map[Int, Seq[(String, Seq[Any])]] = Map.empty,
       stagedByBucket: Map[Int, Long] = Map.empty)
-      : (Seq[String], Map[Int, Seq[FileEntry]], Option[Long]) = {
+      : (Seq[String], Map[Int, Seq[FileEntry]], Option[Map[Int, Long]]) = {
     val legacy = scala.collection.mutable.ArrayBuffer[String]()
     val cand = scala.collection.mutable.ArrayBuffer[(Int, FileEntry)]()
     var carried = Map.empty[Int, List[FileEntry]].withDefaultValue(Nil)
@@ -2991,7 +3040,7 @@ final class KeyedTable private (
     val foldCap = spark.conf.getOption("spark.graft.autoCompact.foldMaxFileBytes")
       .map(_.toLong).getOrElse(32L << 20)
     var folded = List.empty[String]
-    var foldedBytes = 0L
+    var foldedByBucket = Map.empty[Int, Long].withDefaultValue(0L)
     val carriedOut = carried.collect { case (b, es) if es.nonEmpty =>
       val eligible = es.count(_.bytes < foldCap)
       // surface the soft-bound state at write time (once per handle per
@@ -3009,13 +3058,16 @@ final class KeyedTable private (
         val excess = math.min(es.size - (maxFiles - 1), bySize.size)
         val (fold, keep) = bySize.splitAt(excess)
         folded :::= fold.map(e => s"$path/${e.path}")
-        foldedBytes += fold.map(_.bytes).sum
+        foldedByBucket += b -> (foldedByBucket(b) + fold.map(_.bytes).sum)
         b -> (keep ++ big).sortBy(_.minHash)
       }
     }
-    val readBytes =
+    val readBytes: Option[Map[Int, Long]] =
       if (legacy.nonEmpty) None
-      else Some(hitF.map(_._1._2.bytes).sum + foldedBytes)
+      else Some(hitF.groupBy(_._1._1).view
+        .mapValues(_.map(_._1._2.bytes).sum).toMap.foldLeft(foldedByBucket) {
+          case (acc, (b, n)) => acc + (b -> (acc(b) + n))
+        })
     (legacy.toSeq ++ hitF.map { case ((_, e), _) => s"$path/${e.path}" } ++ folded,
       carriedOut, readBytes)
   }

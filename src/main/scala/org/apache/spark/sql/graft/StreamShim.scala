@@ -43,4 +43,18 @@ object StreamShim {
   def expressionOf(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Frees the storage blocks behind a `localCheckpoint`ed DataFrame.
+    * `Dataset.unpersist` only talks to the CacheManager, so checkpoint
+    * RDD blocks otherwise linger until the ContextCleaner's GC-driven
+    * sweep — unbounded storage creep across a long merge loop. The
+    * `LogicalRDD` leaf the checkpoint wraps is `private[sql]`, hence
+    * this living in the shim. Call only when the frame is provably done
+    * with (lineage is truncated; a later read would fail). */
+  def unpersistTruncated(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
