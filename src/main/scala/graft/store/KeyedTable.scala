@@ -692,11 +692,10 @@ final class KeyedTable private (
     val fullKey = meta.bucketKeys.forall(keyCols.contains)
     val planEpoch = meta.numBuckets
     val staged0 = keys.select(keyCols.map(col): _*).distinct()
-    val staged = (if (fullKey)
+    val staged = Lineage.pin(if (fullKey)
         staged0.withColumn(KHashCol, keyHashExpr(col))
           .withColumn(BucketCol, pmod(col(KHashCol), lit(meta.numBuckets)).cast("int"))
       else staged0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // bucket set + per-bucket staged hash range from the batch alone
       // (stable across claim retries); partial-key deletes resolve to
@@ -721,7 +720,7 @@ final class KeyedTable private (
         // racing rebucket: the staged bucket ids are under the old
         // modulus — replay the delete against the new layout
         if (epochAt(base) >= 0 && epochAt(base) != planEpoch) {
-          staged.unpersist()
+          Lineage.release(staged)
           refreshMeta()
           return delete(keys)
         }
@@ -791,7 +790,7 @@ final class KeyedTable private (
         }
       }
       out
-    } finally staged.unpersist()
+    } finally Lineage.release(staged)
   } }
 
   /** Predicate delete (Delta's `DELETE WHERE` analog), file-pruned by
@@ -2281,6 +2280,16 @@ final class KeyedTable private (
           Seq(col(SideCol), col("b")) ++ sortKeys: _*)
       else if (!doHashSort) shuffled
       else shuffled.sortWithinPartitions(col(SideCol), col("b"), col(KHashCol))
+    // plan-evidence hook (no effect unless set): dumps this write's
+    // formatted plan, one file per commit — how plans/r15/*_write_*.txt
+    // were produced (toggles: merge.truncateLineage, the sort gate)
+    spark.conf.getOption("spark.graft.debugPlanDir").foreach { d =>
+      val dir0 = new java.io.File(d); dir0.mkdirs()
+      val p = new java.io.File(dir0, s"write_v$newVersion.txt")
+      java.nio.file.Files.writeString(p.toPath,
+        ordered.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
     ordered
       .write.mode("overwrite")
       // 2M-row default split (~50-200 MB files at typical row widths —
@@ -2375,34 +2384,11 @@ final class KeyedTable private (
     (byClass.getOrElse(0, 0L), byClass.getOrElse(1, 0L), byClass.getOrElse(2, 0L))
   }
 
-  /** Plan-size control for the merge hot loop (r15 optimization): the
-    * staged microbatch arrives carrying its WHOLE upstream derivation
-    * (CDF reads, broadcast joins, windows — a 5-stage pipeline's tree)
-    * as its logical plan. Persisting caches the DATA but not the PLAN:
-    * every downstream action of one commit (plan collect, the fused
-    * write with its content + three cdf branches) re-analyzes,
-    * re-optimizes, and cache-canonicalizes that full tree — pure
-    * driver-side Catalyst cost, paid per commit, growing with pipeline
-    * depth, never with data. A lazy `localCheckpoint` truncates the
-    * plan to a `LogicalRDD` leaf at zero extra jobs (the plan-collect
-    * job materializes it exactly where the persist used to). Trade-off,
-    * per the Spark docs: checkpoint blocks are non-replayable, so an
-    * executor loss mid-merge fails the merge instead of recomputing —
-    * the OCC/batchId machinery makes a rerun idempotent, and
-    * `spark.graft.merge.truncateLineage=false` restores the old persist
-    * path for deployments that prefer replayability. */
-  private def truncateLineage(df: DataFrame): DataFrame =
-    if (spark.conf.getOption("spark.graft.merge.truncateLineage").contains("false"))
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-    else df.localCheckpoint(eager = false)
+  /** See [[Lineage]]: row-block materialization + plan truncation for
+    * the per-commit staged/delete frames. */
+  private def truncateLineage(df: DataFrame): DataFrame = Lineage.pin(df)
 
-  /** Frees a [[truncateLineage]] frame: `unpersist` covers the persist
-    * mode, the shim sweep covers checkpoint RDD blocks (which
-    * `Dataset.unpersist` cannot reach). */
-  private def releaseStaged(df: DataFrame): Unit = {
-    df.unpersist()
-    org.apache.spark.sql.graft.StreamShim.unpersistTruncated(df)
-  }
+  private def releaseStaged(df: DataFrame): Unit = Lineage.release(df)
 
   /** Latest-wins dedup of a batch by full key (joins.py:556-561). */
   private def dedupByKey(df: DataFrame): DataFrame = {
@@ -2425,6 +2411,10 @@ final class KeyedTable private (
     // reference's partitioned Delta merge
     val eqCols = meta.keys ++ meta.partitionCols.filterNot(meta.keys.contains)
     val keyEq = eqCols.map(k => col(s"u.$k") <=> col(s"s.$k")).reduce(_ && _)
+    // NB: must stay a persist, NOT Lineage.pin — the u./s. qualifiers
+    // both sides' downstream selects resolve through live in the plan's
+    // SubqueryAliases; a checkpoint would flatten them away with both
+    // sides' identical column names left indistinguishable
     val pairs = u.join(s, keyEq, "full_outer")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val matched = coalesce(col(s"u.$UExists"), lit(false)) &&
@@ -2538,6 +2528,8 @@ final class KeyedTable private (
       .orderBy((if (meta.seqCols.nonEmpty)
         struct(meta.seqCols.map(c => col(s"s.$c")): _*).desc else lit(1).asc))
 
+    // persist, not Lineage.pin — same u./s. qualifier constraint as
+    // mergeExact's pairs
     val ranked = cand
       .withColumn("__rn_s", row_number().over(wPerS)).where(col("__rn_s") === 1)
       .withColumn("__rn_u", row_number().over(wPerU))

@@ -152,10 +152,15 @@ final class StreamAgg(
 
     def mergeAggKnown(batch: DataFrame, batchId: Long,
         knownNonEmpty: Boolean, noRetractions: Boolean = false): Unit = {
+      // pinned (see Lineage): the feed is otherwise re-read for the
+      // emptiness probe, the plus/minus aggregates, and the zero-check's
+      // retraction-group scan
+      val data = graft.store.Lineage.pin(batch)
       // empty microbatch: skip the agg+merge plan. The batch drain
       // proves non-emptiness from the commit log and skips this job.
-      if (!knownNonEmpty && batch.isEmpty) return
-      val data = batch
+      if (!knownNonEmpty && data.isEmpty) {
+        graft.store.Lineage.release(data); return
+      }
       // deletes (present only when the source opted into handleDeletes)
       // retract exactly like update pre-images: their contribution is
       // subtracted from the running aggregate
@@ -176,7 +181,7 @@ final class StreamAgg(
       val p = plus.alias("p")
       val m = minus.alias("m")
       val keyEq = groupCols.map(k => col(s"p.$k") <=> col(s"m.$k")).reduce(_ && _)
-      val deltas = p.join(m, keyEq, "full_outer")
+      val deltas0 = p.join(m, keyEq, "full_outer")
         .select(groupCols.map(k => coalesce(col(s"p.$k"), col(s"m.$k")).alias(k)) ++
           deltaExprs: _*)
       // emptied-group removal: a group whose retractions (deletes or
@@ -205,8 +210,9 @@ final class StreamAgg(
       // against the CURRENT (already-merged) state and deletes directly
       val alreadyApplied = batchId >= 0 && batchId <= out.lastAppliedBatchId
       val zeroPath = !noRetractions && zeroCheck
-      if (zeroPath && !alreadyApplied)
-        deltas.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deltas =
+        if (zeroPath && !alreadyApplied) graft.store.Lineage.pin(deltas0)
+        else deltas0
       val zeroedOpt: Option[DataFrame] =
         if (!zeroPath) None
         else {
@@ -235,8 +241,8 @@ final class StreamAgg(
                 "right_outer")
               .where(coalesce(col("__cur"), lit(0)) + col(s"dl.$countCol") === 0)
               .select(groupCols.map(k => col(s"dl.$k").alias(k)): _*)
-          val zp = z.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          if (zp.isEmpty) { zp.unpersist(); None } else Some(zp)
+          val zp = graft.store.Lineage.pin(z)
+          if (zp.isEmpty) { graft.store.Lineage.release(zp); None } else Some(zp)
         }
       // deltas is groupBy output → key-unique; batchId guards replays
       // (a double-applied delta would double-count the running agg)
@@ -254,8 +260,9 @@ final class StreamAgg(
               deleteKeys = Some(z))
         }
       } finally {
-        zeroedOpt.foreach(_.unpersist())
-        if (zeroPath && !alreadyApplied) deltas.unpersist()
+        zeroedOpt.foreach(graft.store.Lineage.release)
+        if (zeroPath && !alreadyApplied) graft.store.Lineage.release(deltas)
+        graft.store.Lineage.release(data)
       }
     }
 

@@ -481,10 +481,10 @@ final class JoinedStream(
       // old output rows are removed by the FUSED deletions below (the
       // former post-merge cleanup commit)
       val lDelKeys = if (left.deletesOn && lDeleted)
-        Some(latestDeleteKeys("l", left.pks).persist(StorageLevel.MEMORY_AND_DISK))
+        Some(graft.store.Lineage.pin(latestDeleteKeys("l", left.pks)))
       else None
       val rDelKeys = if (right.deletesOn && rDeleted)
-        Some(latestDeleteKeys("r", right.pks).persist(StorageLevel.MEMORY_AND_DISK))
+        Some(graft.store.Lineage.pin(latestDeleteKeys("r", right.pks)))
       else None
       val lBatch0 =
         if (drain.exists(m => keyUniqueWindow(left, m.lCommits)))
@@ -494,10 +494,14 @@ final class JoinedStream(
         if (drain.exists(m => keyUniqueWindow(right, m.rCommits)))
           rRows.drop("_change_type", "_commit_version")
         else latestPerKey(rRows, right.pks, right.seqCols)
-      val lBatch = lDelKeys.fold(lBatch0)(dk =>
-        lBatch0.join(broadcast(dk), left.pks.toSeq, "left_anti"))
-      val rBatch = rDelKeys.fold(rBatch0)(dk =>
-        rBatch0.join(broadcast(dk), right.pks.toSeq, "left_anti"))
+      // pinned (see Lineage): each half is otherwise recomputed — CDF
+      // read + latest-wins window — once in the static-prune probe
+      // collect, again in the broadcast build, and once more in the
+      // full-outer combine
+      val lBatch = graft.store.Lineage.pin(lDelKeys.fold(lBatch0)(dk =>
+        lBatch0.join(broadcast(dk), left.pks.toSeq, "left_anti")))
+      val rBatch = graft.store.Lineage.pin(rDelKeys.fold(rBatch0)(dk =>
+        rBatch0.join(broadcast(dk), right.pks.toSeq, "left_anti")))
 
       // each half probes a (small) batch against the other side's
       // static — swap the full static scan for a bucket-pruned point
@@ -652,7 +656,7 @@ final class JoinedStream(
         // delete+merge tags itself graft:merge:*) — ProfCdc attributes
         // the pass's scale behavior per step from these
         spark.sparkContext.setJobDescription("graft:join:downgrade:gate")
-        val sk = srcKeys.persist(StorageLevel.MEMORY_AND_DISK)
+        val sk = graft.store.Lineage.pin(srcKeys)
         try {
           // cheap emptiness guard FIRST: downgrade() is entered on any
           // window with non-owning preimages/deletes, but a routine
@@ -705,7 +709,7 @@ final class JoinedStream(
           // pass is retraction-rare; the count also sizes the re-derive
           // pruning probe correctly) and fall back to a plain
           // shuffle join past the threshold.
-          val aff = affRows0.persist(StorageLevel.MEMORY_AND_DISK)
+          val aff = graft.store.Lineage.pin(affRows0)
           spark.sparkContext.setJobDescription("graft:join:downgrade:aff")
           val affN = aff.count()
           val bcastMax = spark.conf
@@ -732,11 +736,10 @@ final class JoinedStream(
           // only re-pairings with a retracted key plus placeholders are
           // new information; pairings with untouched keys are already
           // in the output byte-identical
-          val reRows = reAll
+          val reRows = graft.store.Lineage.pin(reAll
             .join(broadcast(sk), nonOwning.pks.toSeq, "left_semi")
             .unionByName(reAll.where(
-              nonOwning.pks.map(k => col(k).isNull).reduce(_ || _)))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+              nonOwning.pks.map(k => col(k).isNull).reduce(_ || _))))
           try {
             spark.sparkContext.setJobDescription("graft:join:downgrade:rederive")
             reRows.count() // pin before the output changes under it
@@ -766,9 +769,9 @@ final class JoinedStream(
               out.merge(reRows, MergeSpec(), uniqueKeys = true,
                 deleteKeys = Some(stale))
             }
-          } finally { reRows.unpersist(); aff.unpersist() }
+          } finally { graft.store.Lineage.release(reRows); graft.store.Lineage.release(aff) }
         } finally {
-          sk.unpersist()
+          graft.store.Lineage.release(sk)
           spark.sparkContext.setJobDescription(null)
         }
       }
@@ -858,13 +861,13 @@ final class JoinedStream(
                 condCols: Seq[String], idxSubPath: String): Unit = {
               val movable = movableCols(stream, condCols)
               if (movable.nonEmpty && stream.pks.forall(outCols.contains)) {
-                val mk = moved(side, stream.pks, stream.seqCols, movable)
-                  .persist(StorageLevel.MEMORY_AND_DISK)
+                val mk = graft.store.Lineage.pin(
+                  moved(side, stream.pks, stream.seqCols, movable))
                 // one small batch-sized job guards the (rare) retraction
                 if (!mk.isEmpty) {
                   fusedPins += mk
                   frames += resolveOutRows(mk, stream, idxSubPath)
-                } else mk.unpersist()
+                } else graft.store.Lineage.release(mk)
               }
             }
             val (lCondCols, rCondCols) = sideCondCols
@@ -895,7 +898,7 @@ final class JoinedStream(
         case None =>
           try out.merge(combined, MergeSpec(), uniqueKeys = true,
             batchId = batchId, deleteKeys = fusedDeletes)
-          finally fusedPins.foreach(_.unpersist())
+          finally fusedPins.foreach(graft.store.Lineage.release)
       }
 
       // NON-owning-side retraction (outer joins) runs AFTER the merge:
@@ -928,8 +931,10 @@ final class JoinedStream(
           nonOwnRetracted("r", right, sideCondCols._2, rPre, rDeleted, rCnt, rDelKeys)
             .foreach(k => downgrade(k, "r", right, "r"))
       }
-      lDelKeys.foreach(_.unpersist())
-      rDelKeys.foreach(_.unpersist())
+      graft.store.Lineage.release(lBatch)
+      graft.store.Lineage.release(rBatch)
+      lDelKeys.foreach(graft.store.Lineage.release)
+      rDelKeys.foreach(graft.store.Lineage.release)
     }
 
     def pack(ls: DataFrame, rs: DataFrame): DataFrame = {
