@@ -27,13 +27,24 @@ object Bench {
     // iteration (the driver passes no args → full set)
     val only = args.headOption.map(_.split(",").toSet)
     val gates = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    var failures = 0
     val results = gates.toSeq.sortBy(_._1).map { case (name, fn) =>
       // ops cache intermediate tables (signatures, shingles); drop them
       // between queries so one query's cache pressure can't evict
-      // another's mid-flight
+      // another's mid-flight. Also sweep any persistent RDD a failed or
+      // leaky gate left behind (pinned merge frames, checkpoint blocks):
+      // one gate's leak must not slow every gate after it in the shared
+      // JVM.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          failures += 1
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          -1L
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The driver stores only a ~2.2 KB tail of stdout; the JSON line must
@@ -54,7 +65,10 @@ object Bench {
     val ph = graft.store.PhaseStats.snapshot().toSeq.sortBy(_._1)
       .map { case (k, (n, s)) => "\"" + k + "\":[" + n + "," + fmt(s) + "]" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"phases":$ph,"sf":"$sfName"}""")
+    // nq = total gates timed (the per-query map is capped to the 40
+    // slowest, so a gate "vanishing" from it is print-cap churn, not a
+    // drop — nq makes that checkable); failures = gates whose body threw
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"nq":${results.size},"failures":$failures,"phases":$ph,"sf":"$sfName"}""")
     spark.stop()
   }
 }

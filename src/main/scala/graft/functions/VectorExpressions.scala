@@ -133,6 +133,79 @@ final case class ArgMaxCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Index of the centroid (element of `right`, an array<array<double>>)
+  * with the smallest squared L2 distance to `left` (array<float|double>);
+  * ties break to the LOWEST index — the PQ / IVF-residual assignment
+  * step as ONE native projection pass (the ArgMaxCosine analog for the
+  * L2 metric). Replaces the composed form (k inlined
+  * aggregate(zip_with(...)) trees per assignment): the per-element
+  * arithmetic — float→double cast, (a−b)², sequential left-fold sum,
+  * Spark's NaN-greatest double ordering, lowest-index tie-break — is
+  * reproduced exactly, so results are bit-equal and oracle-stable,
+  * while the plan shrinks k× and the scan-side eval is a tight loop.
+  */
+final case class ArgMinL2(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def vecOk(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val centsOk = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (vecOk(left.dataType) && centsOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"argmin_l2 expects (array<float|double>, array<array<double>>), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  private def elemIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val vf = elemIsFloat
+    var best = -1
+    var bestD = 0.0
+    var c = 0
+    val nc = cents.numElements()
+    while (c < nc) {
+      val cent = cents.getArray(c)
+      val n = math.min(v.numElements(), cent.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (vf) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = xi - cent.getDouble(i)
+        d += diff * diff
+        i += 1
+      }
+      // Double.compare: NaN sorts greatest — same ordering array_min
+      // applied to the composed struct(dist, id) form
+      if (best == -1 || java.lang.Double.compare(d, bestD) < 0) {
+        best = c; bestD = d
+      }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Banded hyperplane-LSH signature of a numeric vector in ONE native
   * pass: `bands` long values, band b's bit p set iff
   * `dot(vec, plane(b*planes+p)) >= 0`. The composed SQL form costs one
@@ -252,5 +325,14 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_argmax_cosine", es => ArgMaxCosine(es.head, es(1)), "built-in")
     call_function("graft_argmax_cosine", vec, centroids)
+  }
+
+  /** Nearest-centroid index by squared L2 over a literal centroid
+    * matrix (the PQ / IVF-residual assignment step). */
+  def argMinL2(vec: Column, centroids: Column): Column = {
+    val spark = SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_argmin_l2", es => ArgMinL2(es.head, es(1)), "built-in")
+    call_function("graft_argmin_l2", vec, centroids)
   }
 }

@@ -482,6 +482,18 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").alias("a"), col("id_a").alias("b")))
       .cache()
     var labels = docs.select(col(id), col(id).alias("cluster_id")).cache()
+    // monotone-sum fixpoint (r16): min-label propagation can only ever
+    // DECREASE a label, so Σ labels strictly decreases until the
+    // fixpoint — an unchanged sum ⟺ no label changed. One agg job per
+    // round (which also materializes the round's cache) replaces the
+    // former count() + join + limit(1).count() change-detection pair.
+    // decimal(38,0) sum: exact at any corpus size (no long wrap-around
+    // that could fake convergence).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v // empty corpus
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -490,13 +502,11 @@ object Dedup {
       val next = labels.select(col(id), col("cluster_id")).unionByName(viaEdges)
         .groupBy(id).agg(min("cluster_id").alias("cluster_id"))
         .cache()
-      next.count()
-      val changed = next.alias("n").join(labels.alias("o"),
-          col(s"n.$id") === col(s"o.$id"))
-        .where(col("n.cluster_id") =!= col("o.cluster_id")).limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()

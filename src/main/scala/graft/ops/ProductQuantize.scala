@@ -35,21 +35,16 @@ object ProductQuantize {
 
   private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
-  /** Squared L2 distance between a sub-vector column and a centroid
-    * literal, as a codegen'd fold (no UDF). */
-  private def sqDist(sub: Column, cent: Seq[Double]): Column =
-    aggregate(
-      zip_with(sub, typedLit(cent), (a, b) => {
-        val d = a.cast("double") - b; d * d
-      }),
-      lit(0.0d), (acc, x) => acc + x)
-
-  /** Index of the nearest centroid (ties → lowest id): an array of
-    * (dist, id) structs; array_min orders lexicographically. */
+  /** Index of the nearest centroid by squared L2 (ties → lowest id):
+    * the native [[graft.functions.ArgMinL2]] expression over a 2-D
+    * centroid literal — ONE plan node and one fused per-row loop (r16),
+    * replacing k inlined aggregate(zip_with(...)) distance trees whose
+    * analysis/codegen dominated the small-corpus gates and whose
+    * interpreted HOF eval cost k separate array traversals per row at
+    * scale. Arithmetic (element order, cast, tie-break, NaN ordering)
+    * is reproduced exactly — results bit-equal, oracle-stable. */
   private[ops] def argMinDist(sub: Column, cents: Seq[Seq[Double]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(sub, c).alias("d"), lit(i).alias("i"))
-    }: _*)).getField("i")
+    graft.functions.VectorExpressions.argMinL2(sub, typedLit(cents))
 
   private def subCol(vec: Column, s: Int, subDim: Int): Column =
     slice(vec, s * subDim + 1, subDim)
@@ -59,15 +54,17 @@ object ProductQuantize {
   def train(corpus: DataFrame, m: Int, k: Int, iters: Int = 2,
       id: String = "vec_id", vec: String = "embedding"): Codebook = {
     require(m > 0 && k > 0 && iters >= 0, "m, k, iters must be positive")
-    val dim = corpus.select(size(col(vec))).head.getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val subDim = dim / m
     val seeds = corpus.orderBy(col(id)).limit(k)
       .select(col(vec)).collect().map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
         case n: Number => n.doubleValue()
       }.toSeq)
+    // dim from the seed collect — one fewer driver job than a separate
+    // size() head (every action here re-plans the full assignment tree)
+    val dim = seeds.head.size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
     var book: Codebook = (0 until m).map(s =>
       seeds.toSeq.map(v => v.slice(s * subDim, (s + 1) * subDim)))
     (0 until iters).foreach { _ =>
@@ -196,9 +193,19 @@ object ProductQuantize {
         }
       }
     }
+    // persist the residual frame: PQ training runs 2+iters actions over
+    // it (seed collect + one grouped-means collect per Lloyd iteration)
+    // and the encode projection reads it once more — unpersisted, every
+    // one of those jobs recomputes AND re-codegens the coarse
+    // argMinDist assignment (nlist × dim expression tree), which
+    // dominates this op at any corpus size since the data per row is
+    // tiny (guide §7.3: planning/codegen of large expression trees).
+    // Released by the caller's normal gate teardown once `encoded` has
+    // been consumed (the bench sweeps persistent RDDs between gates).
     val resid = withList(corpus).withColumn("__resid",
       zip_with(col(vec), element_at(typedLit(coarse), col("__list") + 1),
         (x, c) => x.cast("double") - c))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val book = train(resid, m, k, iters, id, "__resid")
     val encoded = resid
       .withColumn("codes", codesOf(col("__resid"), book))

@@ -32,7 +32,7 @@ import java.nio.charset.StandardCharsets
   */
 final case class FileEntry(path: String, minHash: Long, maxHash: Long,
     bytes: Long = 0L, stats: Map[String, ColStat] = Map.empty,
-    bloom: Boolean = false)
+    bloom: Boolean = false, rows: Long = -1L)
 
 /** One parsed commit. `dir` is the data/cdf directory name the commit's
   * files live under (`data/<dir>/b=<bucket>`, `cdf/<dir>/`) — unique per
@@ -355,6 +355,7 @@ final class CommitLog(rootPath: String, conf: Configuration) {
            required int64 bytes;
            required binary stats (STRING);
            required int32 bloom;
+           required int64 rows;
          }""")
 
   private def manifestSidecarName(dir: String) = s"_manifest_$dir.parquet"
@@ -391,6 +392,7 @@ final class CommitLog(rootPath: String, conf: Configuration) {
         g.add("bytes", e.bytes)
         g.add("stats", ZoneStats.encode(e.stats))
         g.add("bloom", if (e.bloom) 1 else 0)
+        g.add("rows", e.rows)
         writer.write(g)
       }
     } finally writer.close()
@@ -413,7 +415,10 @@ final class CommitLog(rootPath: String, conf: Configuration) {
           ZoneStats.decode(g.getString("stats", 0)),
           // pre-sketch sidecars lack the field → no bloom, exact fallback
           bloom = g.getType.containsField("bloom") &&
-            g.getInteger("bloom", 0) == 1)
+            g.getInteger("bloom", 0) == 1,
+          // pre-r16 sidecars lack row counts → -1, byte-estimate fallback
+          rows = if (g.getType.containsField("rows")) g.getLong("rows", 0)
+                 else -1L)
         g = reader.read()
       }
     } finally reader.close()
@@ -426,7 +431,7 @@ final class CommitLog(rootPath: String, conf: Configuration) {
   private def encodeFiles(files: Map[Int, Seq[FileEntry]]): String =
     files.toSeq.sortBy(_._1).flatMap { case (b, es) =>
       es.map { e =>
-        s""""$b|${e.path}|${e.minHash}|${e.maxHash}|${e.bytes}|${ZoneStats.encode(e.stats)}|${if (e.bloom) 1 else 0}""""
+        s""""$b|${e.path}|${e.minHash}|${e.maxHash}|${e.bytes}|${ZoneStats.encode(e.stats)}|${if (e.bloom) 1 else 0}|${e.rows}""""
       }
     }.mkString(""","files":[""", ",", "]")
 
@@ -439,7 +444,8 @@ final class CommitLog(rootPath: String, conf: Configuration) {
           p(0).toInt -> FileEntry(p(1), p(2).toLong, p(3).toLong,
             if (p.length > 4) p(4).toLong else 0L,
             if (p.length > 5) ZoneStats.decode(p(5)) else Map.empty,
-            bloom = p.length > 6 && p(6) == "1")
+            bloom = p.length > 6 && p(6) == "1",
+            rows = if (p.length > 7) p(7).toLong else -1L)
         }.toSeq.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
     }
 

@@ -734,7 +734,7 @@ final class KeyedTable private (
           .getOrElse(Map.empty)
         val (readablePaths, carriedFiles, readBytesByBucket) =
           if (bv.isEmpty)
-            (Nil, Map.empty[Int, Seq[FileEntry]], Some(Map.empty[Int, Long]))
+            (Nil, Map.empty[Int, Seq[FileEntry]], Some(Map.empty[Int, (Long, Long)]))
           else if (fullKey) splitByHashRange(staged, bv.toSeq, stagedRange,
             stagedCount, stagedByBucket = stagedByBucket)
           else (bv.toSeq.flatMap { case (b, v) => bucketFilePaths(b, v) },
@@ -838,7 +838,7 @@ final class KeyedTable private (
       val readable = scala.collection.mutable.ArrayBuffer[String]()
       var carried = Map.empty[Int, Seq[FileEntry]]
       val touched = scala.collection.mutable.ArrayBuffer[Int]()
-      var readBytes: Option[Map[Int, Long]] = Some(Map.empty)
+      var readBytes: Option[Map[Int, (Long, Long)]] = Some(Map.empty)
       bvAll.toSeq.foreach { case (b, v) =>
         log.readCommit(v).files match {
           case None =>
@@ -851,8 +851,13 @@ final class KeyedTable private (
             if (hit.nonEmpty) {
               touched += b
               readable ++= hit.map(e => s"$path/${e.path}")
-              readBytes = readBytes.map(m0 =>
-                m0 + (b -> (m0.getOrElse(b, 0L) + hit.map(_.bytes).sum)))
+              readBytes = readBytes.map { m0 =>
+                val (b0, r0) = m0.getOrElse(b, (0L, 0L))
+                m0 + (b -> hit.foldLeft((b0, r0)) { (a, e) =>
+                  (a._1 + e.bytes,
+                    if (a._2 < 0 || e.rows < 0) -1L else a._2 + e.rows)
+                })
+              }
               if (miss.nonEmpty) carried += b -> miss
             }
           // buckets with no candidate files stay untouched entirely —
@@ -2006,7 +2011,7 @@ final class KeyedTable private (
               timed("planSplit")(
                 splitByHashRange(planKeys, bv.toSeq, stagedRange, stagedCount,
                   prunedValsByBucket, stagedByBucket))
-            val readBytes = readBytesByBucket.map(_.values.sum)
+            val readBytes = readBytesByBucket.map(_.values.map(_._1).sum)
             val currentRaw0 = readPaths(readablePaths)
             // deletions apply to the CURRENT state before the staged
             // batch merges; removed rows become delete change rows
@@ -2127,22 +2132,28 @@ final class KeyedTable private (
     * at a deliberately narrow width (wide rows over-estimate → sort — the
     * safe direction); staged rows are exact planner counts. Unknown
     * input (legacy dirs) sorts. */
-  private[store] def hashSortNeeded(readBytesByBucket: Option[Map[Int, Long]],
+  private[store] def hashSortNeeded(
+      readByBucket: Option[Map[Int, (Long, Long)]],
       stagedByBucket: Map[Int, Long]): Boolean = {
     // an explicit targetFileRows means the caller WANTS small multi-file
     // buckets (specs, compaction experiments) — their ranges must be
     // disjoint, so always sort
     if (spark.conf.getOption("spark.graft.targetFileRows").isDefined) true
-    else readBytesByBucket match {
+    else readByBucket match {
       case None => true // legacy dirs: per-bucket sizes unknowable
       case Some(byB) =>
         val fileRows = 1L << 21 // writeFused's default maxRecordsPerFile
+        // byte-width fallback for pre-r16 manifests whose entries carry
+        // no row counts (rows == -1). Only then: a compressed-bytes
+        // estimate UNDER-counts highly compressible key runs (dict/RLE
+        // easily < 16 B/row) and would skip a needed sort — r15 advice.
         val minRowBytes = spark.conf
           .getOption("spark.graft.merge.sortMinRowBytes")
           .map(_.toLong).getOrElse(16L)
         (byB.keySet ++ stagedByBucket.keySet).exists { b =>
-          byB.getOrElse(b, 0L) / minRowBytes +
-            stagedByBucket.getOrElse(b, 0L) >= fileRows
+          val (bytes, rows) = byB.getOrElse(b, (0L, 0L))
+          val readRows = if (rows >= 0) rows else bytes / minRowBytes
+          readRows + stagedByBucket.getOrElse(b, 0L) >= fileRows
         }
     }
   }
@@ -2281,7 +2292,7 @@ final class KeyedTable private (
       else if (!doHashSort) shuffled
       else shuffled.sortWithinPartitions(col(SideCol), col("b"), col(KHashCol))
     // plan-evidence hook (no effect unless set): dumps this write's
-    // formatted plan, one file per commit — how plans/r15/*_write_*.txt
+    // formatted plan, one file per commit — how plans/r16/*_write_*.txt
     // were produced (toggles: merge.truncateLineage, the sort gate)
     spark.conf.getOption("spark.graft.debugPlanDir").foreach { d =>
       val dir0 = new java.io.File(d); dir0.mkdirs()
@@ -2290,24 +2301,44 @@ final class KeyedTable private (
         ordered.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
     }
+    // 2M-row default split (~50-200 MB files at typical row widths —
+    // Delta's file-size band), NOT Spark's effectively-unbounded one:
+    // an unbounded rewrite consolidates a bucket into ONE file whose
+    // key-hash span is the bucket's WHOLE range and whose NDV blows
+    // past any bloom budget — every future staged hash then probes a
+    // saturated sketch, falsely keeps the file, and the next rewrite
+    // merges it even bigger (measured at the sf10 point arm: wave
+    // writes snowballed 22→197 MB before this bound; flat after).
+    // Hash-sorted splitting keeps per-file spans narrow AND per-file
+    // NDV within the sketch budget below.
+    val fileRows = spark.conf
+      .getOption("spark.graft.targetFileRows").map(_.toLong).getOrElse(1L << 21)
+    // bloom budget sized to the PER-FILE row cap at the 0.001 fpp
+    // target (~1.8 B/distinct long → ~3.6 MB for the 2M default;
+    // parquet's 1 MB default saturates at ~600k and fpp degrades
+    // quietly). Sizing to fileRows rather than a flat 4 MB matters for
+    // concurrency (guide §5): the writer allocates ~2× the budget of
+    // candidate bitsets PER OPEN FILE, so a small-file gate
+    // (targetFileRows=2000 rolls a file every 2k rows) under 32
+    // concurrent tasks would otherwise churn ~8 MB × 32 of allocations
+    // per file wave — the r15 scan_zone_skip 8-vs-32-core anti-scaling.
+    // A 2k-row file meets the same fpp with a ~4 KB sketch.
+    val bloomMaxBytes = spark.conf
+      .getOption("spark.graft.merge.bloomMaxBytes").map(_.toLong)
+      .getOrElse {
+        val want = fileRows * 2 // ~1.8 B/row rounded up to the next pow2
+        math.min(1L << 22, math.max(1L << 12,
+          java.lang.Long.highestOneBit(math.max(1L, want - 1)) << 1))
+      }
+    // adaptive candidates are max.bytes/2^i: reach down to 512 B so a
+    // file far smaller than the cap pays a proportionally tiny sketch
+    // (at the 4 MB budget that is the 14 candidates shipped in r15)
+    val bloomCandidates = math.max(1,
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, bloomMaxBytes / 512)) + 1)
     ordered
       .write.mode("overwrite")
-      // 2M-row default split (~50-200 MB files at typical row widths —
-      // Delta's file-size band), NOT Spark's effectively-unbounded one:
-      // an unbounded rewrite consolidates a bucket into ONE file whose
-      // key-hash span is the bucket's WHOLE range and whose NDV blows
-      // past any bloom budget — every future staged hash then probes a
-      // saturated sketch, falsely keeps the file, and the next rewrite
-      // merges it even bigger (measured at the sf10 point arm: wave
-      // writes snowballed 22→197 MB before this bound; flat after).
-      // Hash-sorted splitting keeps per-file spans narrow AND per-file
-      // NDV within the sketch budget below.
-      .option("maxRecordsPerFile", spark.conf
-        .getOption("spark.graft.targetFileRows").map(_.toLong).getOrElse(1L << 21))
-      // bloom budget sized for the file-row default at the 0.001 fpp
-      // target (~3.5 MB optimal for 2M distinct longs; parquet's 1 MB
-      // default saturates at ~600k and fpp degrades quietly)
-      .option("parquet.bloom.filter.max.bytes", (1 << 22).toString)
+      .option("maxRecordsPerFile", fileRows)
+      .option("parquet.bloom.filter.max.bytes", bloomMaxBytes.toString)
       // parquet-native bloom filter over the stored key hash: built by
       // the writer at near-zero cost, read back by the merge planner's
       // membership probe as a few-KB footer tail read PER FILE — no
@@ -2318,14 +2349,10 @@ final class KeyedTable private (
       .option(s"parquet.bloom.filter.enabled#$KHashCol",
         spark.conf.getOption("spark.graft.manifest.bloom").getOrElse("true"))
       .option("parquet.bloom.filter.adaptive.enabled", "true")
-      // adaptive candidates are max.bytes/2^i: the default 5 makes the
-      // SMALLEST candidate 512 KB at the 4 MB budget, dwarfing small
-      // files; 14 reaches 512 B so a tiny file pays a tiny sketch while
-      // big files still get the full budget (memory during write is
-      // ~2×max regardless).
-      // NB: parquet reads this key ONLY in per-column `key#col` form
-      // (ColumnConfigParser), never bare.
-      .option(s"parquet.bloom.filter.candidates.number#$KHashCol", "14")
+      // NB: parquet reads the candidates key ONLY in per-column
+      // `key#col` form (ColumnConfigParser), never bare.
+      .option(s"parquet.bloom.filter.candidates.number#$KHashCol",
+        bloomCandidates.toString)
       // fpp drives how many files a SKETCH probe falsely keeps: the
       // expected count is (staged hashes × fpp), so the probe tier is
       // capped at sketchProbeMaxRows staged rows and fpp is set so
@@ -2640,9 +2667,11 @@ final class KeyedTable private (
       var znulls = Map.empty[String, Boolean].withDefaultValue(false)
       var zdrop = Set.empty[String] // a block without usable stats poisons the column
       var bloomAll = true // every block must carry a khash bloom to claim it
+      var nRows = 0L // exact footer row count — drives the write-sort gate
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
       try rd.getFooter.getBlocks.forEach { blk =>
+        nRows += blk.getRowCount
         blk.getColumns.forEach { c =>
           val name = c.getPath.toDotString
           if (name == KHashCol) {
@@ -2673,9 +2702,10 @@ final class KeyedTable private (
       val zs = zacc.map { case (c, (lo, hi)) =>
         c -> ColStat(ZoneStats.stringify(lo), ZoneStats.stringify(hi), znulls(c))
       }
-      b -> (if (any) FileEntry(rel, mn, mx, st.getLen, zs, bloom = bloomAll)
+      b -> (if (any) FileEntry(rel, mn, mx, st.getLen, zs, bloom = bloomAll,
+              rows = nRows)
             else FileEntry(rel, Long.MinValue, Long.MaxValue, st.getLen, zs,
-              bloom = bloomAll))
+              bloom = bloomAll, rows = nRows))
     }
     // a bulk load writes one file per bucket — dozens of footers; read
     // them concurrently (each is one ~KB tail read) so manifest
@@ -2798,14 +2828,15 @@ final class KeyedTable private (
     * free; when several candidate files per bucket survive and the batch
     * is collectable-small, one broadcast range-join refines to the files
     * an ACTUAL staged hash lands in. Legacy dir-granular buckets are
-    * always read whole. The third element is the total bytes of the
-    * files to be read — `None` when a legacy dir makes it unknowable —
-    * which drives the write-side sort decision. */
+    * always read whole. The third element is per-bucket (bytes, rows) of
+    * the files to be read — rows exact from manifest footer counts, -1
+    * when any pre-r16 entry lacks them; `None` when a legacy dir makes
+    * it unknowable — which drives the write-side sort decision. */
   private def splitByHashRange(staged: DataFrame, bv: Seq[(Int, Long)],
       stagedRange: Map[Int, (Long, Long)], stagedCount: Long,
       prunedVals: Map[Int, Seq[(String, Seq[Any])]] = Map.empty,
       stagedByBucket: Map[Int, Long] = Map.empty)
-      : (Seq[String], Map[Int, Seq[FileEntry]], Option[Map[Int, Long]]) = {
+      : (Seq[String], Map[Int, Seq[FileEntry]], Option[Map[Int, (Long, Long)]]) = {
     val legacy = scala.collection.mutable.ArrayBuffer[String]()
     val cand = scala.collection.mutable.ArrayBuffer[(Int, FileEntry)]()
     var carried = Map.empty[Int, List[FileEntry]].withDefaultValue(Nil)
@@ -3032,7 +3063,12 @@ final class KeyedTable private (
     val foldCap = spark.conf.getOption("spark.graft.autoCompact.foldMaxFileBytes")
       .map(_.toLong).getOrElse(32L << 20)
     var folded = List.empty[String]
-    var foldedByBucket = Map.empty[Int, Long].withDefaultValue(0L)
+    // per-bucket (bytes, rows) of files this rewrite reads; rows poisons
+    // to -1 when any contributing file predates manifest row counts
+    def addRead(a: (Long, Long), e: FileEntry): (Long, Long) =
+      (a._1 + e.bytes, if (a._2 < 0 || e.rows < 0) -1L else a._2 + e.rows)
+    var foldedByBucket =
+      Map.empty[Int, (Long, Long)].withDefaultValue((0L, 0L))
     val carriedOut = carried.collect { case (b, es) if es.nonEmpty =>
       val eligible = es.count(_.bytes < foldCap)
       // surface the soft-bound state at write time (once per handle per
@@ -3050,18 +3086,17 @@ final class KeyedTable private (
         val excess = math.min(es.size - (maxFiles - 1), bySize.size)
         val (fold, keep) = bySize.splitAt(excess)
         folded :::= fold.map(e => s"$path/${e.path}")
-        foldedByBucket += b -> (foldedByBucket(b) + fold.map(_.bytes).sum)
+        foldedByBucket += b -> fold.foldLeft(foldedByBucket(b))(addRead)
         b -> (keep ++ big).sortBy(_.minHash)
       }
     }
-    val readBytes: Option[Map[Int, Long]] =
+    val readByBucket: Option[Map[Int, (Long, Long)]] =
       if (legacy.nonEmpty) None
-      else Some(hitF.groupBy(_._1._1).view
-        .mapValues(_.map(_._1._2.bytes).sum).toMap.foldLeft(foldedByBucket) {
-          case (acc, (b, n)) => acc + (b -> (acc(b) + n))
-        })
+      else Some(hitF.foldLeft(foldedByBucket) { case (acc, ((b, e), _)) =>
+        acc + (b -> addRead(acc(b), e))
+      })
     (legacy.toSeq ++ hitF.map { case ((_, e), _) => s"$path/${e.path}" } ++ folded,
-      carriedOut, readBytes)
+      carriedOut, readByBucket)
   }
 }
 

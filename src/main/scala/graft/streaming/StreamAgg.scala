@@ -156,11 +156,12 @@ final class StreamAgg(
       // emptiness probe, the plus/minus aggregates, and the zero-check's
       // retraction-group scan
       val data = graft.store.Lineage.pin(batch)
+      // every path out of this body (early return, zero-check probe
+      // failure, merge failure) must release the pins — try/finally
+      try {
       // empty microbatch: skip the agg+merge plan. The batch drain
       // proves non-emptiness from the commit log and skips this job.
-      if (!knownNonEmpty && data.isEmpty) {
-        graft.store.Lineage.release(data); return
-      }
+      if (!knownNonEmpty && data.isEmpty) return
       // deletes (present only when the source opted into handleDeletes)
       // retract exactly like update pre-images: their contribution is
       // subtracted from the running aggregate
@@ -213,6 +214,7 @@ final class StreamAgg(
       val deltas =
         if (zeroPath && !alreadyApplied) graft.store.Lineage.pin(deltas0)
         else deltas0
+      try {
       val zeroedOpt: Option[DataFrame] =
         if (!zeroPath) None
         else {
@@ -259,11 +261,11 @@ final class StreamAgg(
             out.merge(live, mergeSpec, uniqueKeys = true, batchId = batchId,
               deleteKeys = Some(z))
         }
+      } finally zeroedOpt.foreach(graft.store.Lineage.release)
       } finally {
-        zeroedOpt.foreach(graft.store.Lineage.release)
         if (zeroPath && !alreadyApplied) graft.store.Lineage.release(deltas)
-        graft.store.Lineage.release(data)
       }
+      } finally graft.store.Lineage.release(data)
     }
 
     val name = s"agg:${new org.apache.hadoop.fs.Path(outPath).getName}"

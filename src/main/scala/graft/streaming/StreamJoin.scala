@@ -502,6 +502,9 @@ final class JoinedStream(
         lBatch0.join(broadcast(dk), left.pks.toSeq, "left_anti")))
       val rBatch = graft.store.Lineage.pin(rDelKeys.fold(rBatch0)(dk =>
         rBatch0.join(broadcast(dk), right.pks.toSeq, "left_anti")))
+      // releases below run in a finally: an exception mid-drain must not
+      // leak the pinned blocks until the GC-driven ContextCleaner sweep
+      try {
 
       // each half probes a (small) batch against the other side's
       // static — swap the full static scan for a bucket-pruned point
@@ -710,6 +713,7 @@ final class JoinedStream(
           // pruning probe correctly) and fall back to a plain
           // shuffle join past the threshold.
           val aff = graft.store.Lineage.pin(affRows0)
+          try {
           spark.sparkContext.setJobDescription("graft:join:downgrade:aff")
           val affN = aff.count()
           val bcastMax = spark.conf
@@ -769,7 +773,8 @@ final class JoinedStream(
               out.merge(reRows, MergeSpec(), uniqueKeys = true,
                 deleteKeys = Some(stale))
             }
-          } finally { graft.store.Lineage.release(reRows); graft.store.Lineage.release(aff) }
+          } finally graft.store.Lineage.release(reRows)
+          } finally graft.store.Lineage.release(aff)
         } finally {
           graft.store.Lineage.release(sk)
           spark.sparkContext.setJobDescription(null)
@@ -931,10 +936,12 @@ final class JoinedStream(
           nonOwnRetracted("r", right, sideCondCols._2, rPre, rDeleted, rCnt, rDelKeys)
             .foreach(k => downgrade(k, "r", right, "r"))
       }
-      graft.store.Lineage.release(lBatch)
-      graft.store.Lineage.release(rBatch)
-      lDelKeys.foreach(graft.store.Lineage.release)
-      rDelKeys.foreach(graft.store.Lineage.release)
+      } finally {
+        graft.store.Lineage.release(lBatch)
+        graft.store.Lineage.release(rBatch)
+        lDelKeys.foreach(graft.store.Lineage.release)
+        rDelKeys.foreach(graft.store.Lineage.release)
+      }
     }
 
     def pack(ls: DataFrame, rs: DataFrame): DataFrame = {

@@ -44,6 +44,24 @@ object StreamShim {
       : org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** The just-persisted frame re-expressed as its cached
+    * `InMemoryRelation` LEAF: downstream actions then re-analyze and
+    * re-optimize a single leaf instead of the frame's full upstream
+    * tree (the per-commit Catalyst cost `Lineage.pin` exists to cut),
+    * while keeping persist semantics — columnar cache blocks that
+    * RECOMPUTE through the relation's child plan on block loss or
+    * post-release reads (unlike a localCheckpoint, which fails hard).
+    * `CacheManager.lookupCachedData` and `Dataset.ofRows` are
+    * `private[sql]`, hence this living in the shim. None when the frame
+    * is somehow not in the cache (caller falls back to the plain
+    * persisted frame). */
+  def cachedLeaf(df: DataFrame): Option[DataFrame] = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    spark.sharedState.cacheManager.lookupCachedData(ds)
+      .map(cd => classic.Dataset.ofRows(spark, cd.cachedRepresentation))
+  }
+
   /** Frees the storage blocks behind a `localCheckpoint`ed DataFrame.
     * `Dataset.unpersist` only talks to the CacheManager, so checkpoint
     * RDD blocks otherwise linger until the ContextCleaner's GC-driven

@@ -34,17 +34,26 @@ class HashSortGateSpec extends AnyFunSuite {
     assert(!t.hashSortNeeded(Some(Map.empty), Map(0 -> 100000L, 1 -> 100000L)))
     // a single bucket's staged rows at the cap — sort
     assert(t.hashSortNeeded(Some(Map.empty), Map(0 -> cap)))
-    // read bytes alone can cross the cap: 64 MB / 16 B-per-row = 4M est
-    // rows in one bucket — sort
-    assert(t.hashSortNeeded(Some(Map(0 -> (64L << 20))), Map.empty))
-    // the same bytes spread over many buckets stay under per-file rows —
+    // EXACT manifest row counts (r16): 4M read rows in one bucket — sort
+    assert(t.hashSortNeeded(Some(Map(0 -> (64L << 20, 4000000L))), Map.empty))
+    // the same rows spread over many buckets stay under per-file rows —
     // no sort
     assert(!t.hashSortNeeded(
-      Some((0 until 4).map(b => b -> (8L << 20)).toMap),
+      Some((0 until 4).map(b => b -> (8L << 20, 500000L)).toMap),
       (0 until 4).map(b => b -> 100000L).toMap))
-    // read side and staged side of ONE bucket sum: 24 MB/16B = 1.5M est
-    // read rows + 0.7M staged = over the cap — sort
-    assert(t.hashSortNeeded(Some(Map(2 -> (24L << 20))), Map(2 -> 700000L)))
+    // read side and staged side of ONE bucket sum: 1.5M exact read rows
+    // + 0.7M staged = over the cap — sort
+    assert(t.hashSortNeeded(Some(Map(2 -> (24L << 20, 1500000L))),
+      Map(2 -> 700000L)))
+    // a HIGHLY COMPRESSIBLE key column (r15 advice): 2.1M actual rows
+    // zstd'd to 8 MB — the old bytes/16 estimate said 512k rows and
+    // skipped the sort; exact footer counts sort
+    assert(t.hashSortNeeded(Some(Map(0 -> (8L << 20, 2100000L))), Map.empty))
+    // pre-r16 manifest entries (rows == -1) fall back to bytes/16:
+    // 64 MB / 16 B-per-row = 4M est rows — sort
+    assert(t.hashSortNeeded(Some(Map(0 -> (64L << 20, -1L))), Map.empty))
+    // fallback under-threshold: 8 MB / 16 = 512k est rows — no sort
+    assert(!t.hashSortNeeded(Some(Map(0 -> (8L << 20, -1L))), Map.empty))
     // legacy dirs (unknowable sizes) always sort
     assert(t.hashSortNeeded(None, Map.empty))
     // explicit targetFileRows (spec/compaction shapes) always sorts
