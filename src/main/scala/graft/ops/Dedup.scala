@@ -478,10 +478,18 @@ object Dedup {
     */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame,
       id: String = "doc_id", maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").alias("a"), col("id_b").alias("b"))
-      .unionByName(pairs.select(col("id_b").alias("a"), col("id_a").alias("b")))
-      .cache()
-    var labels = docs.select(col(id), col(id).alias("cluster_id")).cache()
+    // pinned (persist + plan-leaf, graft.store.Lineage): the edge list's
+    // upstream is the full LSH candidate derivation and each round's
+    // labels otherwise STACK plans — round n re-analyzes all n-1
+    // previous trees plus the minhash expressions (measured: the final
+    // labels frame's formatted plan was ~9.5k lines at sf0.1,
+    // plans/r16/dedup_clusters_before.txt). Leaf-pinning keeps every
+    // round's analyzed tree O(1).
+    val edges = graft.store.Lineage.pin(
+      pairs.select(col("id_a").alias("a"), col("id_b").alias("b"))
+        .unionByName(pairs.select(col("id_b").alias("a"), col("id_a").alias("b"))))
+    var labels = graft.store.Lineage.pin(
+      docs.select(col(id), col(id).alias("cluster_id")))
     // monotone-sum fixpoint (r16): min-label propagation can only ever
     // DECREASE a label, so Σ labels strictly decreases until the
     // fixpoint — an unchanged sum ⟺ no label changed. One agg job per
@@ -499,17 +507,17 @@ object Dedup {
     while (iter < maxIters && !converged) {
       val viaEdges = edges.join(labels, edges("b") === labels(id))
         .select(col("a").alias(id), col("cluster_id"))
-      val next = labels.select(col(id), col("cluster_id")).unionByName(viaEdges)
-        .groupBy(id).agg(min("cluster_id").alias("cluster_id"))
-        .cache()
+      val next = graft.store.Lineage.pin(
+        labels.select(col(id), col("cluster_id")).unionByName(viaEdges)
+          .groupBy(id).agg(min("cluster_id").alias("cluster_id")))
       val nextSum = labelSum(next)
-      labels.unpersist()
+      graft.store.Lineage.release(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
-    edges.unpersist()
+    graft.store.Lineage.release(edges)
     labels
   }
 
