@@ -58,8 +58,21 @@ object StreamShim {
   def cachedLeaf(df: DataFrame): Option[DataFrame] = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val spark = ds.sparkSession
-    spark.sharedState.cacheManager.lookupCachedData(ds)
-      .map(cd => classic.Dataset.ofRows(spark, cd.cachedRepresentation))
+    spark.sharedState.cacheManager.lookupCachedData(ds).map { cd =>
+      val imr = cd.cachedRepresentation
+      // Plant WITHOUT outputOrdering: the relation records the cached
+      // query's ordering, and once this leaf sits under arbitrary caller
+      // projections a LATER cacheQuery over the enclosing plan can
+      // record ordering attributes its own output no longer carries —
+      // canonicalizing that entry then dies in withOutput's AttributeMap
+      // remap (observed: FileManifestSpec probe tests,
+      // "key not found: id#..."). Orderings on engine pin frames buy
+      // nothing (every consumer shuffles or sorts on write anyway).
+      val leaf = new org.apache.spark.sql.execution.columnar.InMemoryRelation(
+        imr.output, imr.cacheBuilder, Nil)
+      leaf.statsOfPlanToCache = imr.statsOfPlanToCache
+      classic.Dataset.ofRows(spark, leaf)
+    }
   }
 
   /** Frees the storage blocks behind a `localCheckpoint`ed DataFrame.
