@@ -149,6 +149,10 @@ final case class ArgMinL2(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  // null even on non-null inputs: an empty centroid matrix (composed
+  // array_min-over-empty semantics)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def vecOk(dt: DataType) = dt match {
@@ -176,21 +180,33 @@ final case class ArgMinL2(left: Expression, right: Expression)
     val v = a.asInstanceOf[ArrayData]
     val cents = b.asInstanceOf[ArrayData]
     val vf = elemIsFloat
+    val nc = cents.numElements()
+    if (nc == 0) return null // composed form: array_min over empty → null
     var best = -1
     var bestD = 0.0
     var c = 0
-    val nc = cents.numElements()
+    val vn = v.numElements()
     while (c < nc) {
       val cent = cents.getArray(c)
-      val n = math.min(v.numElements(), cent.numElements())
+      val cn = cent.numElements()
+      // composed-form null semantics: a length mismatch (zip_with pads
+      // with null) or any null element yields a NULL distance, and
+      // array_min's nulls-first struct ordering then returns the LOWEST
+      // such centroid index — reproduce exactly
+      var hasNull = vn != cn
       var d = 0.0
       var i = 0
-      while (i < n) {
-        val xi = if (vf) v.getFloat(i).toDouble else v.getDouble(i)
-        val diff = xi - cent.getDouble(i)
-        d += diff * diff
+      val n = math.min(vn, cn)
+      while (i < n && !hasNull) {
+        if (v.isNullAt(i) || cent.isNullAt(i)) hasNull = true
+        else {
+          val xi = if (vf) v.getFloat(i).toDouble else v.getDouble(i)
+          val diff = xi - cent.getDouble(i)
+          d += diff * diff
+        }
         i += 1
       }
+      if (hasNull) return c
       // Double.compare: NaN sorts greatest — same ordering array_min
       // applied to the composed struct(dist, id) form
       if (best == -1 || java.lang.Double.compare(d, bestD) < 0) {

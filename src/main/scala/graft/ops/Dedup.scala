@@ -496,12 +496,23 @@ object Dedup {
     // round (which also materializes the round's cache) replaces the
     // former count() + join + limit(1).count() change-detection pair.
     // decimal(38,0) sum: exact at any corpus size (no long wrap-around
-    // that could fake convergence).
+    // that could fake convergence). Sound ONLY for integral id types —
+    // string/float ids (the id param is generic) keep the join-based
+    // change detection (a decimal cast of a string id yields null and
+    // would fake convergence after one round).
+    val integralIds = docs.schema(docs.schema.fieldIndex(id)).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v // empty corpus
     }
-    var prevSum = labelSum(labels)
+    var prevSum = if (integralIds) labelSum(labels) else null
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -510,11 +521,19 @@ object Dedup {
       val next = graft.store.Lineage.pin(
         labels.select(col(id), col("cluster_id")).unionByName(viaEdges)
           .groupBy(id).agg(min("cluster_id").alias("cluster_id")))
-      val nextSum = labelSum(next)
+      if (integralIds) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        next.count() // materialize the round's pin
+        converged = next.alias("n").join(labels.alias("o"),
+            col(s"n.$id") === col(s"o.$id"))
+          .where(col("n.cluster_id") =!= col("o.cluster_id"))
+          .limit(1).count() == 0
+      }
       graft.store.Lineage.release(labels)
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
       iter += 1
     }
     graft.store.Lineage.release(edges)

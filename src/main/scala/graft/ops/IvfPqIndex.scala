@@ -50,6 +50,9 @@ object IvfPqIndex {
     val kt = KeyedTable.create(spark, path, idx.encoded.schema, keys = Seq(id),
       numBuckets = 16)
     kt.upsert(idx.encoded, uniqueKeys = true)
+    // the upsert materialized the seed encoding — the training pin is
+    // done with (a later reader hits the stored table, not `encoded`)
+    idx.pinned.foreach(_.unpersist(false))
     kt
   }
 

@@ -157,9 +157,12 @@ object ProductQuantize {
 
   /** A built IVF+PQ index: coarse centroids, the residual codebook, and
     * the encoded corpus (id, list, codes) — at 100 TB this is what a
-    * stored ANN index holds: m bytes + one small int per vector. */
+    * stored ANN index holds: m bytes + one small int per vector.
+    * `pinned` is the residual frame [[buildIvfPq]] persisted for the
+    * training passes; callers that materialize `encoded` elsewhere
+    * (e.g. [[graft.ops.IvfPqIndex.build]]) release it afterwards. */
   final case class IvfPq(coarse: Seq[Seq[Double]], book: Codebook,
-      encoded: DataFrame)
+      encoded: DataFrame, pinned: Option[DataFrame] = None)
 
   /** Builds the index: L2 coarse assignment into `nlist` lists
     * (deterministic lowest-id seeds + Lloyd), PQ codebook trained on
@@ -210,7 +213,7 @@ object ProductQuantize {
     val encoded = resid
       .withColumn("codes", codesOf(col("__resid"), book))
       .select(col(id), col("__list").alias("list"), col("codes"))
-    IvfPq(coarse, book, encoded)
+    IvfPq(coarse, book, encoded, pinned = Some(resid))
   }
 
   /** Top-k by IVF+PQ: the query probes its `nprobe` nearest lists and

@@ -42,10 +42,15 @@ object Lineage {
   private final case class PinInfo(mode: Int, original: DataFrame)
 
   // Dataset-identity → pin-time mode + the frame to unpersist, written
-  // at pin, removed at release. Synchronized map: drains may run from
-  // several threads.
+  // at pin, removed at release. WEAK keys: a pin whose owner drops the
+  // frame without releasing (e.g. an op returning its final pinned
+  // frame to a caller that only reads it) must not grow this map for
+  // the JVM lifetime — the entry expires with the frame, and the block
+  // sweep / clearCache frees the storage. Dataset does not override
+  // equals, so WeakHashMap's equals-based lookup is reference identity
+  // here. Synchronized: drains may run from several threads.
   private val pins = java.util.Collections.synchronizedMap(
-    new java.util.IdentityHashMap[DataFrame, PinInfo]())
+    new java.util.WeakHashMap[DataFrame, PinInfo]())
 
   def pin(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf

@@ -244,7 +244,12 @@ final class StreamAgg(
               .where(coalesce(col("__cur"), lit(0)) + col(s"dl.$countCol") === 0)
               .select(groupCols.map(k => col(s"dl.$k").alias(k)): _*)
           val zp = graft.store.Lineage.pin(z)
-          if (zp.isEmpty) { graft.store.Lineage.release(zp); None } else Some(zp)
+          // the probe job can fail (executor loss) before ownership of
+          // zp transfers to the finally below — release on that path
+          val zpEmpty =
+            try zp.isEmpty
+            catch { case t: Throwable => graft.store.Lineage.release(zp); throw t }
+          if (zpEmpty) { graft.store.Lineage.release(zp); None } else Some(zp)
         }
       // deltas is groupBy output → key-unique; batchId guards replays
       // (a double-applied delta would double-count the running agg)

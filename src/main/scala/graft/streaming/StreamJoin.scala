@@ -868,8 +868,12 @@ final class JoinedStream(
               if (movable.nonEmpty && stream.pks.forall(outCols.contains)) {
                 val mk = graft.store.Lineage.pin(
                   moved(side, stream.pks, stream.seqCols, movable))
-                // one small batch-sized job guards the (rare) retraction
-                if (!mk.isEmpty) {
+                // one small batch-sized job guards the (rare) retraction;
+                // release on the probe's failure path too
+                val mkEmpty =
+                  try mk.isEmpty
+                  catch { case t: Throwable => graft.store.Lineage.release(mk); throw t }
+                if (!mkEmpty) {
                   fusedPins += mk
                   frames += resolveOutRows(mk, stream, idxSubPath)
                 } else graft.store.Lineage.release(mk)

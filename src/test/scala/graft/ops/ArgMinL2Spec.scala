@@ -48,6 +48,33 @@ class ArgMinL2Spec extends AnyFunSuite {
     assert(got.filter(_.getLong(0) >= 200L).forall(_.getInt(1) == 3))
   }
 
+  test("native == composed on null elements, length mismatch, empty centroids") {
+    val cents = Seq(Seq(1.0, 2.0), Seq(3.0, 4.0))
+    // a null element → null distance for EVERY centroid → composed
+    // array_min returns the lowest index (nulls-first struct ordering)
+    val withNull = Seq(1L, 2L).toDF("id").withColumn("v",
+      when(col("id") === 1L, array(lit(1.0), lit(null).cast("double")))
+        .otherwise(array(lit(5.0), lit(5.0))))
+    val g1 = withNull.select(col("id"),
+      graft.functions.VectorExpressions.argMinL2(col("v"), typedLit(cents)),
+      composedArgMin(col("v"), cents)).collect()
+    g1.foreach(r => assert(r.isNullAt(1) == r.isNullAt(2) &&
+      (r.isNullAt(1) || r.getInt(1) == r.getInt(2)),
+      s"null-element mismatch at id=${r.getLong(0)}: $r"))
+    // length mismatch: zip_with pads with null → same nulls-first pick
+    val shortVec = Seq((1L, Seq(1.0))).toDF("id", "v")
+    val g2 = shortVec.select(
+      graft.functions.VectorExpressions.argMinL2(col("v"), typedLit(cents)),
+      composedArgMin(col("v"), cents)).head
+    assert(g2.getInt(0) == g2.getInt(1))
+    // empty centroid matrix → null (the composed array() of zero structs
+    // does not even analyze, so only the native side is asserted)
+    val g3 = Seq((1L, Seq(1.0))).toDF("id", "v").select(
+      graft.functions.VectorExpressions.argMinL2(col("v"),
+        typedLit(Seq.empty[Seq[Double]]))).head
+    assert(g3.isNullAt(0))
+  }
+
   test("native == composed on float vectors (cast path)") {
     val r = rng(13)
     val cents = Seq.fill(5)(Seq.fill(6)(r.nextDouble()))
